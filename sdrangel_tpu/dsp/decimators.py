@@ -1,0 +1,177 @@
+"""Half-band decimator cascades — the north-star kernel.
+
+Reference: sdrbase/dsp/decimators.h (Decimators<...>::decimateN_{cen,inf,sup},
+23-4287) chained IntHalfbandFilterEO stages (inthalfbandfiltereo.h:37-870).
+The reference runs a stateful per-sample C++ loop; here each ÷2 stage is a
+block-processing pure function `(tail, x) -> (tail', y)` where the FIR is a
+stride-2 "valid" convolution over the carried tail + current block. XLA lowers
+the conv to the TPU conv/matmul path; sdrangel_tpu.pallas.decimator provides
+the fused whole-cascade kernel for the hot path.
+
+Spectral placements (decimators.h decimateN_{cen,inf,sup} and
+devicesamplesource.cpp:84-110 calculateFrequencyShift):
+  cen — band at DC, plain lowpass+decimate;
+  inf — band below centre: first stage rotates +fs/4 (storeSample sign/swap
+        pattern [j,-1,-j,1], inthalfbandfiltereo.h:643-660), follow-up stages
+        rotate -fs/4 until the residual shift is zero;
+  sup — mirror image of inf.
+
+The reference bakes the rotation into integer sign/swaps; we multiply by the
+period-4 rotation sequence, which XLA fuses into the conv input. Unlike the
+reference's fixed-point pipeline (gain 2 per stage, final /2^stages in
+DownChannelizer::feed, downchannelizer.cpp:80-81) every stage here has unity
+passband gain in float32.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .hbfilter import DECIMATORS_ORDER, hb_taps
+
+
+class CascadeState(NamedTuple):
+    """Carried filter tails, one per ÷2 stage.
+
+    tails[k] has shape (..., L-1) complex64 where L = order-1 taps; it is the
+    last L-1 *input* samples of stage k (at rate fs / 2^k).
+    """
+
+    tails: tuple[jnp.ndarray, ...]
+
+
+def placement_schedule(log2_decim: int, fc_pos: str) -> tuple[int, ...]:
+    """Quarter-rate rotation sign per stage (+1 = +fs/4, -1 = -fs/4, 0 = none).
+
+    Derived from the wanted-band offset of devicesamplesource.cpp:84-110:
+    cen -> 0; inf -> -fs/2^(n+1) for n<3 else -fs/2^n; sup mirrored. Greedy
+    residual tracking reproduces the reference cascades exactly, e.g.
+    ÷16 inf = [Inf, Sup, Sup, Cen] (decimators.h:829-960).
+    """
+    if fc_pos == "cen" or log2_decim == 0:
+        return (0,) * log2_decim
+    sign = {"inf": -1, "sup": +1}[fc_pos]
+    if log2_decim < 3:
+        target = sign / float(1 << (log2_decim + 1))
+    else:
+        target = sign / float(1 << log2_decim)
+    signs = []
+    residual = target  # wanted-band centre in units of current rate
+    for _ in range(log2_decim):
+        if residual < 0:
+            s = +1
+        elif residual > 0:
+            s = -1
+        else:
+            s = 0
+        signs.append(s)
+        residual = (residual + s / 4.0) * 2.0
+    assert residual == 0.0, f"placement schedule failed: {log2_decim=} {fc_pos=}"
+    return tuple(signs)
+
+
+@functools.lru_cache(maxsize=None)
+def _rotation_pattern(sign: int, length: int) -> np.ndarray | None:
+    """Period-4 rotation sequence e^{i*sign*pi/2*n} tiled to `length`."""
+    if sign == 0:
+        return None
+    assert length % 4 == 0, "block length must be a multiple of 4 for inf/sup"
+    base = np.array([1, 1j * sign, -1, -1j * sign], dtype=np.complex64)
+    return np.tile(base, length // 4)
+
+
+def _conv_stride2_valid(ext: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
+    """Stride-2 valid correlation along the last axis of a complex array.
+
+    ext: (..., T_ext) complex64; taps: (L,) float32 (symmetric, so correlation
+    equals convolution). Returns (..., (T_ext - L)//2 + 1) complex64.
+    """
+    batch_shape = ext.shape[:-1]
+    t_ext = ext.shape[-1]
+    # complex -> two real lanes folded into the batch dimension
+    lhs = jnp.stack([jnp.real(ext), jnp.imag(ext)], axis=0)
+    lhs = lhs.reshape(-1, 1, t_ext)  # (2*prod(batch), 1, T_ext)
+    rhs = taps.astype(jnp.float32).reshape(1, 1, -1)
+    out = jax.lax.conv_general_dilated(
+        lhs,
+        rhs,
+        window_strides=(2,),
+        padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )
+    t_out = out.shape[-1]
+    out = out.reshape(2, *batch_shape, t_out) if batch_shape else out.reshape(2, t_out)
+    return (out[0] + 1j * out[1]).astype(jnp.complex64)
+
+
+def hb_decimate2(
+    tail: jnp.ndarray, x: jnp.ndarray, taps: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """One ÷2 half-band stage: (tail, x) -> (tail', y) with y at half rate.
+
+    tail: (..., L-1) carried input samples; x: (..., T), T even.
+    y[m] = sum_k h[k] * ext[2m + k], ext = [tail, x]  ->  (..., T//2).
+    """
+    ext = jnp.concatenate([tail, x], axis=-1)
+    y = _conv_stride2_valid(ext, taps)
+    new_tail = ext[..., x.shape[-1] :]  # last L-1 samples
+    return new_tail, y
+
+
+def init_state(
+    log2_decim: int,
+    batch_shape: Sequence[int] = (),
+    order: int = DECIMATORS_ORDER,
+) -> CascadeState:
+    l_taps = order - 1
+    tails = tuple(
+        jnp.zeros((*batch_shape, l_taps - 1), dtype=jnp.complex64)
+        for _ in range(log2_decim)
+    )
+    return CascadeState(tails)
+
+
+def decimate_cascade(
+    state: CascadeState,
+    x: jnp.ndarray,
+    log2_decim: int,
+    fc_pos: str = "cen",
+    order: int = DECIMATORS_ORDER,
+) -> tuple[CascadeState, jnp.ndarray]:
+    """Full ÷2^k cascade with placement rotation; pure, jit/vmap/shard-friendly.
+
+    x: (..., T) complex64, T a multiple of 4*2^k. Returns (state', y) with
+    y: (..., T / 2^k) centred on the wanted band.
+    """
+    taps = jnp.asarray(hb_taps(order))
+    signs = placement_schedule(log2_decim, fc_pos)
+    tails = list(state.tails)
+    y = x
+    for k in range(log2_decim):
+        rot = _rotation_pattern(signs[k], y.shape[-1])
+        if rot is not None:
+            y = y * jnp.asarray(rot)
+        tails[k], y = hb_decimate2(tails[k], y, taps)
+    return CascadeState(tuple(tails)), y
+
+
+def decimate_reference_oracle(
+    x: np.ndarray, log2_decim: int, fc_pos: str = "cen", order: int = DECIMATORS_ORDER
+) -> np.ndarray:
+    """NumPy oracle: same math, sequential, float64 — for unit tests."""
+    h = hb_taps(order).astype(np.float64)
+    signs = placement_schedule(log2_decim, fc_pos)
+    y = x.astype(np.complex128)
+    for k in range(log2_decim):
+        if signs[k] != 0:
+            n = np.arange(y.shape[-1])
+            y = y * np.exp(1j * signs[k] * np.pi / 2.0 * n)
+        ext = np.concatenate([np.zeros(len(h) - 1, dtype=np.complex128), y])
+        full = np.convolve(ext, h[::-1], mode="valid")  # correlation
+        y = full[::2]
+    return y.astype(np.complex64)

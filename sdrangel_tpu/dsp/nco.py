@@ -1,0 +1,98 @@
+"""Numerically-controlled oscillator — block-vectorized.
+
+Reference: sdrbase/dsp/nco.{h,cpp} — 4096-entry cosine LUT, integer phase
+accumulator, nextIQ() returning (cos φ, sin φ) = e^{+iφ} (nco.cpp:60-64:
+imag = -cos(φ + T/4) = sin φ); NCOF float-phase variant (ncof.cpp).
+
+TPU design: the per-sample accumulator becomes a closed-form phase ramp per
+block with an integer carry. Default ("float") mode uses a 32-bit phase wheel
+(increment = round(f/fs * 2^32), wrap = native uint32 overflow) and computes
+exp via sin/cos on the VPU. "lut" parity mode reproduces the reference's
+truncated 12-bit table lookup and integer increment (nco.cpp:48-52) exactly.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+TABLE_BITS = 12
+TABLE_SIZE = 1 << TABLE_BITS  # reference nco.h:27
+_WHEEL_BITS = 32
+
+
+class NCOState(NamedTuple):
+    phase: jnp.ndarray  # (...,) uint32 phase-wheel position
+
+
+def make_nco(batch_shape=(), phase0: int = 0) -> NCOState:
+    return NCOState(jnp.full(batch_shape, phase0, dtype=jnp.uint32))
+
+
+def freq_to_increment(freq, sample_rate) -> np.ndarray:
+    """Per-sample uint32 phase increment for f/fs (host or traced)."""
+    turns = np.asarray(freq, dtype=np.float64) / np.asarray(sample_rate, dtype=np.float64)
+    inc = np.round((turns % 1.0) * (1 << _WHEEL_BITS)).astype(np.int64)
+    return (inc & 0xFFFFFFFF).astype(np.uint32)
+
+
+def nco_block(
+    state: NCOState, increment: jnp.ndarray, length: int
+) -> tuple[NCOState, jnp.ndarray]:
+    """Generate e^{+i φ[n]} for one block.
+
+    increment: (...,) uint32 (broadcast against state.phase).
+    Returns (state', iq) with iq: (..., length) complex64.
+    """
+    inc = jnp.asarray(increment, dtype=jnp.uint32)
+    n = jnp.arange(length, dtype=jnp.uint32)
+    # uint32 arithmetic wraps — the phase wheel is exact over any stream length.
+    phases = state.phase[..., None] + inc[..., None] * n
+    angle = phases.astype(jnp.float32) * jnp.float32(2.0 * np.pi / (1 << _WHEEL_BITS))
+    iq = jnp.cos(angle) + 1j * jnp.sin(angle)
+    new_phase = state.phase + inc * jnp.uint32(length)
+    return NCOState(new_phase), iq.astype(jnp.complex64)
+
+
+def mix_block(
+    state: NCOState, x: jnp.ndarray, increment: jnp.ndarray
+) -> tuple[NCOState, jnp.ndarray]:
+    """x * e^{+iφ[n]} — the `c *= m_nco.nextIQ()` idiom (nfmdemod.cpp:153)."""
+    state, iq = nco_block(state, increment, x.shape[-1])
+    return state, (x * iq).astype(jnp.complex64)
+
+
+# ---------------------------------------------------------------------------
+# LUT parity mode — bit-matches the reference's quantized oscillator.
+# ---------------------------------------------------------------------------
+
+_LUT = np.cos(2.0 * np.pi * np.arange(TABLE_SIZE) / TABLE_SIZE).astype(np.float32)
+
+
+class NCOLutState(NamedTuple):
+    phase: jnp.ndarray  # int32 in [0, TABLE_SIZE)
+
+
+def make_nco_lut(batch_shape=(), phase0: int = 0) -> NCOLutState:
+    return NCOLutState(jnp.full(batch_shape, phase0, dtype=jnp.int32))
+
+
+def lut_increment(freq: float, sample_rate: float) -> int:
+    """Integer truncation as in NCO::setFreq (nco.cpp:48-52)."""
+    return int((freq * TABLE_SIZE) / sample_rate)
+
+
+def nco_lut_block(
+    state: NCOLutState, increment: int, length: int
+) -> tuple[NCOLutState, jnp.ndarray]:
+    """Reference-parity oscillator: increments *then* reads (nextPhase before
+    table lookup, nco.h:45-55), cos from the 4096-entry table."""
+    n = 1 + jnp.arange(length, dtype=jnp.int32)
+    phases = jnp.mod(state.phase[..., None] + increment * n, TABLE_SIZE)
+    lut = jnp.asarray(_LUT)
+    re = lut[phases]
+    im = -lut[jnp.mod(phases + TABLE_SIZE // 4, TABLE_SIZE)]
+    new_phase = jnp.mod(state.phase + increment * length, TABLE_SIZE)
+    return NCOLutState(new_phase), (re + 1j * im).astype(jnp.complex64)
