@@ -1,0 +1,93 @@
+"""FIR designers (host-side) and the block FIR applier.
+
+Reference designers: sdrbase/dsp/bandpass.h:18-130 (windowed-sinc bandpass as
+lowpass(f2) convolved spectrally with highpass(f1) — implemented as
+lowpass*highpass tap product sum form), sdrbase/dsp/lowpass.h, highpass.h,
+and the generic windowed-sinc WFIR (wfir.{h,cpp}:26-78, Kaiser & co).
+
+Designs are NumPy at configure time; application is a stride-1 valid conv
+with a carried (ntaps-1) tail, sharing the conv machinery of the decimators.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _hamming(n: int) -> np.ndarray:
+    return 0.54 - 0.46 * np.cos(2.0 * np.pi * np.arange(n) / (n - 1))
+
+
+def lowpass(ntaps: int, cutoff: float) -> np.ndarray:
+    """Windowed-sinc lowpass; cutoff normalized to sample rate (0..0.5).
+    Matches Lowpass<T>::create semantics (Hamming window, unity DC gain)."""
+    assert ntaps % 2 == 1, "odd tap count keeps the filter symmetric"
+    m = ntaps // 2
+    k = np.arange(ntaps, dtype=np.float64) - m
+    with np.errstate(invalid="ignore", divide="ignore"):
+        h = np.where(k == 0, 2.0 * cutoff, np.sin(2.0 * np.pi * cutoff * k) / (np.pi * k))
+    h *= _hamming(ntaps)
+    return (h / h.sum()).astype(np.float32)
+
+
+def highpass(ntaps: int, cutoff: float) -> np.ndarray:
+    """Spectral inversion of the lowpass (Highpass<T>::create semantics)."""
+    h = -lowpass(ntaps, cutoff).astype(np.float64)
+    h[ntaps // 2] += 1.0
+    return h.astype(np.float32)
+
+
+def bandpass(ntaps: int, f_lo: float, f_hi: float) -> np.ndarray:
+    """Bandpass [f_lo, f_hi] as lowpass(f_hi) ∗ highpass(f_lo) cascade
+    collapsed into one tap set (Bandpass<T>::create, bandpass.h:18-130
+    convolves the two tap sets)."""
+    h_lp = lowpass(ntaps, f_hi).astype(np.float64)
+    h_hp = highpass(ntaps, f_lo).astype(np.float64)
+    h = np.convolve(h_lp, h_hp)
+    # keep the central ntaps to preserve the configured length
+    start = (len(h) - ntaps) // 2
+    h = h[start : start + ntaps]
+    # normalize passband gain at the geometric centre frequency
+    fc = np.sqrt(f_lo * f_hi)
+    w = 2.0 * np.pi * fc
+    n = np.arange(ntaps) - ntaps // 2
+    gain = np.abs(np.sum(h * np.exp(-1j * w * n)))
+    return (h / gain).astype(np.float32)
+
+
+class FirState(NamedTuple):
+    tail: jnp.ndarray  # (..., ntaps-1)
+
+
+def make_state(ntaps: int, batch_shape=(), dtype=jnp.float32) -> FirState:
+    return FirState(jnp.zeros((*batch_shape, ntaps - 1), dtype=dtype))
+
+
+def fir_apply(
+    state: FirState, x: jnp.ndarray, taps: jnp.ndarray
+) -> tuple[FirState, jnp.ndarray]:
+    """Stride-1 FIR over a real or complex block with carried tail."""
+    ext = jnp.concatenate([state.tail, x], axis=-1)
+    is_complex = jnp.iscomplexobj(x)
+    if is_complex:
+        lanes = jnp.stack([jnp.real(ext), jnp.imag(ext)], axis=0)
+    else:
+        lanes = ext[None]
+    batch_shape = lanes.shape[:-1]
+    lhs = lanes.reshape(-1, 1, lanes.shape[-1])
+    rhs = taps.astype(jnp.float32).reshape(1, 1, -1)
+    out = jax.lax.conv_general_dilated(
+        lhs, rhs, window_strides=(1,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )
+    out = out.reshape(*batch_shape, out.shape[-1])
+    if is_complex:
+        y = (out[0] + 1j * out[1]).astype(jnp.complex64)
+    else:
+        y = out[0] if out.shape[0] == 1 else out
+        y = y.astype(jnp.float32)
+    return FirState(ext[..., x.shape[-1] :]), y

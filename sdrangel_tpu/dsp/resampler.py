@@ -1,0 +1,174 @@
+"""Polyphase rational resampler — the audio-rate decimator.
+
+Reference: sdrbase/dsp/interpolator.{h,cpp} — `Interpolator` designs a
+polyphase windowed-sinc lowpass (createPolyphaseLowPass, interpolator.cpp:7-55:
+Hamming window 0.54-0.46cos, ntaps rounded even then ×phases, normalized by
+DC gain) and resamples with a fractional `distance` accumulator selecting the
+phase leg `floor(distance * phaseSteps)` per output (interpolator.h:23-52).
+
+TPU design: the in/out ratio is rational p/q (channel rates are power-of-two
+divisions of the device rate; audio is 48 kHz), so for block length T ≡ 0
+(mod p) the per-output input index and phase leg repeat exactly every block.
+They are precomputed on the host; the block kernel is a gather into strided
+frames followed by an einsum against the per-output tap legs — an MXU-shaped
+dense contraction with static shapes. Carried state is the ntaps-1 input tail
+(plus nothing else: the distance pattern is block-periodic by construction).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from fractions import Fraction
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def create_polyphase_lowpass(
+    phase_steps: int,
+    gain: float,
+    sample_rate: float,
+    cutoff: float,
+    nb_taps_per_phase: float = 4.5,
+) -> np.ndarray:
+    """Port of Interpolator::createPolyphaseLowPass (interpolator.cpp:20-55).
+
+    Returns taps of shape (phase_steps, ntaps_per_phase): row k is the FIR
+    applied when the fractional position selects phase k.
+    """
+    ntaps = int(nb_taps_per_phase * phase_steps)
+    if ntaps % 2 != 0:
+        ntaps += 1
+    total = ntaps * phase_steps
+    n = np.arange(total, dtype=np.float64)
+    window = 0.54 - 0.46 * np.cos(2.0 * np.pi * n / (total - 1))
+    m = (total - 1) // 2
+    fw = 2.0 * np.pi * cutoff / sample_rate
+    k = n - m
+    with np.errstate(invalid="ignore", divide="ignore"):
+        taps = np.where(k == 0, fw / np.pi, np.sin(k * fw) / (k * np.pi)) * window
+    # normalize by total DC gain: taps[M] + 2*sum(taps[M+1..]) (symmetric FIR)
+    dc = taps[m] + 2.0 * taps[m + 1 :].sum()
+    taps = taps * (gain / dc)
+    # interleave into phase legs: output sample with phase p uses
+    # taps[p], taps[p + phases], taps[p + 2*phases], ...
+    legs = taps.reshape(-1, phase_steps).T  # (phases, ntaps)
+    # per-leg unit-DC normalization (Interpolator::create, interpolator.cpp:103-110)
+    legs = legs / legs.sum(axis=1, keepdims=True)
+    return legs.astype(np.float32)
+
+
+class ResamplerState(NamedTuple):
+    tail: jnp.ndarray  # (..., ntaps-1) complex64 carried input samples
+
+
+@dataclasses.dataclass(frozen=True, eq=False)  # eq=False: identity hash so a
+# plan object can be a jit static argument (reuse the same instance per chain)
+class ResamplerPlan:
+    """Host-precomputed gather/phase schedule for one block size."""
+
+    in_rate: float
+    out_rate: float
+    block_in: int  # input samples per block (multiple of p)
+    block_out: int  # outputs per block (= block_in * q / p)
+    ntaps: int
+    phase_steps: int
+    taps: np.ndarray  # (phase_steps, ntaps) float32
+    start_idx: np.ndarray  # (block_out,) int32 — first input sample of each output frame
+    phase: np.ndarray  # (block_out,) int32 — phase leg per output
+
+    @property
+    def ratio(self) -> float:
+        return self.in_rate / self.out_rate
+
+
+def make_plan(
+    in_rate: float,
+    out_rate: float,
+    block_in: int,
+    cutoff: float | None = None,
+    phase_steps: int = 16,
+    nb_taps_per_phase: float = 4.5,
+) -> ResamplerPlan:
+    """Build the static resampling schedule.
+
+    Follows Interpolator::decimate's distance recurrence (interpolator.h:23-35):
+    per input sample `distance -= 1`, and an output is produced (with phase
+    `floor(distance * phaseSteps)`) whenever distance < 1, after which
+    `distance += in_rate/out_rate`. in_rate >= out_rate (decimation); the
+    channel plumbing guarantees this like the reference's channelizer does.
+    """
+    assert in_rate >= out_rate, "resampler is a decimator (interpolator.h:22)"
+    frac = Fraction(in_rate / out_rate).limit_denominator(1 << 20)
+    p, q = frac.numerator, frac.denominator
+    assert block_in % p == 0, (
+        f"block_in={block_in} must be a multiple of p={p} (in_rate/out_rate={p}/{q})"
+    )
+    if cutoff is None:
+        cutoff = 0.4 * out_rate
+    # prototype designed at the phase-upsampled rate (Interpolator::create,
+    # interpolator.cpp:74-86)
+    taps = create_polyphase_lowpass(
+        phase_steps, 1.0, phase_steps * in_rate, cutoff, nb_taps_per_phase
+    )
+    ntaps = taps.shape[1]
+
+    # Simulate one block of the reference recurrence to get the static schedule.
+    ratio = p / q  # exact rational distance increment
+    distance = ratio  # steady-state start (first block transient uses zeros tail)
+    start_idx, phase = [], []
+    for n in range(block_in):
+        # advanceFilter(next) then distance -= 1; emit while distance < 1
+        distance -= 1.0
+        if distance < 1.0:
+            ph = int(np.floor(distance * phase_steps))
+            ph = max(ph, 0)
+            start_idx.append(n)
+            phase.append(ph)
+            distance += ratio
+    block_out = len(start_idx)
+    assert block_out == block_in * q // p, (block_out, block_in, p, q)
+    return ResamplerPlan(
+        in_rate=in_rate,
+        out_rate=out_rate,
+        block_in=block_in,
+        block_out=block_out,
+        ntaps=ntaps,
+        phase_steps=phase_steps,
+        taps=taps,
+        start_idx=np.asarray(start_idx, dtype=np.int32),
+        phase=np.asarray(phase, dtype=np.int32),
+    )
+
+
+def init_state(plan: ResamplerPlan, batch_shape=()) -> ResamplerState:
+    return ResamplerState(
+        jnp.zeros((*batch_shape, plan.ntaps - 1), dtype=jnp.complex64)
+    )
+
+
+def resample_block(
+    state: ResamplerState, x: jnp.ndarray, plan: ResamplerPlan
+) -> tuple[ResamplerState, jnp.ndarray]:
+    """(state, x[..., block_in]) -> (state', y[..., block_out]).
+
+    Each output m is dot(taps[phase[m]], ext[start_idx[m] : +ntaps]) where
+    ext = [tail | x]; newest-first tap order of the reference ring buffer is
+    matched by reversing the legs once on the host.
+    """
+    assert x.shape[-1] == plan.block_in
+    ext = jnp.concatenate([state.tail, x], axis=-1)
+    # frames: (..., block_out, ntaps)
+    idx = jnp.asarray(plan.start_idx, dtype=jnp.int32)
+    offs = jnp.arange(plan.ntaps, dtype=jnp.int32)
+    gather = idx[:, None] + offs[None, :]
+    frames = ext[..., gather]
+    # reference doInterpolate: m_samples[m_ptr] is the *newest* sample and
+    # taps run oldest->newest across the ring; our frames are oldest-first so
+    # flip the legs.
+    legs = jnp.asarray(plan.taps[:, ::-1].copy())  # (phases, ntaps)
+    sel = legs[jnp.asarray(plan.phase)]  # (block_out, ntaps)
+    y = jnp.einsum("...ot,ot->...o", frames, sel.astype(jnp.complex64))
+    new_tail = ext[..., plan.block_in :]
+    return ResamplerState(new_tail), y.astype(jnp.complex64)
