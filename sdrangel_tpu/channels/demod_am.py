@@ -1,0 +1,128 @@
+"""AM demodulator.
+
+Reference: plugins/channelrx/demodam/amdemod.cpp — `processOneSample`
+(:152-260): NCO mix → resample to audio rate → squelch on 1s-average magsq →
+plain envelope sqrt(magsq) with DC removal via a 308-tap-equivalent highpass
+(reference uses a bandpass 300..4000), volume; optional PLL-synchronous AM
+(PhaseLockComplex + SSB/DSB fftfilt + MagAGC) — provided via `sync_am`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..dsp import agc, fftfilt, firdesign, movingavg, nco, phaselock, resampler, squelch
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class AMConfig:
+    channel_rate: float
+    input_offset: float = 0.0
+    audio_rate: float = 48000.0
+    rf_bandwidth: float = 5000.0
+    squelch_db: float = -40.0
+    volume: float = 1.0
+    audio_mute: bool = False
+    bandpass_enable: bool = True  # audio bandpass 300..3000 (amdemod settings)
+    sync_am: bool = False  # PLL-synchronous detection
+    sync_usb: bool = True  # sideband pick in sync mode (SSB filter)
+    block_in: int = 0
+
+    @functools.cached_property
+    def resampler_plan(self) -> resampler.ResamplerPlan:
+        from .demod_nfm import _auto_block
+
+        block = self.block_in or _auto_block(self.channel_rate, self.audio_rate)
+        return resampler.make_plan(
+            self.channel_rate, self.audio_rate, block, cutoff=self.rf_bandwidth / 2.0
+        )
+
+    @functools.cached_property
+    def bandpass_taps(self) -> np.ndarray:
+        return firdesign.bandpass(301, 300.0 / self.audio_rate, 3000.0 / self.audio_rate)
+
+    @functools.cached_property
+    def dsb_filter(self) -> np.ndarray:
+        return fftfilt.create_dsb_filter(
+            self.rf_bandwidth / (2.0 * self.audio_rate), 1024
+        )
+
+
+class AMState(NamedTuple):
+    nco: nco.NCOState
+    resamp: resampler.ResamplerState
+    mavg: movingavg.MovingAvgState
+    squelch: squelch.SquelchState
+    bandpass: firdesign.FirState
+    pll: "phaselock.PLLState"
+    fft: fftfilt.FftFiltState
+    agc: agc.MagAGCState
+
+
+_SQUELCH_GATE = 480  # 10 ms at 48 kHz (amdemod squelch gate semantics)
+
+
+def make_state(cfg: AMConfig, batch_shape=()) -> AMState:
+    return AMState(
+        nco=nco.make_nco(batch_shape),
+        resamp=resampler.init_state(cfg.resampler_plan, batch_shape),
+        mavg=movingavg.make_state(1024, batch_shape),
+        squelch=squelch.make_state(_SQUELCH_GATE, batch_shape),
+        bandpass=firdesign.make_state(len(cfg.bandpass_taps), batch_shape),
+        pll=phaselock.make_pll(batch_shape),
+        fft=fftfilt.make_state(1024, batch_shape),
+        agc=agc.make_state(agc.MagAGCConfig(order_r=0.005, history_size=1200, threshold_enable=False), batch_shape),
+    )
+
+
+def process(state: AMState, x: jnp.ndarray, cfg: AMConfig) -> tuple[AMState, jnp.ndarray]:
+    plan = cfg.resampler_plan
+    inc = nco.freq_to_increment(-cfg.input_offset, cfg.channel_rate)
+    nco_state, xm = nco.mix_block(state.nco, x, jnp.asarray(inc))
+    resamp_state, ci = resampler.resample_block(state.resamp, xm, plan)
+
+    magsq = (jnp.real(ci) ** 2 + jnp.imag(ci) ** 2).astype(jnp.float32)
+    mavg_state, avg = movingavg.moving_average(state.mavg, magsq)
+    level = 10.0 ** (cfg.squelch_db / 10.0)
+    open_cond = avg >= level
+
+    pll_state, fft_state, agc_state = state.pll, state.fft, state.agc
+    if cfg.sync_am:
+        # PLL locks the carrier; demod = Re(ci * conj(pll_carrier))
+        pll_state, carrier = phaselock.pll_run(state.pll, ci, cfg.audio_rate)
+        mixed = ci * jnp.conj(carrier)
+        fft_state, filtered = fftfilt.run_ssb(
+            state.fft, mixed, cfg.dsb_filter, usb=cfg.sync_usb, get_dc=True
+        )
+        agc_state, leveled, _ = agc.mag_agc(
+            state.agc, filtered, agc.MagAGCConfig(order_r=0.5, history_size=1200, threshold_enable=False)
+        )
+        demod = jnp.real(leveled).astype(jnp.float32)
+    else:
+        demod = jnp.sqrt(magsq)
+
+    squelch_state, gated, _ = squelch.gate_block(
+        state.squelch, demod, open_cond, _SQUELCH_GATE
+    )
+
+    if cfg.bandpass_enable:
+        bp_state, audio = firdesign.fir_apply(
+            state.bandpass, gated, jnp.asarray(cfg.bandpass_taps)
+        )
+    else:
+        # plain DC removal: subtract the block mean (reference uses IIR DC block)
+        bp_state = state.bandpass
+        audio = gated - jnp.mean(gated, axis=-1, keepdims=True)
+
+    audio = audio * (0.0 if cfg.audio_mute else cfg.volume)
+    new_state = AMState(
+        nco=nco_state, resamp=resamp_state, mavg=mavg_state,
+        squelch=squelch_state, bandpass=bp_state,
+        pll=pll_state, fft=fft_state, agc=agc_state,
+    )
+    return new_state, audio.astype(jnp.float32)

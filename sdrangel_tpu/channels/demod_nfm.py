@@ -1,0 +1,185 @@
+"""NFM demodulator — the north-star channel.
+
+Reference chain (plugins/channelrx/demodnfm/nfmdemod.cpp:140-330, settings
+nfmdemodsettings.h): NCO mix by the channel offset → polyphase resample to the
+audio rate → phase discriminator (delta atan2) → squelch (either moving-avg
+power vs level, or AF 2-tone Goertzel "delta" squelch) writing through a
+squelch-gate delay line → optional CTCSS tone gate (lowpass → ÷8 decimate →
+32-tone Goertzel) → audio bandpass 300..AF Hz → volume.
+
+Block translation: every per-sample recurrence is a carried-state block op
+from sdrangel_tpu.dsp; the whole channel is one pure function
+(state, iq_block) -> (state, audio_block) that jits, vmaps over channel
+banks, and shards over the mesh.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..dsp import firdesign, goertzel, movingavg, nco, phasediscri, resampler, squelch
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class NFMConfig:
+    channel_rate: float  # input rate from the channelizer
+    input_offset: float = 0.0  # residual frequency offset (Hz)
+    audio_rate: float = 48000.0
+    rf_bandwidth: float = 12500.0
+    af_bandwidth: float = 3000.0
+    fm_deviation: float = 5000.0
+    squelch_db: float = -40.0  # power squelch threshold (dB)
+    squelch_gate_ms: float = 50.0
+    delta_squelch: bool = False  # AF squelch instead of power squelch
+    ctcss_on: bool = False
+    ctcss_index: int = 0  # 0 = none; 1..32 selects CTCSS_TONES[i-1]
+    volume: float = 1.0
+    audio_mute: bool = False
+    block_in: int = 0  # input samples per block (0 -> auto from resampler)
+
+    @functools.cached_property
+    def resampler_plan(self) -> resampler.ResamplerPlan:
+        block = self.block_in or _auto_block(self.channel_rate, self.audio_rate)
+        return resampler.make_plan(
+            self.channel_rate, self.audio_rate, block, cutoff=self.rf_bandwidth / 2.0
+        )
+
+    @functools.cached_property
+    def squelch_gate_samples(self) -> int:
+        return max(1, int(self.audio_rate * self.squelch_gate_ms / 1000.0))
+
+    @functools.cached_property
+    def bandpass_taps(self) -> np.ndarray:
+        return firdesign.bandpass(
+            301, 300.0 / self.audio_rate, self.af_bandwidth / self.audio_rate
+        )
+
+    @property
+    def fm_scaling(self) -> float:
+        # deviation maps to full scale: demod = Δf/fs_audio*2 * scaling
+        return self.audio_rate / (2.0 * self.fm_deviation)
+
+
+def _auto_block(in_rate: float, out_rate: float) -> int:
+    """Smallest power-of-two-ish block ≥4096 that is a multiple of the exact
+    rational numerator p of in_rate/out_rate."""
+    from fractions import Fraction
+
+    p = Fraction(in_rate / out_rate).limit_denominator(1 << 20).numerator
+    block = p
+    while block < 4096:
+        block *= 2
+    return block
+
+
+class NFMState(NamedTuple):
+    nco: nco.NCOState
+    resamp: resampler.ResamplerState
+    discri: phasediscri.DiscriminatorState
+    mavg: movingavg.MovingAvgState
+    af_squelch: goertzel.AFSquelchState
+    squelch: squelch.SquelchState
+    bandpass: firdesign.FirState
+    ctcss_lp: firdesign.FirState
+
+
+def make_state(cfg: NFMConfig, batch_shape=()) -> NFMState:
+    return NFMState(
+        nco=nco.make_nco(batch_shape),
+        resamp=resampler.init_state(cfg.resampler_plan, batch_shape),
+        discri=phasediscri.make_state(batch_shape),
+        mavg=movingavg.make_state(32, batch_shape),  # nfmdemod.h m_movingAverage
+        af_squelch=goertzel.make_af_squelch(32, 2, batch_shape),
+        squelch=squelch.make_state(cfg.squelch_gate_samples, batch_shape),
+        bandpass=firdesign.make_state(len(cfg.bandpass_taps), batch_shape),
+        ctcss_lp=firdesign.make_state(63, batch_shape),
+    )
+
+
+_CTCSS_LP_TAPS = None
+
+
+def _ctcss_lowpass_taps(audio_rate: float) -> np.ndarray:
+    # 300 Hz lowpass ahead of the ÷8 CTCSS decimation (nfmdemod.cpp m_lowpass)
+    return firdesign.lowpass(63, 300.0 / audio_rate)
+
+
+def process(
+    state: NFMState, x: jnp.ndarray, cfg: NFMConfig
+) -> tuple[NFMState, jnp.ndarray]:
+    """(state, iq (..., block_in)) -> (state', audio (..., block_out) f32)."""
+    plan = cfg.resampler_plan
+    inc = nco.freq_to_increment(-cfg.input_offset, cfg.channel_rate)
+    nco_state, xm = nco.mix_block(state.nco, x, jnp.asarray(inc))
+    resamp_state, ci = resampler.resample_block(state.resamp, xm, plan)
+
+    discri_state, demod, magsq = phasediscri.discriminator_delta(
+        state.discri, ci, cfg.fm_scaling
+    )
+    mavg_state, avg_magsq = movingavg.moving_average(state.mavg, magsq)
+
+    if cfg.delta_squelch:
+        # AF squelch: 2-tone Goertzel over short frames of the demod
+        frame = 32
+        t = demod.shape[-1]
+        frames = demod[..., : (t // frame) * frame].reshape(*demod.shape[:-1], -1, frame)
+        # threshold: squelch_db maps 0..-10dB style ratio (afsquelch threshold)
+        af_state, open_frames = goertzel.af_squelch_run(
+            state.af_squelch,
+            frames,
+            cfg.audio_rate,
+            threshold=10.0 ** (cfg.squelch_db / 10.0),
+            samples_attack=2,
+            samples_decay=4,
+        )
+        open_cond = jnp.repeat(open_frames, frame, axis=-1)
+        pad = t - open_cond.shape[-1]
+        if pad:
+            open_cond = jnp.concatenate(
+                [open_cond, jnp.broadcast_to(open_cond[..., -1:], (*open_cond.shape[:-1], pad))],
+                axis=-1,
+            )
+    else:
+        af_state = state.af_squelch
+        level = 10.0 ** (cfg.squelch_db / 10.0)
+        open_cond = avg_magsq >= level
+
+    squelch_state, gated, is_open = squelch.gate_block(
+        state.squelch, demod, open_cond, cfg.squelch_gate_samples
+    )
+
+    if cfg.ctcss_on:
+        lp_state, lp = firdesign.fir_apply(
+            state.ctcss_lp, demod, jnp.asarray(_ctcss_lowpass_taps(cfg.audio_rate))
+        )
+        sub = lp[..., ::8]  # 48k -> 6k (nfmdemod.cpp:240 "(m_sampleCount & 7)")
+        res = goertzel.ctcss_detect(sub[..., None, :], cfg.audio_rate / 8.0)
+        det = res.detected[..., 0]
+        idx = res.tone_index[..., 0]
+        if cfg.ctcss_index > 0:
+            tone_ok = det & (idx == (cfg.ctcss_index - 1))
+            gated = gated * tone_ok[..., None].astype(jnp.float32)
+    else:
+        lp_state = state.ctcss_lp
+
+    bp_state, audio = firdesign.fir_apply(
+        state.bandpass, gated, jnp.asarray(cfg.bandpass_taps)
+    )
+    audio = audio * (0.0 if cfg.audio_mute else cfg.volume)
+
+    new_state = NFMState(
+        nco=nco_state,
+        resamp=resamp_state,
+        discri=discri_state,
+        mavg=mavg_state,
+        af_squelch=af_state,
+        squelch=squelch_state,
+        bandpass=bp_state,
+        ctcss_lp=lp_state,
+    )
+    return new_state, audio.astype(jnp.float32)

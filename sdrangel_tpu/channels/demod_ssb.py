@@ -1,0 +1,120 @@
+"""SSB/DSB demodulator.
+
+Reference: plugins/channelrx/demodssb/ssbdemod.cpp (`feed` :147-280): NCO mix
+→ resample to audio rate → fftfilt::runSSB (1024-point, band edges from
+lowCutoff/bandwidth, USB/LSB by sign) or runDSB → MagAGC with squelch delay
+line → audio: mono (re+im), binaural options.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..dsp import agc, fftfilt, nco, resampler
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class SSBConfig:
+    channel_rate: float
+    input_offset: float = 0.0
+    audio_rate: float = 48000.0
+    bandwidth: float = 3000.0  # signed in the reference; sign picks the sideband
+    low_cutoff: float = 300.0
+    usb: bool = True
+    dsb: bool = False
+    volume: float = 1.0
+    agc_enable: bool = True
+    agc_power_threshold_db: float = -40.0
+    agc_threshold_gate: int = 4
+    audio_binaural: bool = False
+    audio_flip_channels: bool = False
+    audio_mute: bool = False
+    fft_len: int = 1024  # ssbdemod.h ssbFftLen
+    block_in: int = 0
+
+    @functools.cached_property
+    def resampler_plan(self) -> resampler.ResamplerPlan:
+        from .demod_nfm import _auto_block
+
+        block = self.block_in or _auto_block(self.channel_rate, self.audio_rate)
+        return resampler.make_plan(
+            self.channel_rate, self.audio_rate, block,
+            cutoff=max(abs(self.bandwidth), self.audio_rate * 0.45),
+        )
+
+    @functools.cached_property
+    def filter_freq(self) -> np.ndarray:
+        f_lo = self.low_cutoff / self.audio_rate
+        f_hi = abs(self.bandwidth) / self.audio_rate
+        if self.dsb:
+            return fftfilt.create_dsb_filter(f_hi, self.fft_len)
+        return fftfilt.create_filter(f_lo, f_hi, self.fft_len)
+
+    @functools.cached_property
+    def agc_config(self) -> agc.MagAGCConfig:
+        return agc.MagAGCConfig(
+            order_r=0.2,
+            history_size=int(self.audio_rate * 0.2),
+            threshold=10.0 ** (self.agc_power_threshold_db / 10.0),
+            threshold_enable=self.agc_enable,
+            gate=self.agc_threshold_gate,
+            step_length=int(self.audio_rate * 0.05),
+            step_down_delay=int(self.audio_rate * 0.2),
+            clamping=True,
+        )
+
+
+class SSBState(NamedTuple):
+    nco: nco.NCOState
+    resamp: resampler.ResamplerState
+    fft: fftfilt.FftFiltState
+    agc: agc.MagAGCState
+
+
+def make_state(cfg: SSBConfig, batch_shape=()) -> SSBState:
+    return SSBState(
+        nco=nco.make_nco(batch_shape),
+        resamp=resampler.init_state(cfg.resampler_plan, batch_shape),
+        fft=fftfilt.make_state(cfg.fft_len, batch_shape),
+        agc=agc.make_state(cfg.agc_config, batch_shape),
+    )
+
+
+def process(state: SSBState, x: jnp.ndarray, cfg: SSBConfig) -> tuple[SSBState, jnp.ndarray]:
+    """Returns (state', audio). Mono: (..., T); binaural: (..., T, 2)."""
+    plan = cfg.resampler_plan
+    inc = nco.freq_to_increment(-cfg.input_offset, cfg.channel_rate)
+    nco_state, xm = nco.mix_block(state.nco, x, jnp.asarray(inc))
+    resamp_state, ci = resampler.resample_block(state.resamp, xm, plan)
+
+    if cfg.dsb:
+        fft_state, filt = fftfilt.run_dsb(state.fft, ci, jnp.asarray(cfg.filter_freq))
+    else:
+        fft_state, filt = fftfilt.run_ssb(
+            state.fft, ci, cfg.filter_freq, usb=cfg.usb
+        )
+
+    if cfg.agc_enable:
+        agc_state, leveled, _ = agc.mag_agc(state.agc, filt, cfg.agc_config)
+    else:  # AGC off bypasses gain entirely (ssbdemod.cpp m_agcActive branch)
+        agc_state, leveled = state.agc, filt
+
+    vol = 0.0 if cfg.audio_mute else cfg.volume
+    if cfg.audio_binaural:
+        l = jnp.real(leveled)
+        r = jnp.imag(leveled)
+        if cfg.audio_flip_channels:
+            l, r = r, l
+        audio = jnp.stack([l, r], axis=-1) * vol
+    else:
+        audio = (jnp.real(leveled) + jnp.imag(leveled)) * vol
+
+    return (
+        SSBState(nco=nco_state, resamp=resamp_state, fft=fft_state, agc=agc_state),
+        audio.astype(jnp.float32),
+    )

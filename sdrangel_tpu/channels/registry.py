@@ -1,0 +1,45 @@
+"""Channel-type registry — the plugin-manager equivalent.
+
+Reference: sdrbase/plugin/pluginmanager.{h,cpp} loads Qt plugin .so files and
+registers Rx/Tx channel factories keyed by URI (e.g.
+"sdrangel.channel.nfmdemod"). Here the registry is a plain dict of
+(config_cls, make_state, process) triples keyed by the same URIs, extensible
+by user code at import time.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+from . import demod_am, demod_nfm, demod_ssb, demod_wfm
+
+
+@dataclasses.dataclass(frozen=True)
+class ChannelKind:
+    uri: str
+    config_cls: type
+    make_state: Callable[..., Any]
+    process: Callable[..., Any]
+    direction: str = "rx"
+
+
+REGISTRY: dict[str, ChannelKind] = {}
+
+
+def register(kind: ChannelKind) -> None:
+    REGISTRY[kind.uri] = kind
+
+
+def get_demod(uri: str) -> ChannelKind:
+    return REGISTRY[uri]
+
+
+register(ChannelKind("sdrangel.channel.nfmdemod", demod_nfm.NFMConfig,
+                     demod_nfm.make_state, demod_nfm.process))
+register(ChannelKind("sdrangel.channel.amdemod", demod_am.AMConfig,
+                     demod_am.make_state, demod_am.process))
+register(ChannelKind("sdrangel.channel.ssbdemod", demod_ssb.SSBConfig,
+                     demod_ssb.make_state, demod_ssb.process))
+register(ChannelKind("sdrangel.channel.wfmdemod", demod_wfm.WFMConfig,
+                     demod_wfm.make_state, demod_wfm.process))

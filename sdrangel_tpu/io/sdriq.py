@@ -1,0 +1,106 @@
+""".sdriq file reader/writer — bit-compatible with the reference recordings.
+
+Reference format (sdrbase/dsp/filerecord.{h,cpp}:17-23,129-150): little-endian
+header of 24 bytes — int32 sampleRate, uint64 centerFrequency, int64
+startTimeStamp (time_t), uint32 sampleSize (16 or 24; garbage → 16) — followed
+by interleaved fixed-point I/Q pairs (int16 for 16-bit, int32 holding 24-bit
+values for 24-bit builds).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import numpy as np
+
+HEADER_DTYPE = np.dtype(
+    [
+        ("sample_rate", "<i4"),
+        ("center_frequency", "<u8"),
+        ("start_timestamp", "<i8"),
+        ("sample_size", "<u4"),
+    ]
+)
+HEADER_BYTES = 24
+
+
+@dataclasses.dataclass
+class SdriqInfo:
+    sample_rate: int
+    center_frequency: int
+    start_timestamp: int
+    sample_size: int  # 16 or 24
+    n_samples: int  # complex samples in the payload
+
+
+def read_header(path: str) -> SdriqInfo:
+    with open(path, "rb") as f:
+        raw = np.frombuffer(f.read(HEADER_BYTES), dtype=HEADER_DTYPE)[0]
+        f.seek(0, 2)
+        payload = f.tell() - HEADER_BYTES
+    size = int(raw["sample_size"])
+    if size not in (16, 24):  # filerecord.cpp:145 assumes 16-bit for old files
+        size = 16
+    bytes_per_complex = 4 if size == 16 else 8
+    return SdriqInfo(
+        sample_rate=int(raw["sample_rate"]),
+        center_frequency=int(raw["center_frequency"]),
+        start_timestamp=int(raw["start_timestamp"]),
+        sample_size=size,
+        n_samples=payload // bytes_per_complex,
+    )
+
+
+def open_mmap(path: str) -> tuple[SdriqInfo, np.ndarray]:
+    """Memory-map the payload as an (N, 2) int array — zero-copy reads for
+    the block pipeline (the filesource throttle loop reads chunks:
+    filesourcethread.cpp:170-253)."""
+    info = read_header(path)
+    dtype = np.int16 if info.sample_size == 16 else np.int32
+    raw = np.memmap(path, dtype=dtype, mode="r", offset=HEADER_BYTES)
+    n = (len(raw) // 2) * 2
+    return info, raw[:n].reshape(-1, 2)
+
+
+def read_block(mm: np.ndarray, start: int, count: int, wrap: bool = True) -> np.ndarray:
+    """Read `count` complex samples starting at `start`, looping at EOF like
+    the reference file source (filesourcethread.cpp:188-195)."""
+    n = mm.shape[0]
+    if not wrap and start + count > n:
+        raise EOFError
+    idx = (start + np.arange(count)) % n
+    return mm[idx]
+
+
+def to_complex64(block: np.ndarray, sample_size: int = 16) -> np.ndarray:
+    scale = 32768.0 if sample_size == 16 else 8388608.0
+    f = block.astype(np.float32) / np.float32(scale)
+    return (f[..., 0] + 1j * f[..., 1]).astype(np.complex64)
+
+
+def write(
+    path: str,
+    iq: np.ndarray,
+    sample_rate: int,
+    center_frequency: int = 0,
+    sample_size: int = 16,
+    timestamp: int | None = None,
+) -> None:
+    """Write complex64 in [-1,1) (or raw int16/int32 (N,2)) as .sdriq."""
+    header = np.zeros(1, dtype=HEADER_DTYPE)
+    header["sample_rate"] = sample_rate
+    header["center_frequency"] = center_frequency
+    header["start_timestamp"] = int(time.time()) if timestamp is None else timestamp
+    header["sample_size"] = sample_size
+    if np.iscomplexobj(iq):
+        scale = 32768.0 if sample_size == 16 else 8388608.0
+        hi = scale - 1
+        ints = np.empty((len(iq), 2), dtype=np.int16 if sample_size == 16 else np.int32)
+        ints[:, 0] = np.clip(np.round(iq.real * scale), -scale, hi)
+        ints[:, 1] = np.clip(np.round(iq.imag * scale), -scale, hi)
+    else:
+        ints = iq
+    with open(path, "wb") as f:
+        f.write(header.tobytes())
+        f.write(ints.tobytes())
