@@ -1,0 +1,106 @@
+"""Benchmark — the driver runs this on real TPU hardware every round.
+
+Workload (BASELINE.md headline): IQ samples/s through the
+decimate(÷64) → channelize → NFM-demod chain, one chip, 16-channel bank.
+Baseline: single-core C++ half-band cascade with the reference's exact
+fixed-point arithmetic (native/ref_cpu_bench.cc ≙ sdrangelbench decimateii),
+built and measured on this machine, cached in BASELINE_LOCAL.json.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "MS/s", "vs_baseline": N}
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def _cpu_baseline_ksps() -> float:
+    cache = os.path.join(REPO, "BASELINE_LOCAL.json")
+    if os.path.exists(cache):
+        with open(cache) as f:
+            return json.load(f)["ksps"]
+    src = os.path.join(REPO, "native", "ref_cpu_bench.cc")
+    exe = os.path.join(REPO, "native", "ref_cpu_bench")
+    subprocess.run(
+        ["g++", "-O3", "-march=native", "-o", exe, src], check=True, capture_output=True
+    )
+    out = subprocess.run([exe, "1048576", "10"], check=True, capture_output=True, text=True)
+    result = json.loads(out.stdout)
+    with open(cache, "w") as f:
+        json.dump(result, f)
+    return result["ksps"]
+
+
+def main() -> int:
+    baseline_ksps = _cpu_baseline_ksps()
+
+    import jax
+    import jax.numpy as jnp
+
+    from sdrangel_tpu.channels import demod_nfm
+    from sdrangel_tpu.dsp import decimators as dec
+
+    n_channels = 16
+    log2 = 6
+    block = 1 << 19  # device-rate samples per step
+    device_rate = 12_288_000.0
+    baseband_rate = device_rate / (1 << log2)  # 192 kHz
+
+    demod_cfg = demod_nfm.NFMConfig(
+        channel_rate=baseband_rate,
+        block_in=block >> log2,
+        squelch_db=-100.0,
+        squelch_gate_ms=1.0,
+    )
+
+    def step(casc, dstate, raw):
+        x = raw.astype(jnp.float32) * (1.0 / 32768.0)
+        x = (x[..., 0] + 1j * x[..., 1]).astype(jnp.complex64)
+        casc, bb = dec.decimate_cascade(casc, x, log2, "cen")
+        xb = jnp.broadcast_to(bb, (n_channels, bb.shape[-1]))
+        dstate, audio = demod_nfm.process(dstate, xb, demod_cfg)
+        return casc, dstate, audio
+
+    step = jax.jit(step)
+
+    rng = np.random.default_rng(7)
+    raw = jnp.asarray(rng.integers(-2048, 2048, size=(block, 2), dtype=np.int16))
+    casc = dec.init_state(log2)
+    dstate = demod_nfm.make_state(demod_cfg, batch_shape=(n_channels,))
+
+    # compile + warmup
+    casc, dstate, audio = step(casc, dstate, raw)
+    audio.block_until_ready()
+
+    iters = 30
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        casc, dstate, audio = step(casc, dstate, raw)
+    audio.block_until_ready()
+    elapsed = time.perf_counter() - t0
+
+    msps = block * iters / elapsed / 1e6
+    vs = msps * 1e3 / baseline_ksps
+    print(
+        json.dumps(
+            {
+                "metric": "decimate64+channelize+NFM16 input throughput per chip",
+                "value": round(msps, 1),
+                "unit": "MS/s",
+                "vs_baseline": round(vs, 2),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,148 @@
+"""CLI — headless pipeline runner (the sdrangelsrv role, file-driven).
+
+Examples:
+  # demodulate an NFM channel at +50 kHz from a .sdriq capture to WAV
+  python -m sdrangel_tpu demod --in capture.sdriq --log2-decim 2 \
+      --channel nfm:50000 --out audio.wav
+
+  # synthetic source end-to-end check (no file needed)
+  python -m sdrangel_tpu demod --test-fm 1000 --rate 768000 --log2-decim 4 \
+      --channel nfm:0 --out audio.wav
+
+  # inspect a capture
+  python -m sdrangel_tpu info --in capture.sdriq
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def _parse_channel(spec: str):
+    kind, _, rest = spec.partition(":")
+    offset = float(rest) if rest else 0.0
+    uri = {
+        "nfm": "sdrangel.channel.nfmdemod",
+        "am": "sdrangel.channel.amdemod",
+        "ssb": "sdrangel.channel.ssbdemod",
+        "wfm": "sdrangel.channel.wfmdemod",
+    }[kind]
+    return uri, offset
+
+
+def cmd_info(args) -> int:
+    from .io import sdriq
+
+    info = sdriq.read_header(args.infile)
+    print(f"sample_rate:       {info.sample_rate} S/s")
+    print(f"center_frequency:  {info.center_frequency} Hz")
+    print(f"start_timestamp:   {info.start_timestamp}")
+    print(f"sample_size:       {info.sample_size} bit")
+    print(f"n_samples:         {info.n_samples} ({info.n_samples/info.sample_rate:.3f} s)")
+    return 0
+
+
+def cmd_demod(args) -> int:
+    from .io import sdriq, testsource, wav
+    from .runtime.engine import ChannelSpec, DeviceConfig, RxPipeline
+
+    uri, offset = _parse_channel(args.channel)
+    settings = {}
+    if args.squelch is not None:
+        settings["squelch_db"] = args.squelch
+
+    if args.infile:
+        info, mm = sdriq.open_mmap(args.infile)
+        rate = float(info.sample_rate)
+
+        def source(b, count):
+            return sdriq.read_block(mm, b * count, count)
+
+        total = info.n_samples
+    else:
+        rate = args.rate
+        cfg_src = testsource.TestSourceConfig(
+            sample_rate=rate,
+            carrier_freq=offset,
+            modulation="fm" if args.test_fm else ("am" if args.test_am else "none"),
+            tone_freq=args.test_fm or args.test_am or 1000.0,
+            fm_deviation=5000.0,
+            amplitude=0.5,
+        )
+
+        def source(b, count):
+            c = testsource.generate(cfg_src, count, start_sample=b * count)
+            out = np.empty((count, 2), dtype=np.int16)
+            out[:, 0] = np.clip(c.real * 32768.0, -32768, 32767)
+            out[:, 1] = np.clip(c.imag * 32768.0, -32768, 32767)
+            return out
+
+        total = int(args.seconds * rate)
+
+    device = DeviceConfig(
+        sample_rate=rate, log2_decim=args.log2_decim, fc_pos=args.fc_pos,
+        dc_correction=args.dc_correction, iq_correction=args.iq_correction,
+    )
+    pipe = RxPipeline(device, [ChannelSpec(uri, offset, settings)])
+    n_blocks = max(1, total // pipe.device_block)
+
+    print(
+        f"device rate {rate:.0f} S/s /{1 << args.log2_decim} -> baseband "
+        f"{device.baseband_rate:.0f} S/s; channel plan: {pipe.plans[0]}",
+        file=sys.stderr,
+    )
+    print(
+        f"block {pipe.device_block} device samples, {n_blocks} blocks",
+        file=sys.stderr,
+    )
+
+    audio_parts = []
+    t0 = time.perf_counter()
+    for idx, outs in pipe.run(source, n_blocks):
+        audio_parts.append(outs[0])
+    elapsed = time.perf_counter() - t0
+    audio = np.concatenate(audio_parts, axis=-1)
+    wav.write_wav(args.out, audio, int(48000))
+    processed = n_blocks * pipe.device_block
+    print(
+        f"processed {processed} samples in {elapsed:.2f}s "
+        f"({processed/elapsed/1e6:.1f} MS/s, {processed/rate/elapsed:.1f}x real time); "
+        f"wrote {audio.shape[-1]} audio samples to {args.out}",
+        file=sys.stderr,
+    )
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="sdrangel_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("info", help="inspect a .sdriq capture")
+    pi.add_argument("--in", dest="infile", required=True)
+    pi.set_defaults(fn=cmd_info)
+
+    pd = sub.add_parser("demod", help="demodulate a channel to WAV")
+    pd.add_argument("--in", dest="infile", help=".sdriq input (else synthetic)")
+    pd.add_argument("--rate", type=float, default=768000.0, help="synthetic source rate")
+    pd.add_argument("--seconds", type=float, default=2.0, help="synthetic duration")
+    pd.add_argument("--test-fm", type=float, default=None, metavar="TONE_HZ")
+    pd.add_argument("--test-am", type=float, default=None, metavar="TONE_HZ")
+    pd.add_argument("--log2-decim", type=int, default=0, choices=range(7))
+    pd.add_argument("--fc-pos", default="cen", choices=["cen", "inf", "sup"])
+    pd.add_argument("--channel", required=True, help="kind:offset_hz (nfm|am|ssb|wfm)")
+    pd.add_argument("--squelch", type=float, default=None, help="squelch dB")
+    pd.add_argument("--dc-correction", action="store_true")
+    pd.add_argument("--iq-correction", action="store_true")
+    pd.add_argument("--out", required=True, help="output WAV path")
+    pd.set_defaults(fn=cmd_demod)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -110,12 +110,19 @@ def _ctcss_lowpass_taps(audio_rate: float) -> np.ndarray:
 
 
 def process(
-    state: NFMState, x: jnp.ndarray, cfg: NFMConfig
+    state: NFMState, x: jnp.ndarray, cfg: NFMConfig, offset_hz=None
 ) -> tuple[NFMState, jnp.ndarray]:
-    """(state, iq (..., block_in)) -> (state', audio (..., block_out) f32)."""
+    """(state, iq (..., block_in)) -> (state', audio (..., block_out) f32).
+
+    offset_hz: optional per-channel offset array overriding cfg.input_offset
+    (channel banks pass their offsets as data so one config serves the bank).
+    """
     plan = cfg.resampler_plan
-    inc = nco.freq_to_increment(-cfg.input_offset, cfg.channel_rate)
-    nco_state, xm = nco.mix_block(state.nco, x, jnp.asarray(inc))
+    if offset_hz is None:
+        inc = jnp.asarray(nco.freq_to_increment(-cfg.input_offset, cfg.channel_rate))
+    else:
+        inc = nco.freq_to_increment_traced(-offset_hz, cfg.channel_rate)
+    nco_state, xm = nco.mix_block(state.nco, x, inc)
     resamp_state, ci = resampler.resample_block(state.resamp, xm, plan)
 
     discri_state, demod, magsq = phasediscri.discriminator_delta(

@@ -136,8 +136,15 @@ def channelize(
     plan: ChannelPlan,
     order: int = DOWNCHANNELIZER_ORDER,
 ) -> tuple[CascadeState, jnp.ndarray]:
-    """Single-channel convenience wrapper."""
-    signs = np.asarray([plan.signs]) if plan.signs else np.zeros((1, 0), int)
-    xb = x[None] if x.ndim == 1 else x
-    state, y = channelize_bank(state, xb, signs, order)
-    return state, (y[0] if x.ndim == 1 else y)
+    """Single-channel wrapper: same shapes in and out as the input block."""
+    from .decimators import _rotation_pattern
+
+    taps = jnp.asarray(hb_taps(order))
+    tails = list(state.tails)
+    y = x
+    for k, sign in enumerate(plan.signs):
+        rot = _rotation_pattern(sign, y.shape[-1])
+        if rot is not None:
+            y = y * jnp.asarray(rot)
+        tails[k], y = hb_decimate2(tails[k], y, taps)
+    return CascadeState(tuple(tails)), y

@@ -32,10 +32,17 @@ def make_nco(batch_shape=(), phase0: int = 0) -> NCOState:
 
 
 def freq_to_increment(freq, sample_rate) -> np.ndarray:
-    """Per-sample uint32 phase increment for f/fs (host or traced)."""
+    """Per-sample uint32 phase increment for f/fs (host side, float64)."""
     turns = np.asarray(freq, dtype=np.float64) / np.asarray(sample_rate, dtype=np.float64)
     inc = np.round((turns % 1.0) * (1 << _WHEEL_BITS)).astype(np.int64)
     return (inc & 0xFFFFFFFF).astype(np.uint32)
+
+
+def freq_to_increment_traced(freq, sample_rate) -> jnp.ndarray:
+    """Traced variant for per-channel offset arrays inside jit. f32 turns
+    resolution (~2^-24 of fs) instead of the host float64 path."""
+    turns = jnp.mod(jnp.asarray(freq, jnp.float32) / jnp.float32(sample_rate), 1.0)
+    return (turns * jnp.float32(1 << _WHEEL_BITS)).astype(jnp.uint32)
 
 
 def nco_block(

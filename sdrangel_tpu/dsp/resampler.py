@@ -66,7 +66,17 @@ class ResamplerState(NamedTuple):
 @dataclasses.dataclass(frozen=True, eq=False)  # eq=False: identity hash so a
 # plan object can be a jit static argument (reuse the same instance per chain)
 class ResamplerPlan:
-    """Host-precomputed gather/phase schedule for one block size."""
+    """Host-precomputed schedule for one block size.
+
+    Two execution modes:
+      "conv"   — exact rational p/q resampling as one XLA conv with
+                 lhs_dilation=q and window_strides=p (the textbook polyphase
+                 structure; no gathers — used when q is small, which covers
+                 every power-of-two rate plan). Ignores phase/start tables.
+      "gather" — the reference's 16-phase nearest-leg approximation
+                 (interpolator.h:23-52) via gather+einsum, for awkward
+                 ratios like 156250/48000 = 625/192.
+    """
 
     in_rate: float
     out_rate: float
@@ -77,6 +87,10 @@ class ResamplerPlan:
     taps: np.ndarray  # (phase_steps, ntaps) float32
     start_idx: np.ndarray  # (block_out,) int32 — first input sample of each output frame
     phase: np.ndarray  # (block_out,) int32 — phase leg per output
+    mode: str = "gather"
+    p: int = 1
+    q: int = 1
+    conv_taps: np.ndarray | None = None  # (L,) prototype at rate q*in_rate
 
     @property
     def ratio(self) -> float:
@@ -107,6 +121,31 @@ def make_plan(
     )
     if cutoff is None:
         cutoff = 0.4 * out_rate
+    cutoff = min(cutoff, 0.45 * out_rate)  # anti-alias guard
+
+    if q <= 16:
+        # conv mode: one dilated+strided XLA conv, no gather tables
+        from . import firdesign
+
+        ntaps = 8 * p + 1
+        proto = firdesign.lowpass(ntaps, cutoff / (q * in_rate)).astype(np.float64)
+        proto *= q  # compensate zero-stuffing loss
+        tail_len = -(-ntaps // q)  # ceil(L/q) input samples of history
+        return ResamplerPlan(
+            in_rate=in_rate,
+            out_rate=out_rate,
+            block_in=block_in,
+            block_out=block_in * q // p,
+            ntaps=tail_len,
+            phase_steps=phase_steps,
+            taps=np.zeros((1, 1), np.float32),
+            start_idx=np.zeros(0, np.int32),
+            phase=np.zeros(0, np.int32),
+            mode="conv",
+            p=p,
+            q=q,
+            conv_taps=proto.astype(np.float32),
+        )
     # prototype designed at the phase-upsampled rate (Interpolator::create,
     # interpolator.cpp:74-86)
     taps = create_polyphase_lowpass(
@@ -148,16 +187,44 @@ def init_state(plan: ResamplerPlan, batch_shape=()) -> ResamplerState:
     )
 
 
+def _resample_conv(
+    state: ResamplerState, x: jnp.ndarray, plan: ResamplerPlan
+) -> tuple[ResamplerState, jnp.ndarray]:
+    """Exact rational resampling: conv with lhs_dilation=q, stride=p."""
+    import jax
+
+    ext = jnp.concatenate([state.tail, x], axis=-1)
+    batch_shape = ext.shape[:-1]
+    lanes = jnp.stack([jnp.real(ext), jnp.imag(ext)], axis=0)
+    lhs = lanes.reshape(-1, 1, ext.shape[-1])
+    rhs = jnp.asarray(plan.conv_taps).reshape(1, 1, -1)
+    out = jax.lax.conv_general_dilated(
+        lhs,
+        rhs,
+        window_strides=(plan.p,),
+        padding="VALID",
+        lhs_dilation=(plan.q,),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )
+    out = out[..., -plan.block_out :]  # constant head trim keeps streaming alignment
+    out = out.reshape(2, *batch_shape, plan.block_out)
+    y = (out[0] + 1j * out[1]).astype(jnp.complex64)
+    return ResamplerState(ext[..., x.shape[-1] :]), y
+
+
 def resample_block(
     state: ResamplerState, x: jnp.ndarray, plan: ResamplerPlan
 ) -> tuple[ResamplerState, jnp.ndarray]:
     """(state, x[..., block_in]) -> (state', y[..., block_out]).
 
-    Each output m is dot(taps[phase[m]], ext[start_idx[m] : +ntaps]) where
-    ext = [tail | x]; newest-first tap order of the reference ring buffer is
-    matched by reversing the legs once on the host.
+    conv mode: one dilated/strided convolution (see ResamplerPlan).
+    gather mode: each output m is dot(taps[phase[m]], ext[start_idx[m]:+ntaps])
+    where ext = [tail | x]; newest-first tap order of the reference ring
+    buffer is matched by reversing the legs once on the host.
     """
     assert x.shape[-1] == plan.block_in
+    if plan.mode == "conv":
+        return _resample_conv(state, x, plan)
     ext = jnp.concatenate([state.tail, x], axis=-1)
     # frames: (..., block_out, ntaps)
     idx = jnp.asarray(plan.start_idx, dtype=jnp.int32)

@@ -1,0 +1,185 @@
+"""Rx pipeline engine — the DSPDeviceSourceEngine equivalent.
+
+Reference architecture (SURVEY.md §3.2): device thread reads the FIFO,
+applies corrections, fans out to per-channel threads, each running
+channelizer→demod→audio FIFO. TPU re-architecture: the whole per-block graph
+— int16 ingest, DC/IQ corrections, device decimation cascade, the channel
+bank (channelizer stages + demods vmap-style), audio conversion — is ONE
+jitted step function; the host loop double-buffers blocks from a memory-map
+into the device and drains audio asynchronously. Thread+FIFO pipeline
+parallelism becomes jax async dispatch: the host enqueues step N+1 while the
+device runs step N.
+
+Device→host transfers return float32/int16 only (complex64 D2H is
+unimplemented on some TPU runtimes — see .claude/skills/verify/SKILL.md).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from fractions import Fraction
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..channels.registry import REGISTRY
+from ..dsp import channelizer as chan
+from ..dsp import decimators as dec
+from ..dsp.types import SCALE_16
+from . import corrections
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class DeviceConfig:
+    """File/synthetic device front end (the filesource/testsource role)."""
+
+    sample_rate: float  # device (pre-decimation) rate
+    center_frequency: float = 0.0
+    log2_decim: int = 0  # device decimation (decimators.h cascades)
+    fc_pos: str = "cen"  # cen | inf | sup (devicesamplesource.cpp:84-110)
+    dc_correction: bool = False
+    iq_correction: bool = False
+
+    @property
+    def baseband_rate(self) -> float:
+        return self.sample_rate / (1 << self.log2_decim)
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class ChannelSpec:
+    """One channel attached to the device set."""
+
+    uri: str  # registry key, e.g. "sdrangel.channel.nfmdemod"
+    frequency_offset: float  # channel centre relative to baseband centre
+    settings: dict  # demod settings overrides (config dataclass fields)
+    requested_rate: float = 48000.0  # bandwidth the demod wants from the channelizer
+
+
+class RxPipeline:
+    """Builds and runs the fused per-block step function."""
+
+    def __init__(
+        self,
+        device: DeviceConfig,
+        channels: list[ChannelSpec],
+        block_size: int | None = None,
+    ):
+        self.device = device
+        self.channel_specs = channels
+
+        # Per-channel frequency plans (downchannelizer.cpp:250-287).
+        self.plans = [
+            chan.plan_channel(device.baseband_rate, c.requested_rate, c.frequency_offset)
+            for c in channels
+        ]
+
+        # Demod configs bound to the achieved channel rates/offsets.
+        self.kinds = [REGISTRY[c.uri] for c in channels]
+        self.base_block = self._solve_block_size(block_size)
+        self.demod_cfgs = []
+        for spec, plan, kind in zip(channels, self.plans, self.kinds):
+            n_stages = len(plan.signs)
+            cfg = kind.config_cls(
+                channel_rate=plan.channel_rate,
+                input_offset=plan.residual_offset,
+                block_in=self.base_block >> n_stages,
+                **spec.settings,
+            )
+            self.demod_cfgs.append(cfg)
+
+        self._step = jax.jit(self._step_impl)
+
+    # -- block-size solving ------------------------------------------------
+
+    def _solve_block_size(self, requested: int | None) -> int:
+        """Baseband block length satisfying every stage's divisibility needs:
+        ×4 for rotation patterns, ×2^stages for each channel's cascade, the
+        resampler's rational numerator, and fftfilt hop sizes."""
+        need = 4 << self.device.log2_decim
+        for spec, plan in zip(self.channel_specs, self.plans):
+            k = len(plan.signs)
+            p = Fraction(plan.channel_rate / 48000.0).limit_denominator(1 << 20).numerator
+            hop = 512  # fft_len 1024 default
+            need = math.lcm(need, (4 << k), p << k, hop << k)
+        block = need
+        target = requested or (1 << 17)
+        while block < target:
+            block *= 2
+        return block
+
+    # -- the fused step ----------------------------------------------------
+
+    def init_state(self) -> dict:
+        state: dict[str, Any] = {
+            "corr": corrections.make_state(),
+            "dev_casc": dec.init_state(self.device.log2_decim),
+            "chan": [
+                chan.init_state(len(plan.signs)) for plan in self.plans
+            ],
+            "demod": [
+                kind.make_state(cfg)
+                for kind, cfg in zip(self.kinds, self.demod_cfgs)
+            ],
+        }
+        return state
+
+    def _step_impl(self, state: dict, raw_iq: jnp.ndarray):
+        """raw_iq: (T_dev, 2) int16 at device rate. Returns (state', outs)
+        where outs maps channel index -> float32 audio block."""
+        x = (raw_iq.astype(jnp.float32) * (1.0 / SCALE_16))
+        x = (x[..., 0] + 1j * x[..., 1]).astype(jnp.complex64)
+
+        corr_state, x = corrections.apply(
+            state["corr"], x, self.device.dc_correction, self.device.iq_correction
+        )
+
+        dev_state, bb = dec.decimate_cascade(
+            state["dev_casc"], x, self.device.log2_decim, self.device.fc_pos
+        )
+
+        chan_states, demod_states, outs = [], [], []
+        for i, (plan, kind, cfg) in enumerate(
+            zip(self.plans, self.kinds, self.demod_cfgs)
+        ):
+            cstate, y = chan.channelize(state["chan"][i], bb, plan)
+            dstate, audio = kind.process(state["demod"][i], y, cfg)
+            chan_states.append(cstate)
+            demod_states.append(dstate)
+            outs.append(audio)
+
+        new_state = {
+            "corr": corr_state,
+            "dev_casc": dev_state,
+            "chan": chan_states,
+            "demod": demod_states,
+        }
+        return new_state, outs
+
+    # -- host loop ---------------------------------------------------------
+
+    @property
+    def device_block(self) -> int:
+        return self.base_block << self.device.log2_decim
+
+    def run(self, iq_source, n_blocks: int, state: dict | None = None):
+        """Drive the pipeline.
+
+        iq_source: callable (block_index, count) -> (count, 2) int16 array.
+        Yields (block_index, [audio arrays]) with audio as np.float32 —
+        jax async dispatch overlaps host reads with device compute.
+        """
+        state = state or self.init_state()
+        pending = []  # (idx, audio device arrays) — drain one behind
+        for b in range(n_blocks):
+            raw = iq_source(b, self.device_block)
+            state, outs = self._step(state, jnp.asarray(raw))
+            pending.append((b, outs))
+            if len(pending) > 1:
+                idx, outs_prev = pending.pop(0)
+                yield idx, [np.asarray(a) for a in outs_prev]
+        for idx, outs_prev in pending:
+            yield idx, [np.asarray(a) for a in outs_prev]
+        self.final_state = state

@@ -1,0 +1,150 @@
+"""End-to-end slice tests: .sdriq file → device cascade → channelizer →
+demod → WAV (the L2 milestone chain, SURVEY.md §7.2)."""
+
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from sdrangel_tpu.io import sdriq, testsource, wav
+from sdrangel_tpu.runtime.engine import ChannelSpec, DeviceConfig, RxPipeline
+
+
+def _tone_snr(audio, tone_hz, fs):
+    n = len(audio)
+    audio = audio - audio.mean()
+    spec = np.abs(np.fft.rfft(audio * np.hanning(n))) ** 2
+    freqs = np.fft.rfftfreq(n, 1.0 / fs)
+    tone_bins = np.abs(freqs - tone_hz) < 4.0 * fs / n
+    return 10.0 * np.log10(spec[tone_bins].sum() / max(spec[~tone_bins].sum(), 1e-30))
+
+
+def test_sdriq_roundtrip(tmp_path):
+    path = str(tmp_path / "x.sdriq")
+    rng = np.random.default_rng(0)
+    iq = (
+        rng.uniform(-0.9, 0.9, 5000) + 1j * rng.uniform(-0.9, 0.9, 5000)
+    ).astype(np.complex64)
+    sdriq.write(path, iq, sample_rate=768000, center_frequency=145_000_000)
+    info = sdriq.read_header(path)
+    assert info.sample_rate == 768000
+    assert info.center_frequency == 145_000_000
+    assert info.sample_size == 16
+    assert info.n_samples == 5000
+    _, mm = sdriq.open_mmap(path)
+    back = sdriq.to_complex64(sdriq.read_block(mm, 0, 5000))
+    np.testing.assert_allclose(back, iq, atol=1.0 / 32768.0)
+    # wraparound replay (filesourcethread.cpp:188-195 loop-at-EOF)
+    wrapped = sdriq.read_block(mm, 4990, 20)
+    np.testing.assert_array_equal(wrapped[10:], mm[:10])
+
+
+def test_file_to_wav_nfm(tmp_path):
+    """The north-star chain with an off-centre channel and device decimation."""
+    rate = 768_000.0
+    offset = 100_000.0  # channel at +100 kHz from centre
+    path = str(tmp_path / "cap.sdriq")
+    src = testsource.TestSourceConfig(
+        sample_rate=rate, carrier_freq=offset, modulation="fm",
+        tone_freq=1000.0, fm_deviation=5000.0, amplitude=0.4,
+    )
+    device = DeviceConfig(sample_rate=rate, log2_decim=1)
+    pipe = RxPipeline(
+        device,
+        [ChannelSpec("sdrangel.channel.nfmdemod", offset, {"squelch_db": -60.0})],
+    )
+    n_blocks = 3
+    iq = testsource.generate(src, pipe.device_block * n_blocks)
+    sdriq.write(path, iq, sample_rate=int(rate))
+
+    _, mm = sdriq.open_mmap(path)
+    audio_parts = [
+        outs[0]
+        for _, outs in pipe.run(
+            lambda b, n: sdriq.read_block(mm, b * n, n), n_blocks
+        )
+    ]
+    audio = np.concatenate(audio_parts)
+    out_wav = str(tmp_path / "audio.wav")
+    wav.write_wav(out_wav, audio)
+    data, fs = wav.read_wav(out_wav)
+    a = data[:, 0].astype(np.float64)[len(data) // 2 :] / 32768.0
+    snr = _tone_snr(a, 1000.0, fs)
+    assert snr > 25.0, f"file->wav NFM SNR {snr:.1f} dB"
+    assert pipe.plans[0].decimation >= 4  # channelizer actually narrowed
+
+
+def test_two_channels_one_pass(tmp_path):
+    """Two channels demodulated from one baseband in a single fused step."""
+    rate = 384_000.0
+    device = DeviceConfig(sample_rate=rate, log2_decim=0)
+    pipe = RxPipeline(
+        device,
+        [
+            ChannelSpec("sdrangel.channel.nfmdemod", 100_000.0, {"squelch_db": -60.0}),
+            ChannelSpec("sdrangel.channel.amdemod", -50_000.0, {"squelch_db": -60.0}),
+        ],
+    )
+    n_blocks = 3
+    fm = testsource.generate(
+        testsource.TestSourceConfig(
+            sample_rate=rate, carrier_freq=100_000.0, modulation="fm",
+            tone_freq=800.0, fm_deviation=5000.0, amplitude=0.3,
+        ),
+        pipe.device_block * n_blocks,
+    )
+    am = testsource.generate(
+        testsource.TestSourceConfig(
+            sample_rate=rate, carrier_freq=-50_000.0, modulation="am",
+            tone_freq=1500.0, am_depth=0.8, amplitude=0.3,
+        ),
+        pipe.device_block * n_blocks,
+    )
+    iq = (fm + am).astype(np.complex64)
+    raw = np.empty((len(iq), 2), dtype=np.int16)
+    raw[:, 0] = np.clip(iq.real * 32768, -32768, 32767)
+    raw[:, 1] = np.clip(iq.imag * 32768, -32768, 32767)
+
+    chunks = {0: [], 1: []}
+    for _, outs in pipe.run(lambda b, n: raw[b * n : (b + 1) * n], n_blocks):
+        chunks[0].append(outs[0])
+        chunks[1].append(outs[1])
+    nfm_audio = np.concatenate(chunks[0])
+    am_audio = np.concatenate(chunks[1])
+    snr_fm = _tone_snr(nfm_audio[len(nfm_audio) // 2 :], 800.0, 48000.0)
+    snr_am = _tone_snr(am_audio[len(am_audio) // 2 :], 1500.0, 48000.0)
+    assert snr_fm > 20.0, f"NFM {snr_fm:.1f} dB"
+    assert snr_am > 20.0, f"AM {snr_am:.1f} dB"
+
+
+def test_cli_info_and_demod(tmp_path):
+    """Drive the actual CLI surface."""
+    path = str(tmp_path / "c.sdriq")
+    rate = 192_000.0
+    src = testsource.TestSourceConfig(
+        sample_rate=rate, carrier_freq=0.0, modulation="fm",
+        tone_freq=1000.0, fm_deviation=5000.0, amplitude=0.4,
+    )
+    iq = testsource.generate(src, 1 << 19)
+    sdriq.write(path, iq, sample_rate=int(rate), center_frequency=7_100_000)
+
+    r = subprocess.run(
+        [sys.executable, "-m", "sdrangel_tpu", "info", "--in", path],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu", "PYTHONPATH": "/root/repo"},
+    )
+    assert r.returncode == 0
+    assert "192000" in r.stdout and "7100000" in r.stdout
+
+    out = str(tmp_path / "o.wav")
+    r = subprocess.run(
+        [sys.executable, "-m", "sdrangel_tpu", "demod", "--in", path,
+         "--channel", "nfm:0", "--squelch", "-60", "--out", out],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu", "PYTHONPATH": "/root/repo"},
+    )
+    assert r.returncode == 0, r.stderr
+    data, fs = wav.read_wav(out)
+    a = data[:, 0].astype(np.float64)[len(data) // 2 :] / 32768.0
+    assert _tone_snr(a, 1000.0, fs) > 25.0

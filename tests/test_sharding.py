@@ -1,0 +1,106 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh.
+
+Validates: halo-exchange decimation equals the single-stream cascade across
+block seams; the full sharded NFM bank step runs and recovers audio."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sdrangel_tpu.dsp import decimators as dec
+from sdrangel_tpu.io import testsource
+from sdrangel_tpu.parallel import sharded
+
+
+@pytest.fixture(scope="module")
+def devices():
+    d = jax.devices()
+    if len(d) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return d
+
+
+def _to_int16(iq):
+    raw = np.empty((len(iq), 2), dtype=np.int16)
+    raw[:, 0] = np.clip(iq.real * 32768, -32768, 32767)
+    raw[:, 1] = np.clip(iq.imag * 32768, -32768, 32767)
+    return raw
+
+
+def test_halo_cascade_matches_streaming(devices):
+    """Time-sharded cascade with ppermute halos == sequential streaming
+    cascade, across two consecutive blocks (seam correctness)."""
+    cfg = sharded.ShardedPipelineConfig(
+        n_time=4, n_channel=2, log2_decim=4, block=1 << 16, n_channels=8,
+    )
+    mesh = sharded.make_mesh(4, 2, devices)
+    step, init_fn = sharded.build_sharded_step(cfg, mesh)
+    state, carry = init_fn()
+
+    src = testsource.TestSourceConfig(
+        sample_rate=cfg.device_rate, carrier_freq=1000.0, modulation="fm",
+        tone_freq=1000.0, fm_deviation=5000.0, amplitude=0.4,
+    )
+    iq = testsource.generate(src, cfg.block * 2)
+    offsets = jnp.zeros(cfg.n_channels, jnp.float32)
+
+    audio_blocks = []
+    for b in range(2):
+        raw = _to_int16(iq[b * cfg.block : (b + 1) * cfg.block])
+        state, audio, carry = step(state, jnp.asarray(raw), carry, offsets)
+        audio_blocks.append(np.asarray(audio))
+    sharded_audio = np.concatenate(audio_blocks, axis=-1)
+
+    # single-device oracle: same chain, streaming
+    from sdrangel_tpu.channels import demod_nfm
+
+    dcfg = cfg.demod_cfg
+    dstate = demod_nfm.make_state(dcfg)
+    casc = dec.init_state(cfg.log2_decim)
+    ref_audio = []
+    for b in range(2):
+        x = jnp.asarray(iq[b * cfg.block : (b + 1) * cfg.block])
+        # same int16 quantization as the sharded path
+        x = jnp.asarray(
+            (_to_int16(np.asarray(x)).astype(np.float32) / 32768.0).view(np.complex64)[:, 0]
+        )
+        casc, bb = dec.decimate_cascade(casc, x, cfg.log2_decim, cfg.fc_pos)
+        dstate, a = demod_nfm.process(dstate, bb, dcfg)
+        ref_audio.append(np.asarray(a))
+    ref = np.concatenate(ref_audio)
+
+    assert np.abs(ref).max() > 0.01  # non-vacuous: the oracle produced audio
+    for c in range(cfg.n_channels):
+        np.testing.assert_allclose(sharded_audio[c], ref, atol=2e-4)
+
+
+def test_sharded_bank_recovers_tone(devices):
+    cfg = sharded.ShardedPipelineConfig(
+        n_time=2, n_channel=4, log2_decim=3, block=1 << 16, n_channels=8,
+    )
+    mesh = sharded.make_mesh(2, 4, devices)
+    step, init_fn = sharded.build_sharded_step(cfg, mesh)
+    state, carry = init_fn()
+
+    # FM carrier at +30 kHz within the 1.536 MHz baseband
+    src = testsource.TestSourceConfig(
+        sample_rate=cfg.device_rate, carrier_freq=30_000.0, modulation="fm",
+        tone_freq=1000.0, fm_deviation=5000.0, amplitude=0.4,
+    )
+    iq = testsource.generate(src, cfg.block * 6)
+    offsets = jnp.full(cfg.n_channels, 30_000.0, jnp.float32)
+
+    blocks = []
+    for b in range(6):
+        raw = _to_int16(iq[b * cfg.block : (b + 1) * cfg.block])
+        state, audio, carry = step(state, jnp.asarray(raw), carry, offsets)
+        blocks.append(np.asarray(audio))
+    audio = np.concatenate(blocks, axis=-1)
+    a = audio[0][audio.shape[1] // 2 :]
+    a = a - a.mean()
+    spec = np.abs(np.fft.rfft(a * np.hanning(len(a)))) ** 2
+    freqs = np.fft.rfftfreq(len(a), 1.0 / 48000.0)
+    tone = np.abs(freqs - 1000.0) < 4 * 48000.0 / len(a)
+    snr = 10 * np.log10(spec[tone].sum() / spec[~tone].sum())
+    assert snr > 25.0, f"sharded NFM SNR {snr:.1f} dB"
