@@ -103,7 +103,7 @@ def cmd_demod(args) -> int:
     audio_parts = []
     t0 = time.perf_counter()
     for idx, outs in pipe.run(source, n_blocks):
-        audio_parts.append(outs[0])
+        audio_parts.append(outs[0]["audio"])
     elapsed = time.perf_counter() - t0
     audio = np.concatenate(audio_parts, axis=-1)
     wav.write_wav(args.out, audio, int(48000))
@@ -140,8 +140,23 @@ def main(argv=None) -> int:
     pd.add_argument("--out", required=True, help="output WAV path")
     pd.set_defaults(fn=cmd_demod)
 
+    ps = sub.add_parser("server", help="run the REST API server (sdrangelsrv role)")
+    ps.add_argument("--api-address", default="127.0.0.1")
+    ps.add_argument("--api-port", type=int, default=8091)  # mainparser.cpp default
+    ps.set_defaults(fn=cmd_server)
+
     args = p.parse_args(argv)
     return args.fn(args)
+
+
+def cmd_server(args) -> int:
+    import logging
+
+    from .api.server import serve_forever
+
+    logging.basicConfig(level=logging.INFO)
+    serve_forever(args.api_address, args.api_port)
+    return 0
 
 
 if __name__ == "__main__":

@@ -1,0 +1,218 @@
+"""REST API server — the swagger-path-compatible control plane.
+
+Reference: sdrbase/webapi/webapirequestmapper.cpp:62-160 routes the URL table
+of webapiadapterinterface.h:646-672; the server implementation is
+sdrsrv/webapi/webapiadaptersrv.cpp. This is a stdlib ThreadingHTTPServer
+with the same path layout (subset):
+
+  GET  /sdrangel                                  instance summary
+  GET  /sdrangel/devicesets                       device-set list
+  POST /sdrangel/devicesets                       add a device set
+  DELETE /sdrangel/devicesets                     remove last device set
+  GET  /sdrangel/deviceset/{i}                    one device set
+  GET/PUT/PATCH /sdrangel/deviceset/{i}/device/settings
+  POST/DELETE   /sdrangel/deviceset/{i}/device/run     start/stop acquisition
+  POST          /sdrangel/deviceset/{i}/channel        add channel {channelType,...}
+  DELETE        /sdrangel/deviceset/{i}/channel/{j}
+  GET/PUT/PATCH /sdrangel/deviceset/{i}/channel/{j}/settings
+  GET           /sdrangel/deviceset/{i}/channel/{j}/report
+  GET/POST/DELETE /sdrangel/presets  (+ /preset load/save)
+  GET/PUT       /sdrangel/logging
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import re
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from ..runtime.session import Session
+
+logger = logging.getLogger("sdrangel_tpu.api")
+
+_DEVICESET = re.compile(r"^/sdrangel/deviceset/(\d+)$")
+_DEVICE_SETTINGS = re.compile(r"^/sdrangel/deviceset/(\d+)/device/settings$")
+_DEVICE_RUN = re.compile(r"^/sdrangel/deviceset/(\d+)/device/run$")
+_CHANNEL = re.compile(r"^/sdrangel/deviceset/(\d+)/channel$")
+_CHANNEL_IDX = re.compile(r"^/sdrangel/deviceset/(\d+)/channel/(\d+)$")
+_CHANNEL_SETTINGS = re.compile(r"^/sdrangel/deviceset/(\d+)/channel/(\d+)/settings$")
+_CHANNEL_REPORT = re.compile(r"^/sdrangel/deviceset/(\d+)/channel/(\d+)/report$")
+
+
+class ApiHandler(BaseHTTPRequestHandler):
+    session: Session  # injected by make_server
+
+    # -- helpers -----------------------------------------------------------
+
+    def _json(self, code: int, payload) -> None:
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _body(self) -> dict:
+        length = int(self.headers.get("Content-Length", 0) or 0)
+        if not length:
+            return {}
+        try:
+            return json.loads(self.rfile.read(length))
+        except json.JSONDecodeError:
+            return {}
+
+    def _error(self, code: int, message: str) -> None:
+        self._json(code, {"message": message})
+
+    def log_message(self, fmt, *args):  # route through logging, not stderr
+        logger.debug("%s " + fmt, self.address_string(), *args)
+
+    # -- dispatch ----------------------------------------------------------
+
+    def do_GET(self):
+        s = self.session
+        p = self.path.rstrip("/") or "/"
+        try:
+            if p == "/sdrangel":
+                return self._json(200, s.summary())
+            if p == "/sdrangel/devicesets":
+                return self._json(200, s.summary()["devicesetlist"])
+            if m := _DEVICESET.match(p):
+                ds = s.device_sets[int(m.group(1))]
+                return self._json(200, s.summary()["devicesetlist"]["deviceSets"][ds.index])
+            if m := _DEVICE_SETTINGS.match(p):
+                ds = s.device_sets[int(m.group(1))]
+                return self._json(200, dataclasses.asdict(ds.source))
+            if m := _CHANNEL_SETTINGS.match(p):
+                ds = s.device_sets[int(m.group(1))]
+                ch = ds.channels[int(m.group(2))]
+                return self._json(
+                    200,
+                    {
+                        "channelType": ch.uri,
+                        "inputFrequencyOffset": ch.frequency_offset,
+                        **ch.settings,
+                    },
+                )
+            if m := _CHANNEL_REPORT.match(p):
+                ds = s.device_sets[int(m.group(1))]
+                ch = ds.channels[int(m.group(2))]
+                return self._json(
+                    200,
+                    {
+                        "channelPowerDB": ch.channel_power_db,
+                        "squelch": ch.squelch,
+                        "audioSampleRate": ch.audio_sample_rate,
+                        "audioSamples": ch.audio_samples,
+                    },
+                )
+            if p == "/sdrangel/presets":
+                return self._json(
+                    200, {"presets": sorted(self.session.presets.keys())}
+                )
+            if p == "/sdrangel/logging":
+                return self._json(
+                    200, {"consoleLevel": logging.getLevelName(logging.getLogger().level)}
+                )
+            return self._error(404, f"unknown path {p}")
+        except (IndexError, KeyError) as e:
+            return self._error(404, f"not found: {e}")
+
+    def do_POST(self):
+        s = self.session
+        p = self.path.rstrip("/")
+        body = self._body()
+        try:
+            if p == "/sdrangel/devicesets":
+                ds = s.add_device_set()
+                return self._json(201, {"index": ds.index})
+            if m := _DEVICE_RUN.match(p):
+                ds = s.device_sets[int(m.group(1))]
+                ds.start()
+                return self._json(200, {"state": "running"})
+            if m := _CHANNEL.match(p):
+                ds = s.device_sets[int(m.group(1))]
+                uri = body.pop("channelType")
+                idx = ds.add_channel(uri, body)
+                return self._json(201, {"index": idx})
+            if p == "/sdrangel/preset":
+                key = body.get("groupName", "default"), body.get("name", "preset")
+                s.save_preset(*key)
+                return self._json(200, {"saved": "/".join(key)})
+            if p == "/sdrangel/preset/load":
+                s.load_preset(body.get("groupName", "default"), body.get("name", "preset"))
+                return self._json(200, {"loaded": True})
+            return self._error(404, f"unknown path {p}")
+        except (IndexError, KeyError) as e:
+            return self._error(404, f"not found: {e}")
+
+    def do_PUT(self):
+        return self._put_patch()
+
+    def do_PATCH(self):
+        return self._put_patch()
+
+    def _put_patch(self):
+        s = self.session
+        p = self.path.rstrip("/")
+        body = self._body()
+        try:
+            if m := _DEVICE_SETTINGS.match(p):
+                ds = s.device_sets[int(m.group(1))]
+                for k, v in body.items():
+                    if hasattr(ds.source, k):
+                        setattr(ds.source, k, v)
+                return self._json(200, dataclasses.asdict(ds.source))
+            if m := _CHANNEL_SETTINGS.match(p):
+                ds = s.device_sets[int(m.group(1))]
+                j = int(m.group(2))
+                body.pop("channelType", None)
+                ds.update_channel(j, body)
+                ch = ds.channels[j]
+                return self._json(
+                    200,
+                    {"channelType": ch.uri, "inputFrequencyOffset": ch.frequency_offset,
+                     **ch.settings},
+                )
+            if p == "/sdrangel/logging":
+                level = body.get("consoleLevel", "INFO")
+                logging.getLogger().setLevel(level)
+                return self._json(200, {"consoleLevel": level})
+            return self._error(404, f"unknown path {p}")
+        except (IndexError, KeyError) as e:
+            return self._error(404, f"not found: {e}")
+
+    def do_DELETE(self):
+        s = self.session
+        p = self.path.rstrip("/")
+        try:
+            if p == "/sdrangel/devicesets":
+                s.remove_last_device_set()
+                return self._json(200, {"devicesetcount": len(s.device_sets)})
+            if m := _DEVICE_RUN.match(p):
+                ds = s.device_sets[int(m.group(1))]
+                ds.stop()
+                return self._json(200, {"state": "idle"})
+            if m := _CHANNEL_IDX.match(p):
+                ds = s.device_sets[int(m.group(1))]
+                ds.remove_channel(int(m.group(2)))
+                return self._json(200, {"channelcount": len(ds.channels)})
+            return self._error(404, f"unknown path {p}")
+        except (IndexError, KeyError) as e:
+            return self._error(404, f"not found: {e}")
+
+
+def make_server(session: Session, host: str = "127.0.0.1", port: int = 8091):
+    """Default bind mirrors the reference (mainparser.cpp:25-80)."""
+    handler = type("BoundApiHandler", (ApiHandler,), {"session": session})
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def serve_forever(host: str = "127.0.0.1", port: int = 8091) -> None:
+    session = Session()
+    srv = make_server(session, host, port)
+    logger.info("REST API on http://%s:%d/sdrangel", host, port)
+    srv.serve_forever()

@@ -146,9 +146,12 @@ class RxPipeline:
         ):
             cstate, y = chan.channelize(state["chan"][i], bb, plan)
             dstate, audio = kind.process(state["demod"][i], y, cfg)
+            # channel power meter (the report's channelPowerDB source —
+            # magsq average as in nfmdemod.h:153-170 getters)
+            power = jnp.mean(jnp.real(y) ** 2 + jnp.imag(y) ** 2)
             chan_states.append(cstate)
             demod_states.append(dstate)
-            outs.append(audio)
+            outs.append({"audio": audio, "power": power.astype(jnp.float32)})
 
         new_state = {
             "corr": corr_state,
@@ -172,14 +175,21 @@ class RxPipeline:
         jax async dispatch overlaps host reads with device compute.
         """
         state = state or self.init_state()
-        pending = []  # (idx, audio device arrays) — drain one behind
+
+        def to_host(outs):
+            return [
+                {"audio": np.asarray(o["audio"]), "power": float(o["power"])}
+                for o in outs
+            ]
+
+        pending = []  # (idx, device arrays) — drain one behind for overlap
         for b in range(n_blocks):
             raw = iq_source(b, self.device_block)
             state, outs = self._step(state, jnp.asarray(raw))
             pending.append((b, outs))
             if len(pending) > 1:
                 idx, outs_prev = pending.pop(0)
-                yield idx, [np.asarray(a) for a in outs_prev]
+                yield idx, to_host(outs_prev)
         for idx, outs_prev in pending:
-            yield idx, [np.asarray(a) for a in outs_prev]
+            yield idx, to_host(outs_prev)
         self.final_state = state

@@ -1,0 +1,291 @@
+"""Session / orchestration layer — the MainCore equivalent.
+
+Reference: sdrsrv/maincore.{h,cpp} — owns DeviceSets, adds/removes devices
+and channels, loads/saves presets, start/stops acquisition; driven by the
+REST API (sdrsrv/webapi/webapiadaptersrv.cpp). Here a DeviceSet wraps an
+RxPipeline rebuilt on configuration changes; acquisition runs in a worker
+thread streaming file/synthetic blocks through the jitted step (the
+DSPDeviceSourceEngine thread role) and publishing per-channel reports and
+audio sinks. Settings apply between blocks — the same boundary semantics as
+the reference's mutex-held applySettings.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+import time
+from typing import Any, Optional
+
+import numpy as np
+
+from ..channels.registry import REGISTRY
+from ..io import sdriq, testsource, wav
+from .engine import ChannelSpec, DeviceConfig, RxPipeline
+
+
+@dataclasses.dataclass
+class ChannelState:
+    uri: str
+    frequency_offset: float
+    settings: dict
+    # live report fields (channel report endpoint)
+    channel_power_db: float = -120.0
+    audio_sample_rate: int = 48000
+    squelch: bool = False
+    audio_samples: int = 0
+
+
+@dataclasses.dataclass
+class SourceSettings:
+    """File or synthetic front end (filesource/testsource settings)."""
+
+    kind: str = "testsource"  # testsource | filesource
+    file_path: str = ""
+    sample_rate: float = 768000.0
+    center_frequency: float = 0.0
+    log2_decim: int = 0
+    fc_pos: str = "cen"
+    dc_correction: bool = False
+    iq_correction: bool = False
+    throttle: bool = False  # True = real-time pacing like the 50ms master timer
+    # testsource extras
+    modulation: str = "fm"
+    carrier_freq: float = 0.0
+    tone_freq: float = 1000.0
+    amplitude: float = 0.5
+
+
+class DeviceSet:
+    """One source + its channels (sdrsrv/device/deviceset.h:31-53)."""
+
+    def __init__(self, index: int):
+        self.index = index
+        self.source = SourceSettings()
+        self.channels: list[ChannelState] = []
+        self.running = False
+        self._thread: Optional[threading.Thread] = None
+        self._stop = threading.Event()
+        self._lock = threading.Lock()
+        self._audio_buffers: list[list[np.ndarray]] = []
+        self.audio_keep_blocks = 64
+        self.blocks_processed = 0
+        self.error: str = ""
+
+    # -- configuration -----------------------------------------------------
+
+    def add_channel(self, uri: str, settings: dict | None = None) -> int:
+        if uri not in REGISTRY:
+            raise KeyError(uri)
+        settings = dict(settings or {})
+        offset = float(settings.pop("inputFrequencyOffset", 0.0))
+        with self._lock:
+            self.channels.append(ChannelState(uri, offset, settings))
+            self._audio_buffers.append([])
+            return len(self.channels) - 1
+
+    def remove_channel(self, index: int) -> None:
+        with self._lock:
+            del self.channels[index]
+            del self._audio_buffers[index]
+
+    def update_channel(self, index: int, settings: dict) -> None:
+        with self._lock:
+            ch = self.channels[index]
+            if "inputFrequencyOffset" in settings:
+                ch.frequency_offset = float(settings.pop("inputFrequencyOffset"))
+            ch.settings.update(settings)
+
+    # -- acquisition -------------------------------------------------------
+
+    def start(self) -> None:
+        if self.running:
+            return
+        self._stop.clear()
+        self.error = ""
+        self._thread = threading.Thread(target=self._work, daemon=True)
+        self._thread.start()
+        self.running = True
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread:
+            self._thread.join(timeout=30.0)
+        self.running = False
+
+    def _build_pipeline(self) -> tuple[RxPipeline, Any]:
+        src = self.source
+        device = DeviceConfig(
+            sample_rate=src.sample_rate,
+            center_frequency=src.center_frequency,
+            log2_decim=src.log2_decim,
+            fc_pos=src.fc_pos,
+            dc_correction=src.dc_correction,
+            iq_correction=src.iq_correction,
+        )
+        specs = [
+            ChannelSpec(ch.uri, ch.frequency_offset, dict(ch.settings))
+            for ch in self.channels
+        ]
+        pipe = RxPipeline(device, specs, block_size=1 << 16)
+        if src.kind == "filesource":
+            info, mm = sdriq.open_mmap(src.file_path)
+
+            def reader(b, count):
+                return sdriq.read_block(mm, b * count, count)
+        else:
+            cfg = testsource.TestSourceConfig(
+                sample_rate=src.sample_rate,
+                carrier_freq=src.carrier_freq,
+                modulation=src.modulation,
+                tone_freq=src.tone_freq,
+                amplitude=src.amplitude,
+            )
+
+            def reader(b, count):
+                c = testsource.generate(cfg, count, start_sample=b * count)
+                out = np.empty((count, 2), dtype=np.int16)
+                out[:, 0] = np.clip(c.real * 32768.0, -32768, 32767)
+                out[:, 1] = np.clip(c.imag * 32768.0, -32768, 32767)
+                return out
+
+        return pipe, reader
+
+    def _work(self) -> None:
+        """Engine thread: gotoRunning → block loop → gotoIdle
+        (dspdevicesourceengine.cpp:325-408 work loop)."""
+        try:
+            with self._lock:
+                pipe, reader = self._build_pipeline()
+            state = pipe.init_state()
+            block_seconds = pipe.device_block / pipe.device.sample_rate
+            b = 0
+            import jax.numpy as jnp
+
+            while not self._stop.is_set():
+                t0 = time.perf_counter()
+                raw = reader(b, pipe.device_block)
+                state, outs = pipe._step(state, jnp.asarray(raw))
+                with self._lock:
+                    for i, out in enumerate(outs):
+                        audio = np.asarray(out["audio"])
+                        power = float(out["power"])
+                        ch = self.channels[i]
+                        ch.channel_power_db = float(
+                            10.0 * np.log10(max(power, 1e-12))
+                        )
+                        ch.squelch = bool(np.abs(audio).max() > 1e-4)
+                        ch.audio_samples += audio.shape[-1]
+                        buf = self._audio_buffers[i]
+                        buf.append(audio)
+                        if len(buf) > self.audio_keep_blocks:
+                            buf.pop(0)
+                    self.blocks_processed += 1
+                b += 1
+                if self.source.throttle:
+                    dt = time.perf_counter() - t0
+                    if dt < block_seconds:
+                        time.sleep(block_seconds - dt)
+        except Exception as e:  # StError state (dspdevicesourceengine.h:28)
+            self.error = f"{type(e).__name__}: {e}"
+        finally:
+            self.running = False
+
+    def drain_audio(self, channel: int) -> np.ndarray:
+        with self._lock:
+            parts = self._audio_buffers[channel]
+            self._audio_buffers[channel] = []
+        if not parts:
+            return np.zeros(0, dtype=np.float32)
+        return np.concatenate(parts, axis=-1)
+
+
+class Session:
+    """MainCore: the device-set collection + presets."""
+
+    def __init__(self):
+        self.device_sets: list[DeviceSet] = []
+        self.presets: dict[str, dict] = {}
+        self.start_time = time.time()
+
+    def add_device_set(self) -> DeviceSet:
+        ds = DeviceSet(len(self.device_sets))
+        self.device_sets.append(ds)
+        return ds
+
+    def remove_last_device_set(self) -> None:
+        if self.device_sets:
+            ds = self.device_sets.pop()
+            ds.stop()
+
+    def summary(self) -> dict:
+        """instanceSummary (webapiadaptersrv.cpp:71-103)."""
+        import sdrangel_tpu
+
+        return {
+            "appname": "sdrangel_tpu",
+            "version": sdrangel_tpu.__version__,
+            "dspRxBits": 16,
+            "dspTxBits": 16,
+            "pid": __import__("os").getpid(),
+            "uptime_s": round(time.time() - self.start_time, 1),
+            "devicesetlist": {
+                "devicesetcount": len(self.device_sets),
+                "deviceSets": [
+                    {
+                        "index": ds.index,
+                        "state": "error" if ds.error else ("running" if ds.running else "idle"),
+                        "error": ds.error,
+                        "source": dataclasses.asdict(ds.source),
+                        "channelcount": len(ds.channels),
+                        "channels": [
+                            {
+                                "index": i,
+                                "uri": ch.uri,
+                                "inputFrequencyOffset": ch.frequency_offset,
+                            }
+                            for i, ch in enumerate(ds.channels)
+                        ],
+                    }
+                    for ds in self.device_sets
+                ],
+            },
+        }
+
+    # -- presets (maincore preset load/save; JSON instead of Base64 TLV) ----
+
+    def save_preset(self, group: str, name: str) -> dict:
+        key = f"{group}/{name}"
+        self.presets[key] = {
+            "group": group,
+            "name": name,
+            "deviceSets": [
+                {
+                    "source": dataclasses.asdict(ds.source),
+                    "channels": [
+                        {
+                            "uri": ch.uri,
+                            "inputFrequencyOffset": ch.frequency_offset,
+                            "settings": ch.settings,
+                        }
+                        for ch in ds.channels
+                    ],
+                }
+                for ds in self.device_sets
+            ],
+        }
+        return self.presets[key]
+
+    def load_preset(self, group: str, name: str) -> None:
+        preset = self.presets[f"{group}/{name}"]
+        for ds in self.device_sets:
+            ds.stop()
+        self.device_sets = []
+        for entry in preset["deviceSets"]:
+            ds = self.add_device_set()
+            ds.source = SourceSettings(**entry["source"])
+            for ch in entry["channels"]:
+                ds.add_channel(
+                    ch["uri"],
+                    {"inputFrequencyOffset": ch["inputFrequencyOffset"], **ch["settings"]},
+                )

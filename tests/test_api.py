@@ -1,0 +1,136 @@
+"""REST API + session tests: drive the server over HTTP end-to-end."""
+
+import json
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from sdrangel_tpu.api.server import make_server
+from sdrangel_tpu.runtime.session import Session
+
+
+@pytest.fixture()
+def api():
+    session = Session()
+    srv = make_server(session, "127.0.0.1", 0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+    yield base, session
+    srv.shutdown()
+
+
+def _req(base, path, method="GET", body=None):
+    data = json.dumps(body).encode() if body is not None else None
+    req = urllib.request.Request(base + path, data=data, method=method)
+    if data:
+        req.add_header("Content-Type", "application/json")
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_instance_summary(api):
+    base, _ = api
+    code, body = _req(base, "/sdrangel")
+    assert code == 200
+    assert body["appname"] == "sdrangel_tpu"
+    assert body["dspRxBits"] == 16
+    assert body["devicesetlist"]["devicesetcount"] == 0
+
+
+def test_unknown_path_404(api):
+    base, _ = api
+    code, body = _req(base, "/sdrangel/bogus")
+    assert code == 404 and "message" in body
+
+
+def test_full_control_flow(api):
+    """Create device set → configure synthetic FM source → add NFM channel →
+    run → report shows signal → reconfigure offset → stop."""
+    base, _ = api
+    code, body = _req(base, "/sdrangel/devicesets", "POST")
+    assert code == 201 and body["index"] == 0
+
+    code, body = _req(
+        base, "/sdrangel/deviceset/0/device/settings", "PATCH",
+        {"kind": "testsource", "sample_rate": 192000.0, "modulation": "fm",
+         "carrier_freq": 20000.0, "tone_freq": 1000.0, "log2_decim": 0},
+    )
+    assert code == 200 and body["carrier_freq"] == 20000.0
+
+    code, body = _req(
+        base, "/sdrangel/deviceset/0/channel", "POST",
+        {"channelType": "sdrangel.channel.nfmdemod",
+         "inputFrequencyOffset": 20000.0, "squelch_db": -60.0},
+    )
+    assert code == 201 and body["index"] == 0
+
+    code, body = _req(base, "/sdrangel/deviceset/0/channel/0/settings")
+    assert code == 200
+    assert body["channelType"] == "sdrangel.channel.nfmdemod"
+    assert body["inputFrequencyOffset"] == 20000.0
+
+    code, _ = _req(base, "/sdrangel/deviceset/0/device/run", "POST")
+    assert code == 200
+
+    deadline = time.time() + 60
+    power = -200.0
+    while time.time() < deadline:
+        code, rep = _req(base, "/sdrangel/deviceset/0/channel/0/report")
+        assert code == 200
+        power = rep["channelPowerDB"]
+        if rep["audioSamples"] > 0 and power > -30:
+            break
+        time.sleep(0.5)
+    assert power > -30, f"no signal power reported: {power}"
+
+    code, body = _req(
+        base, "/sdrangel/deviceset/0/channel/0/settings", "PATCH",
+        {"inputFrequencyOffset": 25000.0},
+    )
+    assert code == 200 and body["inputFrequencyOffset"] == 25000.0
+
+    code, body = _req(base, "/sdrangel/deviceset/0/device/run", "DELETE")
+    assert code == 200 and body["state"] == "idle"
+
+    code, body = _req(base, "/sdrangel")
+    assert body["devicesetlist"]["deviceSets"][0]["state"] == "idle"
+
+
+def test_presets_roundtrip(api):
+    base, session = api
+    _req(base, "/sdrangel/devicesets", "POST")
+    _req(
+        base, "/sdrangel/deviceset/0/channel", "POST",
+        {"channelType": "sdrangel.channel.amdemod", "inputFrequencyOffset": -5000.0},
+    )
+    code, body = _req(base, "/sdrangel/preset", "POST",
+                      {"groupName": "test", "name": "one"})
+    assert code == 200
+    code, body = _req(base, "/sdrangel/presets")
+    assert body["presets"] == ["test/one"]
+
+    # wipe and restore
+    _req(base, "/sdrangel/devicesets", "DELETE")
+    code, _ = _req(base, "/sdrangel/preset/load", "POST",
+                   {"groupName": "test", "name": "one"})
+    assert code == 200
+    code, body = _req(base, "/sdrangel/deviceset/0/channel/0/settings")
+    assert code == 200
+    assert body["channelType"] == "sdrangel.channel.amdemod"
+    assert body["inputFrequencyOffset"] == -5000.0
+
+
+def test_logging_endpoint(api):
+    base, _ = api
+    code, body = _req(base, "/sdrangel/logging", "PUT", {"consoleLevel": "WARNING"})
+    assert code == 200
+    code, body = _req(base, "/sdrangel/logging")
+    assert body["consoleLevel"] == "WARNING"
