@@ -1,0 +1,229 @@
+"""Tx modulators: NFM / AM / SSB / WFM.
+
+Reference: plugins/channeltx/mod{nfm,am,ssb,wfm}/*.cpp — pull-model per
+sample: pullAF (tone NCO / file / audio FIFO) → modulateSample → Interpolator
+to channel rate → carrier NCO (`ci *= m_carrierNco.nextIQ()`, nfmmod.cpp
+pull). Block form: the AF block (48 kHz float) is modulated at audio rate,
+up-resampled to the channel rate by the conv-mode rational resampler, and
+shifted by the carrier NCO; the UpChannelizer then places the channel in the
+device passband. The FM phasor accumulation (`m_modPhasor +=`) is a cumsum
+with a carried phase — exactly vectorizable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..dsp import fftfilt, firdesign, nco, resampler
+
+
+def _up_plan(audio_rate: float, channel_rate: float, block_af: int):
+    return resampler.make_plan(audio_rate, channel_rate, block_af)
+
+
+# ---------------------------------------------------------------------------
+# NFM / WFM — frequency modulation
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class FMModConfig:
+    channel_rate: float
+    input_offset: float = 0.0
+    audio_rate: float = 48000.0
+    fm_deviation: float = 5000.0
+    af_bandwidth: float = 3000.0  # AF lowpass before modulation
+    rf_bandwidth: float = 12500.0
+    amplitude: float = 0.891  # -1 dB like the reference modulators
+    block_af: int = 4096
+
+    @functools.cached_property
+    def up(self) -> resampler.ResamplerPlan:
+        return _up_plan(self.audio_rate, self.channel_rate, self.block_af)
+
+    @functools.cached_property
+    def af_taps(self) -> np.ndarray:
+        return firdesign.lowpass(301, self.af_bandwidth / self.audio_rate)
+
+
+class FMModState(NamedTuple):
+    af_filter: firdesign.FirState
+    phase: jnp.ndarray  # carried FM phasor (radians)
+    up: resampler.ResamplerState
+    nco: nco.NCOState
+
+
+def make_fm_state(cfg: FMModConfig, batch_shape=()) -> FMModState:
+    return FMModState(
+        firdesign.make_state(len(cfg.af_taps), batch_shape),
+        jnp.zeros(batch_shape, jnp.float32),
+        resampler.init_state(cfg.up, batch_shape),
+        nco.make_nco(batch_shape),
+    )
+
+
+def fm_modulate(
+    state: FMModState, af: jnp.ndarray, cfg: FMModConfig
+) -> tuple[FMModState, jnp.ndarray]:
+    """af: (..., block_af) float in [-1,1] -> (..., block_af*ratio) complex."""
+    fir_state, af_f = firdesign.fir_apply(state.af_filter, af, jnp.asarray(cfg.af_taps))
+    dphi = (2.0 * np.pi * cfg.fm_deviation / cfg.audio_rate) * af_f
+    phase = state.phase[..., None] + jnp.cumsum(dphi, axis=-1)
+    iq = jnp.exp(1j * phase.astype(jnp.complex64)) * cfg.amplitude
+    new_phase = jnp.mod(phase[..., -1], 2.0 * np.pi).astype(jnp.float32)
+    up_state, up = resampler.resample_block(state.up, iq.astype(jnp.complex64), cfg.up)
+    inc = jnp.asarray(nco.freq_to_increment(cfg.input_offset, cfg.channel_rate))
+    nco_state, out = nco.mix_block(state.nco, up, inc)
+    return FMModState(fir_state, new_phase, up_state, nco_state), out
+
+
+# ---------------------------------------------------------------------------
+# AM
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class AMModConfig:
+    channel_rate: float
+    input_offset: float = 0.0
+    audio_rate: float = 48000.0
+    mod_factor: float = 0.5  # modulation depth (ammod.cpp:165)
+    rf_bandwidth: float = 12500.0
+    amplitude: float = 0.5
+    block_af: int = 4096
+
+    @functools.cached_property
+    def up(self) -> resampler.ResamplerPlan:
+        return _up_plan(self.audio_rate, self.channel_rate, self.block_af)
+
+
+class AMModState(NamedTuple):
+    up: resampler.ResamplerState
+    nco: nco.NCOState
+
+
+def make_am_state(cfg: AMModConfig, batch_shape=()) -> AMModState:
+    return AMModState(resampler.init_state(cfg.up, batch_shape), nco.make_nco(batch_shape))
+
+
+def am_modulate(
+    state: AMModState, af: jnp.ndarray, cfg: AMModConfig
+) -> tuple[AMModState, jnp.ndarray]:
+    env = (af * cfg.mod_factor + 1.0) * cfg.amplitude  # ammod.cpp:165 semantics
+    iq = env.astype(jnp.complex64)
+    up_state, up = resampler.resample_block(state.up, iq, cfg.up)
+    inc = jnp.asarray(nco.freq_to_increment(cfg.input_offset, cfg.channel_rate))
+    nco_state, out = nco.mix_block(state.nco, up, inc)
+    return AMModState(up_state, nco_state), out
+
+
+# ---------------------------------------------------------------------------
+# SSB
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class SSBModConfig:
+    channel_rate: float
+    input_offset: float = 0.0
+    audio_rate: float = 48000.0
+    bandwidth: float = 3000.0
+    low_cutoff: float = 300.0
+    usb: bool = True
+    amplitude: float = 0.891
+    fft_len: int = 1024
+    block_af: int = 4096
+
+    @functools.cached_property
+    def up(self) -> resampler.ResamplerPlan:
+        return _up_plan(self.audio_rate, self.channel_rate, self.block_af)
+
+    @functools.cached_property
+    def filter_freq(self) -> np.ndarray:
+        return fftfilt.create_filter(
+            self.low_cutoff / self.audio_rate, self.bandwidth / self.audio_rate,
+            self.fft_len,
+        )
+
+
+class SSBModState(NamedTuple):
+    fft: fftfilt.FftFiltState
+    up: resampler.ResamplerState
+    nco: nco.NCOState
+
+
+def make_ssb_state(cfg: SSBModConfig, batch_shape=()) -> SSBModState:
+    return SSBModState(
+        fftfilt.make_state(cfg.fft_len, batch_shape),
+        resampler.init_state(cfg.up, batch_shape),
+        nco.make_nco(batch_shape),
+    )
+
+
+def ssb_modulate(
+    state: SSBModState, af: jnp.ndarray, cfg: SSBModConfig
+) -> tuple[SSBModState, jnp.ndarray]:
+    """Real audio → analytic SSB signal via runSSB (ssbmod.cpp pullAF path)."""
+    fft_state, ssb = fftfilt.run_ssb(
+        state.fft, af.astype(jnp.complex64), cfg.filter_freq, usb=cfg.usb
+    )
+    up_state, up = resampler.resample_block(state.up, ssb * cfg.amplitude, cfg.up)
+    inc = jnp.asarray(nco.freq_to_increment(cfg.input_offset, cfg.channel_rate))
+    nco_state, out = nco.mix_block(state.nco, up, inc)
+    return SSBModState(fft_state, up_state, nco_state), out
+
+
+# ---------------------------------------------------------------------------
+# WFM — FM with wider deviation and RF filtering
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class WFMModConfig:
+    channel_rate: float
+    input_offset: float = 0.0
+    audio_rate: float = 48000.0
+    fm_deviation: float = 75000.0
+    af_bandwidth: float = 15000.0
+    rf_bandwidth: float = 180000.0
+    amplitude: float = 0.891
+    fft_len: int = 1024
+    block_af: int = 4096
+
+    @functools.cached_property
+    def fm(self) -> FMModConfig:
+        return FMModConfig(
+            channel_rate=self.channel_rate,
+            input_offset=self.input_offset,
+            audio_rate=self.audio_rate,
+            fm_deviation=self.fm_deviation,
+            af_bandwidth=self.af_bandwidth,
+            rf_bandwidth=self.rf_bandwidth,
+            amplitude=self.amplitude,
+            block_af=self.block_af,
+        )
+
+    @functools.cached_property
+    def rf_filter(self) -> np.ndarray:
+        fc = 0.5 * self.rf_bandwidth / self.channel_rate
+        return fftfilt.create_dsb_filter(fc, self.fft_len)
+
+
+class WFMModState(NamedTuple):
+    fm: FMModState
+    fft: fftfilt.FftFiltState
+
+
+def make_wfm_state(cfg: WFMModConfig, batch_shape=()) -> WFMModState:
+    return WFMModState(
+        make_fm_state(cfg.fm, batch_shape), fftfilt.make_state(cfg.fft_len, batch_shape)
+    )
+
+
+def wfm_modulate(
+    state: WFMModState, af: jnp.ndarray, cfg: WFMModConfig
+) -> tuple[WFMModState, jnp.ndarray]:
+    fm_state, iq = fm_modulate(state.fm, af, cfg.fm)
+    fft_state, out = fftfilt.run_filt(state.fft, iq, jnp.asarray(cfg.rf_filter))
+    return WFMModState(fm_state, fft_state), out

@@ -113,24 +113,30 @@ def make_plan(
     `distance += in_rate/out_rate`. in_rate >= out_rate (decimation); the
     channel plumbing guarantees this like the reference's channelizer does.
     """
-    assert in_rate >= out_rate, "resampler is a decimator (interpolator.h:22)"
     frac = Fraction(in_rate / out_rate).limit_denominator(1 << 20)
     p, q = frac.numerator, frac.denominator
     assert block_in % p == 0, (
         f"block_in={block_in} must be a multiple of p={p} (in_rate/out_rate={p}/{q})"
     )
     if cutoff is None:
-        cutoff = 0.4 * out_rate
-    cutoff = min(cutoff, 0.45 * out_rate)  # anti-alias guard
+        cutoff = 0.4 * min(out_rate, in_rate)
+    cutoff = min(cutoff, 0.45 * min(out_rate, in_rate))  # anti-alias/image guard
 
-    if q <= 16:
+    if in_rate < out_rate:
+        # Tx interpolation (the reference Interpolator::interpolate direction,
+        # interpolator.h:39-52) — conv mode only.
+        assert q <= 256, f"upsampling denominator too large: {q}"
+
+    if q <= 16 or in_rate < out_rate:
         # conv mode: one dilated+strided XLA conv, no gather tables
         from . import firdesign
 
-        ntaps = 8 * p + 1
+        ntaps = 8 * max(p, q) + 1  # span ≥8 input samples at the dilated rate
         proto = firdesign.lowpass(ntaps, cutoff / (q * in_rate)).astype(np.float64)
         proto *= q  # compensate zero-stuffing loss
-        tail_len = -(-ntaps // q)  # ceil(L/q) input samples of history
+        # init_state allocates ntaps-1 tail samples; the conv needs
+        # (tail-1)*q >= L-1-p for block_out outputs per block
+        tail_len = 2 + max(0, -(-(ntaps - 1 - p) // q))
         return ResamplerPlan(
             in_rate=in_rate,
             out_rate=out_rate,
@@ -202,7 +208,7 @@ def _resample_conv(
         lhs,
         rhs,
         window_strides=(plan.p,),
-        padding="VALID",
+        padding=((0, 0),),  # explicit VALID (string padding rejected with lhs_dilation)
         lhs_dilation=(plan.q,),
         dimension_numbers=("NCH", "OIH", "NCH"),
     )

@@ -1,0 +1,102 @@
+"""Tx slice tests: modulate → upchannelize → interpolate → demodulate back
+with the Rx chain (loopback — stronger than the reference's manual checks)."""
+
+import numpy as np
+import pytest
+
+from sdrangel_tpu.io import sdriq
+from sdrangel_tpu.runtime.engine import ChannelSpec, DeviceConfig, RxPipeline
+from sdrangel_tpu.runtime.tx import TxChannelSpec, TxDeviceConfig, TxPipeline
+
+
+def _tone_snr(audio, tone_hz, fs):
+    n = len(audio)
+    audio = audio - audio.mean()
+    spec = np.abs(np.fft.rfft(audio * np.hanning(n))) ** 2
+    freqs = np.fft.rfftfreq(n, 1.0 / fs)
+    tone_bins = np.abs(freqs - tone_hz) < 4.0 * fs / n
+    return 10.0 * np.log10(spec[tone_bins].sum() / max(spec[~tone_bins].sum(), 1e-30))
+
+
+def _af_tone(freq=1000.0, fs=48000.0):
+    def src(b, c, count):
+        t = (b * count + np.arange(count)) / fs
+        return np.sin(2 * np.pi * freq * t).astype(np.float32)
+
+    return src
+
+
+@pytest.mark.parametrize("uri,rx_uri,offset", [
+    ("sdrangel.channeltx.modnfm", "sdrangel.channel.nfmdemod", 50_000.0),
+    ("sdrangel.channeltx.modam", "sdrangel.channel.amdemod", -40_000.0),
+])
+def test_tx_rx_loopback(uri, rx_uri, offset):
+    """Full duplex loopback: Tx places a modulated channel at `offset` in a
+    384 kHz baseband; the Rx pipeline recovers the 1 kHz AF tone."""
+    tx_dev = TxDeviceConfig(sample_rate=384_000.0, log2_interp=1)
+    tx = TxPipeline(tx_dev, [TxChannelSpec(uri, offset, {})], block_af=4096)
+
+    n_blocks = 24
+    parts = [out for out in tx.run(_af_tone(), n_blocks)]
+    raw = np.concatenate(parts, axis=0)
+
+    rx_dev = DeviceConfig(sample_rate=384_000.0, log2_decim=1)
+    rx = RxPipeline(rx_dev, [ChannelSpec(rx_uri, offset, {"squelch_db": -60.0})])
+    n_rx = len(raw) // rx.device_block
+    assert n_rx >= 2, (len(raw), rx.device_block)
+
+    audio = np.concatenate([
+        outs[0]["audio"]
+        for _, outs in rx.run(lambda b, n: raw[b * n : (b + 1) * n], n_rx)
+    ])
+    a = audio[len(audio) // 2 :]
+    snr = _tone_snr(a, 1000.0, 48000.0)
+    assert snr > 20.0, f"{uri} loopback SNR {snr:.1f} dB"
+
+
+def test_tx_spectrum_placement():
+    """The modulated channel actually sits at the requested offset."""
+    offset = 96_000.0
+    tx_dev = TxDeviceConfig(sample_rate=768_000.0, log2_interp=0)
+    tx = TxPipeline(
+        tx_dev, [TxChannelSpec("sdrangel.channeltx.modnfm", offset, {})], block_af=4096
+    )
+    raw = np.concatenate(list(tx.run(_af_tone(), 8)), axis=0)
+    x = raw.astype(np.float32) / 32768.0
+    c = (x[:, 0] + 1j * x[:, 1])[4096:]
+    spec = np.abs(np.fft.fft(c * np.hanning(len(c))))
+    freqs = np.fft.fftfreq(len(c), 1.0 / 768_000.0)
+    peak_freq = freqs[spec.argmax()]
+    assert abs(peak_freq - offset) < 7_000.0, peak_freq
+
+
+def test_tx_two_channel_merge(tmp_path):
+    """Two modulators merged into one baseband (sum/÷k) and recorded to
+    .sdriq (the filesink role); both carriers present."""
+    tx_dev = TxDeviceConfig(sample_rate=384_000.0, log2_interp=0)
+    tx = TxPipeline(
+        tx_dev,
+        [
+            TxChannelSpec("sdrangel.channeltx.modnfm", 60_000.0, {}),
+            TxChannelSpec("sdrangel.channeltx.modam", -90_000.0, {}),
+        ],
+        block_af=4096,
+    )
+    raw = np.concatenate(list(tx.run(_af_tone(), 8)), axis=0)
+    path = str(tmp_path / "tx.sdriq")
+    sdriq.write(path, raw, sample_rate=384_000)
+    info = sdriq.read_header(path)
+    assert info.n_samples == len(raw)
+
+    x = raw.astype(np.float32) / 32768.0
+    c = (x[:, 0] + 1j * x[:, 1])[4096:]
+    spec = np.abs(np.fft.fft(c * np.hanning(len(c))))
+    freqs = np.fft.fftfreq(len(c), 1.0 / 384_000.0)
+
+    def power_near(f0):
+        sel = np.abs(freqs - f0) < 10_000.0
+        return spec[sel].max()
+
+    noise = np.median(spec)
+    assert power_near(60_000.0) > 50 * noise
+    assert power_near(-90_000.0) > 50 * noise
