@@ -12,7 +12,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, Callable
 
-from . import demod_am, demod_nfm, demod_ssb, demod_wfm
+from . import demod_am, demod_bfm, demod_nfm, demod_ssb, demod_wfm
 
 
 @dataclasses.dataclass(frozen=True)
@@ -43,3 +43,12 @@ register(ChannelKind("sdrangel.channel.ssbdemod", demod_ssb.SSBConfig,
                      demod_ssb.make_state, demod_ssb.process))
 register(ChannelKind("sdrangel.channel.wfmdemod", demod_wfm.WFMConfig,
                      demod_wfm.make_state, demod_wfm.process))
+def _bfm_process_engine(state, x, cfg, offset_hz=None):
+    """Engine adapter: BFM emits rich outputs; the engine consumes audio.
+    (RDS consumers use demod_bfm.process directly for the full outputs.)"""
+    state, outs = demod_bfm.process(state, x, cfg)
+    return state, outs.audio
+
+
+register(ChannelKind("sdrangel.channel.bfm", demod_bfm.BFMConfig,
+                     demod_bfm.make_state, _bfm_process_engine))

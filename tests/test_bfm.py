@@ -1,0 +1,145 @@
+"""Broadcast FM tests: stereo separation and RDS decode from a synthesized
+multiplex — end-to-end through the BFM channel."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sdrangel_tpu.channels import demod_bfm, rds
+
+
+def _tone_snr(audio, tone_hz, fs):
+    n = len(audio)
+    audio = audio - audio.mean()
+    spec = np.abs(np.fft.rfft(audio * np.hanning(n))) ** 2
+    freqs = np.fft.rfftfreq(n, 1.0 / fs)
+    tone_bins = np.abs(freqs - tone_hz) < 4.0 * fs / n
+    return 10.0 * np.log10(spec[tone_bins].sum() / max(spec[~tone_bins].sum(), 1e-30))
+
+
+def _make_mpx(fs, n, left, right, rds_wave=None):
+    """Standard FM stereo multiplex: (L+R)/2 + pilot + (L-R)/2 @38k (+RDS @57k)."""
+    t = np.arange(n) / fs
+    pilot_phase = 2 * np.pi * 19000.0 * t
+    mono = 0.5 * (left + right)
+    diff = 0.5 * (left - right)
+    mpx = 0.45 * mono + 0.09 * np.cos(pilot_phase) + 0.45 * diff * np.cos(2 * pilot_phase)
+    if rds_wave is not None:
+        mpx = mpx + 0.06 * rds_wave * np.cos(3 * pilot_phase)
+    return mpx
+
+
+def _fm_modulate(mpx, fs, deviation=75000.0):
+    phase = 2 * np.pi * deviation * np.cumsum(mpx) / fs
+    return (0.5 * np.exp(1j * phase)).astype(np.complex64)
+
+
+def _run_bfm(cfg, x, n_blocks, block):
+    state = demod_bfm.make_state(cfg)
+    run = jax.jit(demod_bfm.process, static_argnums=2)
+    audio, rds_bb, pilots = [], [], []
+    for b in range(n_blocks):
+        state, outs = run(state, jnp.asarray(x[b * block : (b + 1) * block]), cfg)
+        audio.append(np.asarray(outs.audio))
+        rds_bb.append(np.asarray(jnp.stack([jnp.real(outs.rds_baseband), jnp.imag(outs.rds_baseband)])))
+        pilots.append(float(outs.pilot_level))
+    a = np.concatenate(audio, axis=0)
+    r = np.concatenate([rb[0] + 1j * rb[1] for rb in rds_bb], axis=-1)
+    return a, r, pilots
+
+
+def test_stereo_separation():
+    """Left-only content must come out almost exclusively on the left."""
+    fs = 384000.0
+    cfg = demod_bfm.BFMConfig(channel_rate=fs, squelch_db=-100.0, rds_active=False)
+    block = cfg.mono_plan.block_in
+    n = block * 6
+    t = np.arange(n) / fs
+    left = 0.9 * np.sin(2 * np.pi * 1000.0 * t)
+    right = np.zeros(n)
+    x = _fm_modulate(_make_mpx(fs, n, left, right), fs)
+    audio, _, pilots = _run_bfm(cfg, x, 6, block)
+    a = audio[len(audio) // 2 :]
+    snr_l = _tone_snr(a[:, 0], 1000.0, 48000.0)
+    snr_r = _tone_snr(a[:, 1], 1000.0, 48000.0)
+    assert pilots[-1] > 0.02, "pilot not detected"
+    assert snr_l > 20.0, f"left SNR {snr_l:.1f}"
+    # separation: left power >> right power at the tone
+    pl = a[:, 0].var()
+    pr = a[:, 1].var()
+    assert pl / max(pr, 1e-12) > 20.0, f"separation {10*np.log10(pl/pr):.1f} dB"
+
+
+def test_mono_fallback():
+    fs = 384000.0
+    cfg = demod_bfm.BFMConfig(channel_rate=fs, audio_stereo=False, squelch_db=-100.0)
+    block = cfg.mono_plan.block_in
+    n = block * 4
+    t = np.arange(n) / fs
+    tone = 0.9 * np.sin(2 * np.pi * 1000.0 * t)
+    x = _fm_modulate(_make_mpx(fs, n, tone, tone), fs)
+    audio, _, _ = _run_bfm(cfg, x, 4, block)
+    a = audio[len(audio) // 2 :]
+    assert _tone_snr(a[:, 0], 1000.0, 48000.0) > 20.0
+    np.testing.assert_allclose(a[:, 0], a[:, 1], atol=1e-6)  # identical channels
+
+
+def test_rds_codec_roundtrip():
+    """Block-layer sanity: encode groups -> waveform -> decode."""
+    groups = [
+        [0x1234, (0 << 12) | (1 << 10) | (5 << 5) | 0, 0xE0CD, ord("A") << 8 | ord("B")],
+        [0x1234, (0 << 12) | (1 << 10) | (5 << 5) | 1, 0xE0CD, ord("C") << 8 | ord("D")],
+        [0x1234, (0 << 12) | (1 << 10) | (5 << 5) | 2, 0xE0CD, ord("E") << 8 | ord("F")],
+        [0x1234, (0 << 12) | (1 << 10) | (5 << 5) | 3, 0xE0CD, ord("G") << 8 | ord("H")],
+    ]
+    bits = np.concatenate([rds.encode_group(g) for g in groups] * 3)
+    wave = rds.bits_to_waveform(bits, sps=8)
+    dec = rds.RDSDecoder(sps=8)
+    out = dec.feed_baseband(wave.astype(np.complex64))
+    assert dec.status.groups_ok >= 8, dec.status
+    assert dec.status.pi == 0x1234
+    assert dec.status.pty == 5
+    assert dec.status.tp is True
+    assert dec.status.ps_name == "ABCDEFGH"
+    assert dec.status.pty_name == "Education"
+
+
+def test_rds_through_bfm_channel():
+    """Full chain: RDS bits -> 57 kHz subcarrier in the MPX -> FM -> BFM
+    channel -> RDS baseband -> decoder recovers PI and PS name."""
+    fs = 384000.0
+    cfg = demod_bfm.BFMConfig(channel_rate=fs, squelch_db=-100.0, rds_active=True)
+    block = cfg.mono_plan.block_in
+
+    groups = [
+        [0xF123, (0 << 12) | (2 << 5) | seg, 0x0000,
+         (ord("T") + seg) << 8 | (ord("U") + seg)]
+        for seg in range(4)
+    ]
+    bits = np.concatenate([rds.encode_group(g) for g in groups] * 40)
+    sym_rate = rds.RDS_SYMBOL_RATE if hasattr(rds, "RDS_SYMBOL_RATE") else 1187.5
+    wave8 = rds.bits_to_waveform(bits, sps=8)  # at 9500 Hz
+    # upsample the biphase waveform to fs (zero-order hold is fine: spectrum
+    # is confined well inside ±2.4 kHz after the channel's lowpass)
+    reps = int(round(fs / 9500.0 * 1000))
+    idx = (np.arange(int(len(wave8) * fs / 9500.0)) * 9500.0 / fs).astype(np.int64)
+    idx = idx[idx < len(wave8)]
+    rds_fs = wave8[idx]
+    n = (len(rds_fs) // block) * block
+    n_blocks = min(n // block, 160)  # ≈2.5 s ≈ 29 groups of signal
+    n = n_blocks * block
+    t = np.arange(n) / fs
+    tone = 0.5 * np.sin(2 * np.pi * 1000.0 * t)
+    mpx = _make_mpx(fs, n, tone, tone, rds_wave=rds_fs[:n])
+    x = _fm_modulate(mpx, fs)
+
+    state = demod_bfm.make_state(cfg)
+    run = jax.jit(demod_bfm.process, static_argnums=2)
+    dec = rds.RDSDecoder(sps=8)
+    for b in range(n_blocks):
+        state, outs = run(state, jnp.asarray(x[b * block : (b + 1) * block]), cfg)
+        rb = np.asarray(jnp.stack([jnp.real(outs.rds_baseband), jnp.imag(outs.rds_baseband)]))
+        dec.feed_baseband(rb[0] + 1j * rb[1])
+    assert dec.status.groups_ok >= 4, vars(dec.status)
+    assert dec.status.pi == 0xF123
+    assert "TU" in dec.status.ps_name or dec.status.ps_name.strip(), dec.status.ps_name
