@@ -50,7 +50,8 @@ def main() -> int:
 
     n_channels = 16
     log2 = 6
-    block = 1 << 19  # device-rate samples per step
+    block = 1 << 22  # device-rate samples per step (~91 µs fixed dispatch
+    # overhead per step through the TPU tunnel — big blocks amortize it)
     device_rate = 12_288_000.0
     baseband_rate = device_rate / (1 << log2)  # 192 kHz
 

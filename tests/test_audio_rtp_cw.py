@@ -1,0 +1,74 @@
+"""Tests: audio mixing/FIFO/compressor, RTP packetization, CW keyer."""
+
+import numpy as np
+
+from sdrangel_tpu.channels import cwkeyer
+from sdrangel_tpu.io import audio, rtp
+
+
+def test_mix_saturates():
+    a = np.full(100, 0.8, np.float32)
+    b = np.full(100, 0.8, np.float32)
+    m = audio.mix([a, b])
+    assert m.max() == 1.0  # clipped, not wrapped
+
+
+def test_audio_fifo_underrun_and_overrun():
+    f = audio.AudioFifo(capacity_samples=100)
+    f.write(np.ones(80, np.float32))
+    f.write(np.ones(80, np.float32))  # overruns
+    assert f.overruns == 1
+    out = f.read(150)  # underrun: zero pad
+    assert out.shape == (150,)
+    assert out[:100].min() == 1.0
+    assert out[100:].max() == 0.0
+
+
+def test_compressor_reduces_dynamics():
+    loud = np.full(10, 0.9, np.float32)
+    quiet = np.full(10, 0.01, np.float32)
+    c_loud = audio.compress(loud, threshold_db=-20, ratio=4)
+    c_quiet = audio.compress(quiet, threshold_db=-20, ratio=4)
+    assert c_loud.max() < 0.9  # attenuated above threshold
+    np.testing.assert_allclose(c_quiet, quiet, atol=1e-6)  # untouched below
+
+
+def test_rtp_roundtrip():
+    rx = rtp.RtpAudioReceiver("127.0.0.1", 0, timeout=5.0)
+    tx = rtp.RtpAudioSender("127.0.0.1", rx.port, samples_per_packet=160)
+    t = np.arange(480) / 48000.0
+    tone = (0.5 * np.sin(2 * np.pi * 1000 * t)).astype(np.float32)
+    sent = tx.write(tone)
+    assert sent == 3
+    seqs, chunks = [], []
+    for _ in range(3):
+        info, pcm = rx.read_packet()
+        assert info["payload_type"] == rtp.PT_L16_MONO
+        seqs.append(info["seq"])
+        chunks.append(pcm)
+    assert seqs[1] == (seqs[0] + 1) & 0xFFFF
+    got = np.concatenate(chunks)
+    np.testing.assert_allclose(got, tone, atol=1e-4)
+    tx.close()
+    rx.close()
+
+
+def test_cw_keyer_envelope():
+    cfg = cwkeyer.CWConfig(wpm=20.0, sample_rate=8000.0)
+    k = cwkeyer.CWKeyer("e", cfg)  # single dot
+    d = cfg.dot_samples
+    env = k.next_block(d * 10)
+    # dot present then silence (word gap)
+    assert env[: d].max() == 1.0 or env[: d].max() > 0.99
+    assert env[d + d // 2 :].max() == 0.0
+    assert k.done()
+    # edges are smooth (no instantaneous jump)
+    assert abs(env[1] - env[0]) < 0.2
+
+
+def test_cw_keyer_paris_timing():
+    cfg = cwkeyer.CWConfig(wpm=20.0, sample_rate=8000.0)
+    sched = cwkeyer.text_to_schedule("paris", cfg)
+    total = sum(dur for _, dur in sched)
+    # PARIS = 50 dot units exactly (standard word)
+    assert total == 50 * cfg.dot_samples
