@@ -30,6 +30,35 @@ COMPLEX_DTYPE = jnp.complex64
 AUDIO_DTYPE = jnp.int16
 
 
+#: Raw ingestion formats: name -> (dtype, zero offset, scale divisor).
+#: Mirrors the reference's per-ADC Decimators instantiations (SURVEY §8.1):
+#: u8 = RTL-SDR (DecimatorsU<..., quint8, 8, 127>), i8 = HackRF, i12 =
+#: Airspy/PlutoSDR (12-bit in int16), i16 = file/test source, i24 = 24-bit
+#: DSP mode (int32 container).
+INPUT_FORMATS = {
+    "i16": (jnp.int16, 0.0, 32768.0),
+    "u8": (jnp.uint8, 127.4, 128.0),
+    "i8": (jnp.int8, 0.0, 128.0),
+    "i12": (jnp.int16, 0.0, 2048.0),
+    "i24": (jnp.int32, 0.0, 8388608.0),
+}
+
+
+def iq_raw_to_complex64(raw: jnp.ndarray, fmt: str = "i16") -> jnp.ndarray:
+    """Interleaved raw I/Q in any supported ADC format -> complex64 [-1,1).
+
+    raw: (..., T, 2) (or (..., 2*T) interleaved). The offset/scale policy
+    replaces the reference's decimation_shifts tables (decimators.h:43-185):
+    normalization happens once at ingest, the float cascade needs no
+    per-stage shifts.
+    """
+    dtype, offset, scale = INPUT_FORMATS[fmt]
+    if raw.shape[-1] != 2:
+        raw = raw.reshape(*raw.shape[:-1], -1, 2)
+    f = (raw.astype(jnp.float32) - jnp.float32(offset)) * jnp.float32(1.0 / scale)
+    return (f[..., 0] + 1j * f[..., 1]).astype(jnp.complex64)
+
+
 def iq_int16_to_complex64(raw: jnp.ndarray) -> jnp.ndarray:
     """Interleaved int16 I/Q -> complex64 in [-1, 1).
 

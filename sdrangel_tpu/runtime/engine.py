@@ -42,6 +42,7 @@ class DeviceConfig:
     fc_pos: str = "cen"  # cen | inf | sup (devicesamplesource.cpp:84-110)
     dc_correction: bool = False
     iq_correction: bool = False
+    input_format: str = "i16"  # i16 | u8 | i8 | i12 | i24 (ADC width policy)
 
     @property
     def baseband_rate(self) -> float:
@@ -127,10 +128,11 @@ class RxPipeline:
         return state
 
     def _step_impl(self, state: dict, raw_iq: jnp.ndarray):
-        """raw_iq: (T_dev, 2) int16 at device rate. Returns (state', outs)
-        where outs maps channel index -> float32 audio block."""
-        x = (raw_iq.astype(jnp.float32) * (1.0 / SCALE_16))
-        x = (x[..., 0] + 1j * x[..., 1]).astype(jnp.complex64)
+        """raw_iq: (T_dev, 2) raw ADC samples at device rate. Returns
+        (state', outs) where outs maps channel index -> audio + meters."""
+        from ..dsp.types import iq_raw_to_complex64
+
+        x = iq_raw_to_complex64(raw_iq, self.device.input_format)
 
         corr_state, x = corrections.apply(
             state["corr"], x, self.device.dc_correction, self.device.iq_correction

@@ -148,3 +148,44 @@ def test_cli_info_and_demod(tmp_path):
     data, fs = wav.read_wav(out)
     a = data[:, 0].astype(np.float64)[len(data) // 2 :] / 32768.0
     assert _tone_snr(a, 1000.0, fs) > 25.0
+
+
+def test_input_formats():
+    """u8/i8/i12 ADC ingest paths (the DecimatorsU / per-ADC-width role)."""
+    import jax.numpy as jnp
+    from sdrangel_tpu.dsp.types import iq_raw_to_complex64
+
+    # u8 (RTL-SDR): 127.4 offset
+    raw = np.full((16, 2), 127, dtype=np.uint8)
+    x = np.asarray(jnp.stack([jnp.real(iq_raw_to_complex64(jnp.asarray(raw), "u8")),
+                              jnp.imag(iq_raw_to_complex64(jnp.asarray(raw), "u8"))]))
+    assert np.abs(x).max() < 0.01  # mid-scale ~ zero
+    raw255 = np.full((16, 2), 255, dtype=np.uint8)
+    x255 = np.asarray(jnp.real(iq_raw_to_complex64(jnp.asarray(raw255), "u8")))
+    assert 0.9 < x255.max() <= 1.0
+
+    # i12 in int16 container
+    raw12 = np.full((16, 2), 2047, dtype=np.int16)
+    x12 = np.asarray(jnp.real(iq_raw_to_complex64(jnp.asarray(raw12), "i12")))
+    assert 0.99 < x12.max() <= 1.0
+
+    # full pipeline with u8 input
+    rate = 192_000.0
+    device = DeviceConfig(sample_rate=rate, log2_decim=0, input_format="u8")
+    pipe = RxPipeline(
+        device, [ChannelSpec("sdrangel.channel.nfmdemod", 0.0, {"squelch_db": -60.0})]
+    )
+    src = testsource.TestSourceConfig(
+        sample_rate=rate, modulation="fm", tone_freq=1000.0,
+        fm_deviation=5000.0, amplitude=0.4,
+    )
+    iq = testsource.generate(src, pipe.device_block * 3)
+    raw_u8 = np.empty((len(iq), 2), dtype=np.uint8)
+    raw_u8[:, 0] = np.clip(iq.real * 128.0 + 127.4, 0, 255)
+    raw_u8[:, 1] = np.clip(iq.imag * 128.0 + 127.4, 0, 255)
+    audio = np.concatenate([
+        outs[0]["audio"]
+        for _, outs in pipe.run(lambda b, n: raw_u8[b * n : (b + 1) * n], 3)
+    ])
+    snr = _tone_snr(audio[len(audio) // 2 :], 1000.0, 48000.0)
+    assert snr > 20.0, f"u8 ingest NFM SNR {snr:.1f} dB"
