@@ -30,6 +30,7 @@ def _parse_channel(spec: str):
         "am": "sdrangel.channel.amdemod",
         "ssb": "sdrangel.channel.ssbdemod",
         "wfm": "sdrangel.channel.wfmdemod",
+        "bfm": "sdrangel.channel.bfm",
     }[kind]
     return uri, offset
 
@@ -145,8 +146,59 @@ def main(argv=None) -> int:
     ps.add_argument("--api-port", type=int, default=8091)  # mainparser.cpp default
     ps.set_defaults(fn=cmd_server)
 
+    pt = sub.add_parser("mod", help="modulate to a .sdriq file (Tx slice)")
+    pt.add_argument("--channel", required=True, help="kind:offset_hz (nfm|am|ssb|wfm)")
+    pt.add_argument("--rate", type=float, default=384000.0, help="DAC sample rate")
+    pt.add_argument("--log2-interp", type=int, default=0, choices=range(7))
+    pt.add_argument("--tone", type=float, default=1000.0, help="AF tone Hz")
+    pt.add_argument("--cw", default=None, metavar="TEXT", help="CW keying text")
+    pt.add_argument("--wpm", type=float, default=15.0)
+    pt.add_argument("--seconds", type=float, default=2.0)
+    pt.add_argument("--out", required=True, help="output .sdriq path")
+    pt.set_defaults(fn=cmd_mod)
+
     args = p.parse_args(argv)
     return args.fn(args)
+
+
+def cmd_mod(args) -> int:
+    from .channels import cwkeyer
+    from .io import sdriq
+    from .runtime.tx import TxChannelSpec, TxDeviceConfig, TxPipeline
+
+    kind, _, rest = args.channel.partition(":")
+    offset = float(rest) if rest else 0.0
+    uri = {
+        "nfm": "sdrangel.channeltx.modnfm",
+        "am": "sdrangel.channeltx.modam",
+        "ssb": "sdrangel.channeltx.modssb",
+        "wfm": "sdrangel.channeltx.modwfm",
+    }[kind]
+    device = TxDeviceConfig(sample_rate=args.rate, log2_interp=args.log2_interp)
+    pipe = TxPipeline(device, [TxChannelSpec(uri, offset, {})], block_af=4096)
+
+    keyer = None
+    if args.cw:
+        keyer = cwkeyer.CWKeyer(
+            args.cw, cwkeyer.CWConfig(wpm=args.wpm), loop=True
+        )
+
+    def af(b, c, count):
+        t = (b * count + np.arange(count)) / 48000.0
+        tone = np.sin(2 * np.pi * args.tone * t).astype(np.float32)
+        if keyer is not None:
+            tone = tone * keyer.next_block(count)
+        return tone
+
+    n_blocks = max(1, int(args.seconds * 48000.0) // 4096)
+    parts = list(pipe.run(af, n_blocks))
+    raw = np.concatenate(parts, axis=0)
+    sdriq.write(args.out, raw, sample_rate=int(args.rate))
+    print(
+        f"wrote {len(raw)} samples ({len(raw)/args.rate:.2f}s at {args.rate:.0f} S/s) "
+        f"to {args.out}", file=sys.stderr,
+    )
+    return 0
 
 
 def cmd_server(args) -> int:

@@ -26,7 +26,6 @@ import dataclasses
 import json
 import logging
 import re
-import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from ..runtime.session import Session

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..dsp import fftfilt, firdesign, iir, movingavg, nco, phasediscri, resampler
+from ..dsp import fftfilt, firdesign, iir, nco, phasediscri, resampler
 from ..dsp.scanops import saturating_counter
 
 PILOT_FREQ = 19000.0

@@ -13,8 +13,6 @@ into its half-band slot at each doubling.
 
 from __future__ import annotations
 
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

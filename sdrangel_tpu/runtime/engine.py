@@ -28,7 +28,6 @@ import numpy as np
 from ..channels.registry import REGISTRY
 from ..dsp import channelizer as chan
 from ..dsp import decimators as dec
-from ..dsp.types import SCALE_16
 from . import corrections
 
 

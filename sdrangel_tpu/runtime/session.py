@@ -20,7 +20,7 @@ from typing import Any, Optional
 import numpy as np
 
 from ..channels.registry import REGISTRY
-from ..io import sdriq, testsource, wav
+from ..io import sdriq, testsource
 from .engine import ChannelSpec, DeviceConfig, RxPipeline
 
 
@@ -71,6 +71,9 @@ class DeviceSet:
         self.audio_keep_blocks = 64
         self.blocks_processed = 0
         self.error: str = ""
+        # tracing/observability: wall-clock vs sample-clock (SURVEY §5 —
+        # the framework's per-block "real-time factor" metric)
+        self.realtime_factor = 0.0
 
     # -- configuration -----------------------------------------------------
 
@@ -181,11 +184,11 @@ class DeviceSet:
                         if len(buf) > self.audio_keep_blocks:
                             buf.pop(0)
                     self.blocks_processed += 1
+                dt = time.perf_counter() - t0
+                self.realtime_factor = block_seconds / max(dt, 1e-9)
                 b += 1
-                if self.source.throttle:
-                    dt = time.perf_counter() - t0
-                    if dt < block_seconds:
-                        time.sleep(block_seconds - dt)
+                if self.source.throttle and dt < block_seconds:
+                    time.sleep(block_seconds - dt)
         except Exception as e:  # StError state (dspdevicesourceengine.h:28)
             self.error = f"{type(e).__name__}: {e}"
         finally:
@@ -236,6 +239,7 @@ class Session:
                         "index": ds.index,
                         "state": "error" if ds.error else ("running" if ds.running else "idle"),
                         "error": ds.error,
+                        "realtimeFactor": round(ds.realtime_factor, 2),
                         "source": dataclasses.asdict(ds.source),
                         "channelcount": len(ds.channels),
                         "channels": [

@@ -10,7 +10,6 @@ records the device-rate stream as .sdriq. Block form: AF blocks → modulators
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
 
 import jax
 import jax.numpy as jnp
