@@ -154,10 +154,14 @@ def reference_equivalent(raw: np.ndarray, log2_decim: int = 6) -> np.ndarray:
     state = dec.init_state(log2_decim)
 
     @jax.jit
-    def run(c):
+    def run(state, c):
+        # state passed as an argument (a closure would embed the eager zero
+        # arrays as MLIR constants, forcing a device fetch some TPU runtimes
+        # cannot do); jit output gives the transfer a default layout
         _, y = dec.decimate_cascade(state, c, log2_decim, "cen")
-        # jit output so the device→host transfer sees a default layout
-        return jnp.stack([jnp.real(y), jnp.imag(y)])
+        # flattened: some TPU runtimes only implement device→host transfers
+        # for 1-D default-layout jit outputs
+        return jnp.concatenate([jnp.real(y), jnp.imag(y)])
 
-    y = np.asarray(run(jnp.asarray(c)))
+    y = np.asarray(run(state, jnp.asarray(c))).reshape(2, -1)
     return y[:, HALO >> log2_decim :]
