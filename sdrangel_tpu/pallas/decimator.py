@@ -18,8 +18,16 @@ DMAs overlapping tiles (+62-column halo), converts to f32, accumulates
 Alignment: the streaming cascade (zero-prepended per stage) equals
 y[M] = Σ_l h_eq[l]·x[2^k·M − D + l] with D = 62·(2^k − 1); padding h_eq
 with (−D mod 2^k) leading zeros puts the kernel on the same output grid, so
-this kernel is bit-compatible (to f32 rounding) with dsp/decimators.py —
-callers can swap paths freely (`use_pallas` in benchmarks).
+this kernel matches dsp/decimators.py to ~1e-3 absolute (the f64→f32
+rounding of the composed 3907-tap equivalent filter).
+
+Status (round 1): verified correct on real TPU v5e hardware. Throughput is
+currently limited by the VMEM live-range behavior of the unrolled tap loop
+(Mosaic materializes every shifted slice, capping tile_out at ~256 within
+the 16 MB scoped-VMEM limit → many small grid programs). The XLA conv path
+remains the production default (30+ GS/s at 2^21 blocks); planned fix:
+fori_loop + tpu.dynamic_rotate shifted reads and double-buffered DMA to
+restore large tiles.
 """
 
 from __future__ import annotations
@@ -150,18 +158,17 @@ def reference_equivalent(raw: np.ndarray, log2_decim: int = 6) -> np.ndarray:
     from ..dsp import decimators as dec
 
     x = raw.astype(np.float32) / 32768.0
-    c = (x[:, 0] + 1j * x[:, 1]).astype(np.complex64)
-    state = dec.init_state(log2_decim)
+    state = jax.jit(lambda: dec.init_state(log2_decim))()
 
     @jax.jit
-    def run(state, c):
-        # state passed as an argument (a closure would embed the eager zero
-        # arrays as MLIR constants, forcing a device fetch some TPU runtimes
-        # cannot do); jit output gives the transfer a default layout
+    def run(state, xf):
+        # complex64 is assembled INSIDE jit and returned as flat floats, and
+        # the cascade state enters as an argument rather than a closure:
+        # some TPU runtimes implement no eager complex64 ops/transfers and
+        # cannot fetch closure constants at trace time
+        c = (xf[:, 0] + 1j * xf[:, 1]).astype(jnp.complex64)
         _, y = dec.decimate_cascade(state, c, log2_decim, "cen")
-        # flattened: some TPU runtimes only implement device→host transfers
-        # for 1-D default-layout jit outputs
         return jnp.concatenate([jnp.real(y), jnp.imag(y)])
 
-    y = np.asarray(run(state, jnp.asarray(c))).reshape(2, -1)
+    y = np.asarray(run(state, jnp.asarray(x))).reshape(2, -1)
     return y[:, HALO >> log2_decim :]

@@ -152,9 +152,11 @@ def build_sharded_step(cfg: ShardedPipelineConfig, mesh: Mesh):
     )
 
     def init_fn():
-        state = demod_nfm.make_state(demod_cfg, batch_shape=(cfg.n_channels,))
-        carry = jnp.zeros((2, max(halo, 1)), dtype=jnp.float32)
-        return state, carry
+        def impl():
+            state = demod_nfm.make_state(demod_cfg, batch_shape=(cfg.n_channels,))
+            carry = jnp.zeros((2, max(halo, 1)), dtype=jnp.float32)
+            return state, carry
+        return jax.jit(impl)()  # eager complex creation unsupported on some runtimes
 
     return step, init_fn
 

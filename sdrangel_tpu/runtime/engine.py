@@ -113,6 +113,11 @@ class RxPipeline:
     # -- the fused step ----------------------------------------------------
 
     def init_state(self) -> dict:
+        """States are created inside jit: some TPU runtimes cannot execute
+        eager complex64 array creation (see .claude/skills/verify/SKILL.md)."""
+        return jax.jit(self._init_state_impl)()
+
+    def _init_state_impl(self) -> dict:
         state: dict[str, Any] = {
             "corr": corrections.make_state(),
             "dev_casc": dec.init_state(self.device.log2_decim),

@@ -87,6 +87,9 @@ class TxPipeline:
         return per_ch << self.device.log2_interp
 
     def init_state(self) -> dict:
+        return jax.jit(self._init_state_impl)()
+
+    def _init_state_impl(self) -> dict:
         return {
             "mod": [
                 make_state(cfg)
