@@ -108,6 +108,17 @@ class ApiHandler(BaseHTTPRequestHandler):
                         "audioSamples": ch.audio_samples,
                     },
                 )
+            if p == "/sdrangel/channels":
+                from ..channels.registry import REGISTRY
+
+                return self._json(
+                    200,
+                    {"channelcount": len(REGISTRY),
+                     "channels": [
+                         {"uri": uri, "direction": k.direction}
+                         for uri, k in sorted(REGISTRY.items())
+                     ]},
+                )
             if p == "/sdrangel/presets":
                 return self._json(
                     200, {"presets": sorted(self.session.presets.keys())}

@@ -204,12 +204,30 @@ class DeviceSet:
 
 
 class Session:
-    """MainCore: the device-set collection + presets."""
+    """MainCore: the device-set collection + presets.
 
-    def __init__(self):
+    Presets persist to a JSON file (the reference stores Base64-TLV blobs in
+    QSettings, mainsettings.cpp; JSON is the idiomatic equivalent here)."""
+
+    def __init__(self, preset_path: str | None = None):
         self.device_sets: list[DeviceSet] = []
         self.presets: dict[str, dict] = {}
         self.start_time = time.time()
+        self.preset_path = preset_path
+        if preset_path:
+            import json
+            import os
+
+            if os.path.exists(preset_path):
+                with open(preset_path) as f:
+                    self.presets = json.load(f)
+
+    def _persist_presets(self) -> None:
+        if self.preset_path:
+            import json
+
+            with open(self.preset_path, "w") as f:
+                json.dump(self.presets, f, indent=1)
 
     def add_device_set(self) -> DeviceSet:
         ds = DeviceSet(len(self.device_sets))
@@ -278,6 +296,7 @@ class Session:
                 for ds in self.device_sets
             ],
         }
+        self._persist_presets()
         return self.presets[key]
 
     def load_preset(self, group: str, name: str) -> None:

@@ -134,3 +134,28 @@ def test_logging_endpoint(api):
     assert code == 200
     code, body = _req(base, "/sdrangel/logging")
     assert body["consoleLevel"] == "WARNING"
+
+
+def test_channels_listing(api):
+    base, _ = api
+    code, body = _req(base, "/sdrangel/channels")
+    assert code == 200
+    uris = [c["uri"] for c in body["channels"]]
+    assert "sdrangel.channel.nfmdemod" in uris
+    assert "sdrangel.channel.bfm" in uris
+
+
+def test_preset_persistence(tmp_path):
+    import json
+
+    from sdrangel_tpu.runtime.session import Session
+
+    path = str(tmp_path / "presets.json")
+    s1 = Session(preset_path=path)
+    s1.add_device_set()
+    s1.device_sets[0].add_channel("sdrangel.channel.amdemod")
+    s1.save_preset("g", "p")
+    s2 = Session(preset_path=path)
+    assert "g/p" in s2.presets
+    s2.load_preset("g", "p")
+    assert s2.device_sets[0].channels[0].uri == "sdrangel.channel.amdemod"
