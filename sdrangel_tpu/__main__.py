@@ -104,7 +104,7 @@ def cmd_demod(args) -> int:
     audio_parts = []
     t0 = time.perf_counter()
     for idx, outs in pipe.run(source, n_blocks):
-        audio_parts.append(outs[0]["audio"])
+        audio_parts.append(outs["channels"][0]["audio"])
     elapsed = time.perf_counter() - t0
     audio = np.concatenate(audio_parts, axis=-1)
     wav.write_wav(args.out, audio, int(48000))

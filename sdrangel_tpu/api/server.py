@@ -35,6 +35,7 @@ logger = logging.getLogger("sdrangel_tpu.api")
 _DEVICESET = re.compile(r"^/sdrangel/deviceset/(\d+)$")
 _DEVICE_SETTINGS = re.compile(r"^/sdrangel/deviceset/(\d+)/device/settings$")
 _DEVICE_RUN = re.compile(r"^/sdrangel/deviceset/(\d+)/device/run$")
+_SPECTRUM = re.compile(r"^/sdrangel/deviceset/(\d+)/spectrum$")
 _CHANNEL = re.compile(r"^/sdrangel/deviceset/(\d+)/channel$")
 _CHANNEL_IDX = re.compile(r"^/sdrangel/deviceset/(\d+)/channel/(\d+)$")
 _CHANNEL_SETTINGS = re.compile(r"^/sdrangel/deviceset/(\d+)/channel/(\d+)/settings$")
@@ -85,6 +86,15 @@ class ApiHandler(BaseHTTPRequestHandler):
             if m := _DEVICE_SETTINGS.match(p):
                 ds = s.device_sets[int(m.group(1))]
                 return self._json(200, dataclasses.asdict(ds.source))
+            if m := _SPECTRUM.match(p):
+                ds = s.device_sets[int(m.group(1))]
+                if ds.spectrum is None:
+                    return self._error(404, "no spectrum yet (device not running)")
+                return self._json(
+                    200,
+                    {"fftSize": len(ds.spectrum),
+                     "spectrum": [round(float(v), 2) for v in ds.spectrum]},
+                )
             if m := _CHANNEL_SETTINGS.match(p):
                 ds = s.device_sets[int(m.group(1))]
                 ch = ds.channels[int(m.group(2))]

@@ -1,0 +1,53 @@
+"""Symbol timing synchronizer (Gardner) — the liquid-dsp symsync role.
+
+Reference: sdrbase/dsp/symsync.{h,cpp} wraps liquid-dsp's polyphase symbol
+synchronizer for PSK-style streams (used by DATV). TPU form: the stream is
+oversampled at `sps` samples/symbol; a block-level Gardner detector measures
+the average timing error over all symbols of the block (one reduction, no
+per-symbol loop), a small loop filter carried across blocks converges the
+fractional phase, and symbols are picked by gather at the corrected phase.
+Per-symbol feedback becomes per-block feedback — valid when the clock
+offset is ≪ 1 symbol per block, which block sizing guarantees.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+
+class SymSyncState(NamedTuple):
+    mu: jnp.ndarray  # fractional timing phase in samples [0, sps)
+    freq: jnp.ndarray  # timing frequency error (samples/symbol drift)
+
+
+def make_state(batch_shape=()) -> SymSyncState:
+    return SymSyncState(
+        jnp.zeros(batch_shape, jnp.float32), jnp.zeros(batch_shape, jnp.float32)
+    )
+
+
+def synchronize_block(
+    state: SymSyncState,
+    x: jnp.ndarray,
+    sps: int,
+    loop_gain: float = 0.05,
+) -> tuple[SymSyncState, jnp.ndarray]:
+    """x: (..., T) complex at sps samples/symbol, T a multiple of sps.
+    Returns (state', symbols (..., T/sps - 1) complex) sampled at the
+    tracked instant. Gardner error: e = Re[(y_k − y_{k−1})·conj(y_mid)]."""
+    n_sym = x.shape[-1] // sps - 1  # last symbol kept as look-ahead margin
+    base = jnp.arange(n_sym) * sps
+    mu_i = jnp.round(state.mu).astype(jnp.int32)
+
+    on_time = x[..., base + mu_i]
+    nxt = x[..., base + sps + mu_i]
+    mid = x[..., base + sps // 2 + mu_i]
+    err = jnp.mean(
+        jnp.real((nxt - on_time) * jnp.conj(mid)), axis=-1
+    )  # >0: sample late
+
+    freq = state.freq + 0.1 * loop_gain * err
+    mu = jnp.mod(state.mu + loop_gain * err * sps + freq, float(sps))
+    return SymSyncState(mu.astype(jnp.float32), freq.astype(jnp.float32)), nxt

@@ -28,6 +28,7 @@ import numpy as np
 from ..channels.registry import REGISTRY
 from ..dsp import channelizer as chan
 from ..dsp import decimators as dec
+from ..dsp import spectrum as dsp_spectrum
 from . import corrections
 
 
@@ -90,6 +91,10 @@ class RxPipeline:
             )
             self.demod_cfgs.append(cfg)
 
+        # device-level spectrum tap (the SpectrumVis direct-sink role)
+        self.spectrum_cfg = dsp_spectrum.SpectrumConfig(
+            fft_size=1024, averaging_mode="moving", averaging_n=8
+        )
         self._step = jax.jit(self._step_impl)
 
     # -- block-size solving ------------------------------------------------
@@ -120,6 +125,7 @@ class RxPipeline:
     def _init_state_impl(self) -> dict:
         state: dict[str, Any] = {
             "corr": corrections.make_state(),
+            "spectrum": dsp_spectrum.make_state(self.spectrum_cfg),
             "dev_casc": dec.init_state(self.device.log2_decim),
             "chan": [
                 chan.init_state(len(plan.signs)) for plan in self.plans
@@ -159,13 +165,18 @@ class RxPipeline:
             demod_states.append(dstate)
             outs.append({"audio": audio, "power": power.astype(jnp.float32)})
 
+        spec_state, bb_spectrum = dsp_spectrum.power_spectrum(
+            state["spectrum"], bb, self.spectrum_cfg
+        )
+
         new_state = {
             "corr": corr_state,
             "dev_casc": dev_state,
             "chan": chan_states,
             "demod": demod_states,
+            "spectrum": spec_state,
         }
-        return new_state, outs
+        return new_state, {"channels": outs, "spectrum": bb_spectrum}
 
     # -- host loop ---------------------------------------------------------
 
@@ -183,10 +194,11 @@ class RxPipeline:
         state = state or self.init_state()
 
         def to_host(outs):
-            return [
+            host = [
                 {"audio": np.asarray(o["audio"]), "power": float(o["power"])}
-                for o in outs
+                for o in outs["channels"]
             ]
+            return {"channels": host, "spectrum": np.asarray(outs["spectrum"])}
 
         pending = []  # (idx, device arrays) — drain one behind for overlap
         for b in range(n_blocks):

@@ -74,6 +74,7 @@ class DeviceSet:
         # tracing/observability: wall-clock vs sample-clock (SURVEY §5 —
         # the framework's per-block "real-time factor" metric)
         self.realtime_factor = 0.0
+        self.spectrum: np.ndarray | None = None  # latest baseband spectrum
 
     # -- configuration -----------------------------------------------------
 
@@ -170,7 +171,8 @@ class DeviceSet:
                 raw = reader(b, pipe.device_block)
                 state, outs = pipe._step(state, jnp.asarray(raw))
                 with self._lock:
-                    for i, out in enumerate(outs):
+                    self.spectrum = np.asarray(outs["spectrum"])
+                    for i, out in enumerate(outs["channels"]):
                         audio = np.asarray(out["audio"])
                         power = float(out["power"])
                         ch = self.channels[i]

@@ -159,3 +159,31 @@ def test_preset_persistence(tmp_path):
     assert "g/p" in s2.presets
     s2.load_preset("g", "p")
     assert s2.device_sets[0].channels[0].uri == "sdrangel.channel.amdemod"
+
+
+def test_spectrum_endpoint(api):
+    base, _ = api
+    _req(base, "/sdrangel/devicesets", "POST")
+    code, body = _req(base, "/sdrangel/deviceset/0/spectrum")
+    assert code == 404  # not running yet
+    _req(base, "/sdrangel/deviceset/0/device/settings", "PATCH",
+         {"kind": "testsource", "sample_rate": 192000.0, "carrier_freq": 30000.0})
+    _req(base, "/sdrangel/deviceset/0/channel", "POST",
+         {"channelType": "sdrangel.channel.nfmdemod"})
+    _req(base, "/sdrangel/deviceset/0/device/run", "POST")
+    deadline = time.time() + 60
+    body = None
+    while time.time() < deadline:
+        code, body = _req(base, "/sdrangel/deviceset/0/spectrum")
+        if code == 200:
+            break
+        time.sleep(0.5)
+    _req(base, "/sdrangel/deviceset/0/device/run", "DELETE")
+    assert code == 200 and body["fftSize"] == 1024
+    spec = np.asarray(body["spectrum"])
+    # the +30 kHz FM signal peaks in the upper half (negative freqs first);
+    # with deviation 5 kHz the spectral peak sits near carrier ± deviation
+    peak = spec.argmax()
+    expect = 512 + int(30000.0 / 192000.0 * 1024)
+    dev_bins = int(6000.0 / 192000.0 * 1024) + 2
+    assert abs(peak - expect) <= dev_bins, (peak, expect)

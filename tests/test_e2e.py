@@ -60,7 +60,7 @@ def test_file_to_wav_nfm(tmp_path):
 
     _, mm = sdriq.open_mmap(path)
     audio_parts = [
-        outs[0]["audio"]
+        outs["channels"][0]["audio"]
         for _, outs in pipe.run(
             lambda b, n: sdriq.read_block(mm, b * n, n), n_blocks
         )
@@ -108,8 +108,8 @@ def test_two_channels_one_pass(tmp_path):
 
     chunks = {0: [], 1: []}
     for _, outs in pipe.run(lambda b, n: raw[b * n : (b + 1) * n], n_blocks):
-        chunks[0].append(outs[0]["audio"])
-        chunks[1].append(outs[1]["audio"])
+        chunks[0].append(outs["channels"][0]["audio"])
+        chunks[1].append(outs["channels"][1]["audio"])
     nfm_audio = np.concatenate(chunks[0])
     am_audio = np.concatenate(chunks[1])
     snr_fm = _tone_snr(nfm_audio[len(nfm_audio) // 2 :], 800.0, 48000.0)
@@ -184,7 +184,7 @@ def test_input_formats():
     raw_u8[:, 0] = np.clip(iq.real * 128.0 + 127.4, 0, 255)
     raw_u8[:, 1] = np.clip(iq.imag * 128.0 + 127.4, 0, 255)
     audio = np.concatenate([
-        outs[0]["audio"]
+        outs["channels"][0]["audio"]
         for _, outs in pipe.run(lambda b, n: raw_u8[b * n : (b + 1) * n], 3)
     ])
     snr = _tone_snr(audio[len(audio) // 2 :], 1000.0, 48000.0)

@@ -188,3 +188,43 @@ def test_rc_lowpass_smooths():
     _, y = iir.rc_lowpass(st, jnp.asarray(x), 20.0)
     y = np.asarray(y)
     assert y[0] < 0.1 and y[-1] > 0.99  # exponential approach to 1
+
+
+# --- fftcorr / symsync -----------------------------------------------------
+
+def test_fftcorr_finds_delay():
+    from sdrangel_tpu.dsp import fftcorr
+
+    rng = np.random.default_rng(7)
+    n = 2048
+    a = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(np.complex64)
+    delay = 37
+    b = np.roll(a, delay)
+    st = fftcorr.make_state(1024)
+    _, corr = fftcorr.correlate_block(st, jnp.asarray(b), jnp.asarray(a), 1024)
+    lags = np.abs(np.asarray(corr)[-1])
+    assert lags.argmax() == delay
+
+
+def test_symsync_converges():
+    from sdrangel_tpu.dsp import symsync
+
+    rng = np.random.default_rng(11)
+    sps = 8
+    n_sym = 512
+    bits = rng.integers(0, 2, n_sym * 3) * 2 - 1
+    # rectangular-ish BPSK at sps samples/symbol with a timing offset of 3
+    wave = np.repeat(bits.astype(np.float32), sps)
+    # smooth transitions so mid-symbol samples carry timing info
+    wave = np.convolve(wave, np.ones(sps) / sps, mode="same")
+    offset = 3
+    x = (wave[offset:] + 0j).astype(np.complex64)
+    st = symsync.make_state()
+    block = n_sym * sps
+    for b in range(3):
+        st, syms = symsync.synchronize_block(
+            st, jnp.asarray(x[b * block : (b + 1) * block]), sps
+        )
+    # after convergence the sampled symbols are near +-1 (not transitions)
+    s = np.real(np.asarray(syms))
+    assert np.abs(s).mean() > 0.8, np.abs(s).mean()

@@ -46,7 +46,7 @@ def test_tx_rx_loopback(uri, rx_uri, offset):
     assert n_rx >= 2, (len(raw), rx.device_block)
 
     audio = np.concatenate([
-        outs[0]["audio"]
+        outs["channels"][0]["audio"]
         for _, outs in rx.run(lambda b, n: raw[b * n : (b + 1) * n], n_rx)
     ])
     a = audio[len(audio) // 2 :]
