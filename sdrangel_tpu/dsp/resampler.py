@@ -6,18 +6,25 @@ Hamming window 0.54-0.46cos, ntaps rounded even then ×phases, normalized by
 DC gain) and resamples with a fractional `distance` accumulator selecting the
 phase leg `floor(distance * phaseSteps)` per output (interpolator.h:23-52).
 
-TPU design: the in/out ratio is rational p/q (channel rates are power-of-two
-divisions of the device rate; audio is 48 kHz), so for block length T ≡ 0
-(mod p) the per-output input index and phase leg repeat exactly every block.
-They are precomputed on the host; the block kernel is a gather into strided
-frames followed by an einsum against the per-output tap legs — an MXU-shaped
-dense contraction with static shapes. Carried state is the ntaps-1 input tail
-(plus nothing else: the distance pattern is block-periodic by construction).
+TPU design: the in/out ratio is rational p/q, so for block length T ≡ 0
+(mod p) the per-output input index and phase leg repeat exactly every q
+outputs and every block. Two conv formulations replace the reference's
+per-sample loop (both static-shaped, no gathers — gathers compiled
+pathologically on TPU):
+  "conv"   — small q: one conv with lhs_dilation=q, window_strides=p;
+  "gather" — awkward ratios (e.g. 156250/48000 = 625/192): the reference's
+             16-phase schedule recast as ONE multi-output-channel strided
+             conv — residue class j of the output grid becomes conv channel
+             j whose kernel is phase leg phase[j] placed at offset
+             start_idx[j] (see _polyphase_conv_kernels).
+Carried state is the ntaps-1 input tail (the distance pattern is
+block-periodic by construction, so no phase carry is needed).
 """
 
 from __future__ import annotations
 
 import dataclasses
+import functools
 from fractions import Fraction
 from typing import NamedTuple
 
@@ -73,9 +80,9 @@ class ResamplerPlan:
                  lhs_dilation=q and window_strides=p (the textbook polyphase
                  structure; no gathers — used when q is small, which covers
                  every power-of-two rate plan). Ignores phase/start tables.
-      "gather" — the reference's 16-phase nearest-leg approximation
-                 (interpolator.h:23-52) via gather+einsum, for awkward
-                 ratios like 156250/48000 = 625/192.
+      "gather" — the reference's 16-phase nearest-leg schedule
+                 (interpolator.h:23-52) executed as one multi-channel
+                 strided conv (kernels from _polyphase_conv_kernels).
     """
 
     in_rate: float
@@ -95,6 +102,14 @@ class ResamplerPlan:
     @property
     def ratio(self) -> float:
         return self.in_rate / self.out_rate
+
+    @property
+    def _pq_eff(self) -> tuple[int, int]:
+        return self.p, self.q
+
+    @functools.cached_property
+    def residue_kernels(self) -> np.ndarray:
+        return _polyphase_conv_kernels(self)
 
 
 def make_plan(
@@ -184,6 +199,9 @@ def make_plan(
         taps=taps,
         start_idx=np.asarray(start_idx, dtype=np.int32),
         phase=np.asarray(phase, dtype=np.int32),
+        mode="gather",
+        p=p,
+        q=q,
     )
 
 
@@ -231,17 +249,43 @@ def resample_block(
     assert x.shape[-1] == plan.block_in
     if plan.mode == "conv":
         return _resample_conv(state, x, plan)
+    return _resample_polyphase_conv(state, x, plan)
+
+
+def _polyphase_conv_kernels(plan: ResamplerPlan) -> np.ndarray:
+    p_, q_ = plan._pq_eff
+    starts = plan.start_idx[:q_]
+    legs = plan.taps[:, ::-1]  # newest-first flip (reference ring order)
+    sel = legs[plan.phase[:q_]]  # (q, ntaps)
+    l_full = int(starts.max()) + plan.ntaps
+    rhs = np.zeros((q_, 1, l_full), dtype=np.float32)
+    for j in range(q_):
+        rhs[j, 0, starts[j] : starts[j] + plan.ntaps] = sel[j]
+    return rhs
+
+
+def _resample_polyphase_conv(
+    state: ResamplerState, x: jnp.ndarray, plan: ResamplerPlan
+) -> tuple[ResamplerState, jnp.ndarray]:
+    import jax
+
+    rhs_np = plan.residue_kernels
+    q_ = rhs_np.shape[0]
     ext = jnp.concatenate([state.tail, x], axis=-1)
-    # frames: (..., block_out, ntaps)
-    idx = jnp.asarray(plan.start_idx, dtype=jnp.int32)
-    offs = jnp.arange(plan.ntaps, dtype=jnp.int32)
-    gather = idx[:, None] + offs[None, :]
-    frames = ext[..., gather]
-    # reference doInterpolate: m_samples[m_ptr] is the *newest* sample and
-    # taps run oldest->newest across the ring; our frames are oldest-first so
-    # flip the legs.
-    legs = jnp.asarray(plan.taps[:, ::-1].copy())  # (phases, ntaps)
-    sel = legs[jnp.asarray(plan.phase)]  # (block_out, ntaps)
-    y = jnp.einsum("...ot,ot->...o", frames, sel.astype(jnp.complex64))
-    new_tail = ext[..., plan.block_in :]
-    return ResamplerState(new_tail), y.astype(jnp.complex64)
+    batch_shape = ext.shape[:-1]
+    lanes = jnp.stack([jnp.real(ext), jnp.imag(ext)], axis=0)
+    lhs = lanes.reshape(-1, 1, ext.shape[-1])
+    out = jax.lax.conv_general_dilated(
+        lhs,
+        jnp.asarray(rhs_np),
+        window_strides=(plan._pq_eff[0],),
+        padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )  # (2*prod(batch), q, M')
+    m_per = plan.block_out // q_
+    out = out[..., :m_per]
+    # interleave residues back into time order: y[q*m' + j]
+    out = jnp.swapaxes(out, -1, -2).reshape(out.shape[0], plan.block_out)
+    out = out.reshape(2, *batch_shape, plan.block_out)
+    y = (out[0] + 1j * out[1]).astype(jnp.complex64)
+    return ResamplerState(ext[..., plan.block_in :]), y
