@@ -22,6 +22,7 @@ class ChannelKind:
     make_state: Callable[..., Any]
     process: Callable[..., Any]
     direction: str = "rx"
+    needs_fft_hop: bool = False  # demod uses fftfilt -> block must divide its hop
 
 
 REGISTRY: dict[str, ChannelKind] = {}
@@ -40,9 +41,9 @@ register(ChannelKind("sdrangel.channel.nfmdemod", demod_nfm.NFMConfig,
 register(ChannelKind("sdrangel.channel.amdemod", demod_am.AMConfig,
                      demod_am.make_state, demod_am.process))
 register(ChannelKind("sdrangel.channel.ssbdemod", demod_ssb.SSBConfig,
-                     demod_ssb.make_state, demod_ssb.process))
+                     demod_ssb.make_state, demod_ssb.process, needs_fft_hop=True))
 register(ChannelKind("sdrangel.channel.wfmdemod", demod_wfm.WFMConfig,
-                     demod_wfm.make_state, demod_wfm.process))
+                     demod_wfm.make_state, demod_wfm.process, needs_fft_hop=True))
 def _bfm_process_engine(state, x, cfg, offset_hz=None):
     """Engine adapter: BFM emits rich outputs; the engine consumes audio.
     (RDS consumers use demod_bfm.process directly for the full outputs.)"""
@@ -51,4 +52,4 @@ def _bfm_process_engine(state, x, cfg, offset_hz=None):
 
 
 register(ChannelKind("sdrangel.channel.bfm", demod_bfm.BFMConfig,
-                     demod_bfm.make_state, _bfm_process_engine))
+                     demod_bfm.make_state, _bfm_process_engine, needs_fft_hop=True))

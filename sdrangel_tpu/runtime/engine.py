@@ -104,15 +104,27 @@ class RxPipeline:
         ×4 for rotation patterns, ×2^stages for each channel's cascade, the
         resampler's rational numerator, and fftfilt hop sizes."""
         need = 4 << self.device.log2_decim
-        for spec, plan in zip(self.channel_specs, self.plans):
+        for spec, plan, kind in zip(self.channel_specs, self.plans, self.kinds):
             k = len(plan.signs)
             p = Fraction(plan.channel_rate / 48000.0).limit_denominator(1 << 20).numerator
-            hop = 512  # fft_len 1024 default
-            need = math.lcm(need, (4 << k), p << k, hop << k)
+            frac = Fraction(plan.channel_rate / 48000.0).limit_denominator(1 << 20)
+            need = math.lcm(need, (4 << k), p << k)
+            if kind.needs_fft_hop:
+                # the fftfilt may run at channel rate (WFM) or audio rate
+                # (SSB/BFM): constrain the hop (fft_len/2) to divide both
+                hop = 512
+                audio_need = p * hop // math.gcd(frac.denominator, hop)
+                need = math.lcm(need, hop << k, audio_need << k)
         block = need
         target = requested or (1 << 17)
         while block < target:
             block *= 2
+        if (block << self.device.log2_decim) > (1 << 25):
+            raise ValueError(
+                f"block of {block << self.device.log2_decim} device samples "
+                f"needed to satisfy rate divisibility — pick rates with "
+                f"smaller rational factors vs 48 kHz (plans: {self.plans})"
+            )
         return block
 
     # -- the fused step ----------------------------------------------------
