@@ -20,11 +20,14 @@ import jax.numpy as jnp
 class SymSyncState(NamedTuple):
     mu: jnp.ndarray  # fractional timing phase in samples [0, sps)
     freq: jnp.ndarray  # timing frequency error (samples/symbol drift)
+    tail: jnp.ndarray  # (..., 2*sps) carried samples (look-ahead margin)
 
 
-def make_state(batch_shape=()) -> SymSyncState:
+def make_state(batch_shape=(), sps: int = 10) -> SymSyncState:
     return SymSyncState(
-        jnp.zeros(batch_shape, jnp.float32), jnp.zeros(batch_shape, jnp.float32)
+        jnp.zeros(batch_shape, jnp.float32),
+        jnp.zeros(batch_shape, jnp.float32),
+        jnp.zeros((*batch_shape, 2 * sps), jnp.complex64),
     )
 
 
@@ -35,19 +38,27 @@ def synchronize_block(
     loop_gain: float = 0.05,
 ) -> tuple[SymSyncState, jnp.ndarray]:
     """x: (..., T) complex at sps samples/symbol, T a multiple of sps.
-    Returns (state', symbols (..., T/sps - 1) complex) sampled at the
-    tracked instant. Gardner error: e = Re[(y_k − y_{k−1})·conj(y_mid)]."""
-    n_sym = x.shape[-1] // sps - 1  # last symbol kept as look-ahead margin
+    Returns (state', symbols (..., T/sps) complex) sampled at the tracked
+    instant — exactly T/sps symbols per block, no loss across seams (the
+    2·sps carried tail provides the mid/next look-ahead margin).
+    Gardner error: e = Re[(y_k − y_{k−1})·conj(y_mid)]."""
+    assert x.shape[-1] % sps == 0, (x.shape, sps)
+    ext = jnp.concatenate([state.tail, x], axis=-1)
+    n_sym = x.shape[-1] // sps
     base = jnp.arange(n_sym) * sps
     mu_i = jnp.round(state.mu).astype(jnp.int32)
 
-    on_time = x[..., base + mu_i]
-    nxt = x[..., base + sps + mu_i]
-    mid = x[..., base + sps // 2 + mu_i]
+    on_time = ext[..., base + mu_i]
+    nxt = ext[..., base + sps + mu_i]
+    mid = ext[..., base + sps // 2 + mu_i]
     err = jnp.mean(
         jnp.real((nxt - on_time) * jnp.conj(mid)), axis=-1
     )  # >0: sample late
 
     freq = state.freq + 0.1 * loop_gain * err
     mu = jnp.mod(state.mu + loop_gain * err * sps + freq, float(sps))
-    return SymSyncState(mu.astype(jnp.float32), freq.astype(jnp.float32)), nxt
+    new_tail = ext[..., x.shape[-1] :]
+    return (
+        SymSyncState(mu.astype(jnp.float32), freq.astype(jnp.float32), new_tail),
+        nxt,
+    )

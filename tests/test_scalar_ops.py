@@ -219,8 +219,9 @@ def test_symsync_converges():
     wave = np.convolve(wave, np.ones(sps) / sps, mode="same")
     offset = 3
     x = (wave[offset:] + 0j).astype(np.complex64)
-    st = symsync.make_state()
-    block = n_sym * sps
+    x = x[: len(x) // sps * sps]
+    st = symsync.make_state(sps=sps)
+    block = (n_sym - 8) * sps
     for b in range(3):
         st, syms = symsync.synchronize_block(
             st, jnp.asarray(x[b * block : (b + 1) * block]), sps
