@@ -85,7 +85,8 @@ class ApiHandler(BaseHTTPRequestHandler):
                 return self._json(200, s.summary()["devicesetlist"]["deviceSets"][ds.index])
             if m := _DEVICE_SETTINGS.match(p):
                 ds = s.device_sets[int(m.group(1))]
-                return self._json(200, dataclasses.asdict(ds.source))
+                target = ds.sink if ds.direction == "tx" else ds.source
+                return self._json(200, dataclasses.asdict(target))
             if m := _SPECTRUM.match(p):
                 ds = s.device_sets[int(m.group(1))]
                 if ds.spectrum is None:
@@ -147,8 +148,8 @@ class ApiHandler(BaseHTTPRequestHandler):
         body = self._body()
         try:
             if p == "/sdrangel/devicesets":
-                ds = s.add_device_set()
-                return self._json(201, {"index": ds.index})
+                ds = s.add_device_set(body.get("direction", "rx"))
+                return self._json(201, {"index": ds.index, "direction": ds.direction})
             if m := _DEVICE_RUN.match(p):
                 ds = s.device_sets[int(m.group(1))]
                 ds.start()
@@ -182,10 +183,11 @@ class ApiHandler(BaseHTTPRequestHandler):
         try:
             if m := _DEVICE_SETTINGS.match(p):
                 ds = s.device_sets[int(m.group(1))]
+                target = ds.sink if ds.direction == "tx" else ds.source
                 for k, v in body.items():
-                    if hasattr(ds.source, k):
-                        setattr(ds.source, k, v)
-                return self._json(200, dataclasses.asdict(ds.source))
+                    if hasattr(target, k):
+                        setattr(target, k, v)
+                return self._json(200, dataclasses.asdict(target))
             if m := _CHANNEL_SETTINGS.match(p):
                 ds = s.device_sets[int(m.group(1))]
                 j = int(m.group(2))

@@ -22,6 +22,7 @@ import numpy as np
 from ..channels.registry import REGISTRY
 from ..io import sdriq, testsource
 from .engine import ChannelSpec, DeviceConfig, RxPipeline
+from .tx import _MOD_KINDS, TxChannelSpec, TxDeviceConfig, TxPipeline
 
 
 @dataclasses.dataclass
@@ -58,6 +59,8 @@ class SourceSettings:
 
 class DeviceSet:
     """One source + its channels (sdrsrv/device/deviceset.h:31-53)."""
+
+    direction = "rx"
 
     def __init__(self, index: int):
         self.index = index
@@ -205,6 +208,115 @@ class DeviceSet:
         return np.concatenate(parts, axis=-1)
 
 
+@dataclasses.dataclass
+class SinkSettings:
+    """Tx device sink settings (the filesink/DAC role)."""
+
+    file_path: str = "/tmp/sdrangel_tpu_tx.sdriq"
+    sample_rate: float = 384000.0
+    center_frequency: float = 0.0
+    log2_interp: int = 0
+
+
+class TxDeviceSet:
+    """Sink device set: modulator channels -> merged baseband -> .sdriq
+    (the DSPDeviceSinkEngine + filesink pairing, driven like an Rx set)."""
+
+    direction = "tx"
+
+    def __init__(self, index: int):
+        self.index = index
+        self.sink = SinkSettings()
+        self.channels: list[ChannelState] = []
+        self.running = False
+        self._thread: Optional[threading.Thread] = None
+        self._stop = threading.Event()
+        self.blocks_processed = 0
+        self.error: str = ""
+        self.realtime_factor = 0.0
+        self.spectrum = None
+
+    def add_channel(self, uri: str, settings: dict | None = None) -> int:
+        if uri not in _MOD_KINDS:
+            raise KeyError(uri)
+        settings = dict(settings or {})
+        offset = float(settings.pop("inputFrequencyOffset", 0.0))
+        self.channels.append(ChannelState(uri, offset, settings))
+        return len(self.channels) - 1
+
+    def remove_channel(self, index: int) -> None:
+        del self.channels[index]
+
+    def update_channel(self, index: int, settings: dict) -> None:
+        ch = self.channels[index]
+        if "inputFrequencyOffset" in settings:
+            ch.frequency_offset = float(settings.pop("inputFrequencyOffset"))
+        ch.settings.update(settings)
+
+    def start(self) -> None:
+        if self.running:
+            return
+        self._stop.clear()
+        self.error = ""
+        self._thread = threading.Thread(target=self._work, daemon=True)
+        self._thread.start()
+        self.running = True
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread:
+            self._thread.join(timeout=30.0)
+        self.running = False
+
+    def _work(self) -> None:
+        try:
+            device = TxDeviceConfig(
+                sample_rate=self.sink.sample_rate,
+                log2_interp=self.sink.log2_interp,
+                center_frequency=self.sink.center_frequency,
+            )
+            specs = []
+            tones = []
+            for ch in self.channels:
+                settings = dict(ch.settings)
+                tones.append(float(settings.pop("toneFrequency", 1000.0)))
+                specs.append(TxChannelSpec(ch.uri, ch.frequency_offset, settings))
+            pipe = TxPipeline(device, specs, block_af=4096)
+
+            def af(b, c, count):
+                t = (b * count + np.arange(count)) / 48000.0
+                return np.sin(2 * np.pi * tones[c] * t).astype(np.float32)
+
+            block_seconds = pipe.device_block / self.sink.sample_rate
+            parts = []
+            b = 0
+            state = pipe.init_state()
+            import jax.numpy as jnp
+
+            while not self._stop.is_set():
+                t0 = time.perf_counter()
+                afs = [jnp.asarray(af(b, c, 4096)) for c in range(len(specs))]
+                state, out = pipe._step(state, afs)
+                parts.append(np.asarray(out))
+                for i, ch in enumerate(self.channels):
+                    ch.audio_samples += 4096
+                self.blocks_processed += 1
+                dt = time.perf_counter() - t0
+                self.realtime_factor = block_seconds / max(dt, 1e-9)
+                b += 1
+                if len(parts) >= 64:  # bound memory; flush incrementally
+                    break
+            raw = np.concatenate(parts, axis=0) if parts else np.zeros((0, 2), np.int16)
+            sdriq.write(
+                self.sink.file_path, raw, sample_rate=int(self.sink.sample_rate),
+                center_frequency=int(self.sink.center_frequency),
+            )
+        except Exception as e:
+            self.error = f"{type(e).__name__}: {e}"
+        finally:
+            self.running = False
+
+
 class Session:
     """MainCore: the device-set collection + presets.
 
@@ -231,8 +343,9 @@ class Session:
             with open(self.preset_path, "w") as f:
                 json.dump(self.presets, f, indent=1)
 
-    def add_device_set(self) -> DeviceSet:
-        ds = DeviceSet(len(self.device_sets))
+    def add_device_set(self, direction: str = "rx"):
+        cls = TxDeviceSet if direction == "tx" else DeviceSet
+        ds = cls(len(self.device_sets))
         self.device_sets.append(ds)
         return ds
 
@@ -260,7 +373,10 @@ class Session:
                         "state": "error" if ds.error else ("running" if ds.running else "idle"),
                         "error": ds.error,
                         "realtimeFactor": round(ds.realtime_factor, 2),
-                        "source": dataclasses.asdict(ds.source),
+                        "direction": getattr(ds, "direction", "rx"),
+                        "source": dataclasses.asdict(
+                            ds.sink if getattr(ds, "direction", "rx") == "tx" else ds.source
+                        ),
                         "channelcount": len(ds.channels),
                         "channels": [
                             {

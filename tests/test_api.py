@@ -187,3 +187,41 @@ def test_spectrum_endpoint(api):
     expect = 512 + int(30000.0 / 192000.0 * 1024)
     dev_bins = int(6000.0 / 192000.0 * 1024) + 2
     assert abs(peak - expect) <= dev_bins, (peak, expect)
+
+
+def test_tx_device_set_flow(api, tmp_path):
+    """Create a Tx device set, configure the NFM modulator, run, verify the
+    recorded .sdriq contains the placed carrier."""
+    base, _ = api
+    code, body = _req(base, "/sdrangel/devicesets", "POST", {"direction": "tx"})
+    assert code == 201 and body["direction"] == "tx"
+    out_path = str(tmp_path / "tx.sdriq")
+    code, body = _req(
+        base, "/sdrangel/deviceset/0/device/settings", "PATCH",
+        {"file_path": out_path, "sample_rate": 192000.0},
+    )
+    assert code == 200 and body["file_path"] == out_path
+    code, body = _req(
+        base, "/sdrangel/deviceset/0/channel", "POST",
+        {"channelType": "sdrangel.channeltx.modnfm",
+         "inputFrequencyOffset": 30000.0, "toneFrequency": 800.0},
+    )
+    assert code == 201
+    code, _ = _req(base, "/sdrangel/deviceset/0/device/run", "POST")
+    assert code == 200
+    deadline = time.time() + 90
+    while time.time() < deadline:
+        code, body = _req(base, "/sdrangel/deviceset/0")
+        if body["state"] == "idle":  # worker finished its bounded capture
+            break
+        time.sleep(0.5)
+    from sdrangel_tpu.io import sdriq
+
+    info = sdriq.read_header(out_path)
+    assert info.sample_rate == 192000
+    _, mm = sdriq.open_mmap(out_path)
+    iq = sdriq.to_complex64(sdriq.read_block(mm, 0, min(info.n_samples, 1 << 16), wrap=False))
+    spec = np.abs(np.fft.fft(iq[4096:] * np.hanning(len(iq) - 4096)))
+    freqs = np.fft.fftfreq(len(iq) - 4096, 1.0 / 192000.0)
+    peak = freqs[spec.argmax()]
+    assert abs(peak - 30000.0) < 6000.0, peak
