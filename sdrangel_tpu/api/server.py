@@ -119,6 +119,17 @@ class ApiHandler(BaseHTTPRequestHandler):
                         "audioSamples": ch.audio_samples,
                     },
                 )
+            if p == "/sdrangel/devices":
+                from ..runtime.session import SOURCE_KINDS
+
+                return self._json(
+                    200,
+                    {"devicecount": len(SOURCE_KINDS),
+                     "devices": [
+                         {"kind": k, "description": d}
+                         for k, d in sorted(SOURCE_KINDS.items())
+                     ]},
+                )
             if p == "/sdrangel/channels":
                 from ..channels.registry import REGISTRY
 
@@ -200,9 +211,18 @@ class ApiHandler(BaseHTTPRequestHandler):
                      **ch.settings},
                 )
             if p == "/sdrangel/logging":
+                # console level + optional log file (LoggerWithFile role,
+                # logging/loggerwithfile.h; REST-adjustable like
+                # /sdrangel/logging in swagger.yaml:124-167)
                 level = body.get("consoleLevel", "INFO")
                 logging.getLogger().setLevel(level)
-                return self._json(200, {"consoleLevel": level})
+                resp = {"consoleLevel": level}
+                if body.get("fileName"):
+                    fh = logging.FileHandler(body["fileName"])
+                    fh.setLevel(body.get("fileLevel", level))
+                    logging.getLogger().addHandler(fh)
+                    resp["fileName"] = body["fileName"]
+                return self._json(200, resp)
             return self._error(404, f"unknown path {p}")
         except (IndexError, KeyError) as e:
             return self._error(404, f"not found: {e}")

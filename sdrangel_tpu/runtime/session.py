@@ -41,7 +41,7 @@ class ChannelState:
 class SourceSettings:
     """File or synthetic front end (filesource/testsource settings)."""
 
-    kind: str = "testsource"  # testsource | filesource
+    kind: str = "testsource"  # testsource | filesource | daemonsource
     file_path: str = ""
     sample_rate: float = 768000.0
     center_frequency: float = 0.0
@@ -50,6 +50,9 @@ class SourceSettings:
     dc_correction: bool = False
     iq_correction: bool = False
     throttle: bool = False  # True = real-time pacing like the 50ms master timer
+    # daemonsource extras (UDP+FEC ingest, io/daemon.py)
+    daemon_address: str = "127.0.0.1"
+    daemon_port: int = 9090
     # testsource extras
     modulation: str = "fm"
     carrier_freq: float = 0.0
@@ -135,7 +138,21 @@ class DeviceSet:
             for ch in self.channels
         ]
         pipe = RxPipeline(device, specs, block_size=1 << 16)
-        if src.kind == "filesource":
+        if src.kind == "daemonsource":
+            from ..io.daemon import DaemonReceiver
+
+            rx = DaemonReceiver(src.daemon_address, src.daemon_port, timeout=5.0)
+            self._daemon_rx = rx
+            pending = [np.zeros((0, 2), np.int16)]
+
+            def reader(b, count):
+                buf = pending[0]
+                while buf.shape[0] < count:
+                    iq, _meta = rx.recv_frame()
+                    buf = np.concatenate([buf, iq], axis=0)
+                pending[0] = buf[count:]
+                return buf[:count]
+        elif src.kind == "filesource":
             info, mm = sdriq.open_mmap(src.file_path)
 
             def reader(b, count):
@@ -315,6 +332,15 @@ class TxDeviceSet:
             self.error = f"{type(e).__name__}: {e}"
         finally:
             self.running = False
+
+
+#: available source kinds (the DeviceEnumerator role,
+#: sdrbase/device/deviceenumerator.cpp — software sources only: no hardware)
+SOURCE_KINDS = {
+    "testsource": "synthetic carrier generator (AM/FM/none + impairments)",
+    "filesource": ".sdriq capture replay (loops at EOF)",
+    "daemonsource": "UDP superframe + FEC network ingest (io/daemon.py)",
+}
 
 
 class Session:

@@ -225,3 +225,65 @@ def test_tx_device_set_flow(api, tmp_path):
     freqs = np.fft.fftfreq(len(iq) - 4096, 1.0 / 192000.0)
     peak = freqs[spec.argmax()]
     assert abs(peak - 30000.0) < 6000.0, peak
+
+
+def test_devices_listing(api):
+    base, _ = api
+    code, body = _req(base, "/sdrangel/devices")
+    assert code == 200
+    kinds = [d["kind"] for d in body["devices"]]
+    assert set(kinds) == {"testsource", "filesource", "daemonsource"}
+
+
+def test_daemon_source_end_to_end(api):
+    """Network ingest: a DaemonSender streams FM superframes over localhost
+    UDP; a daemonsource device set demodulates them (the SDRdaemon pairing,
+    'multi-node without a cluster', SURVEY §4.4)."""
+    import threading as _t
+
+    from sdrangel_tpu.io import daemon as iod
+    from sdrangel_tpu.io import testsource as ts
+
+    base, _ = api
+    port = 19917
+    code, _ = _req(base, "/sdrangel/devicesets", "POST")
+    _req(base, "/sdrangel/deviceset/0/device/settings", "PATCH",
+         {"kind": "daemonsource", "daemon_port": port, "sample_rate": 96000.0})
+    _req(base, "/sdrangel/deviceset/0/channel", "POST",
+         {"channelType": "sdrangel.channel.nfmdemod", "squelch_db": -60.0})
+
+    stop = _t.Event()
+
+    def feeder():
+        tx = iod.DaemonSender("127.0.0.1", port, n_fec=4, sample_rate=96000)
+        cfg = ts.TestSourceConfig(sample_rate=96000.0, modulation="fm",
+                                  tone_freq=1000.0, fm_deviation=5000.0, amplitude=0.4)
+        n = 16000  # fits one superframe (64 kB payload room)
+        b = 0
+        while not stop.is_set():
+            c = ts.generate(cfg, n, start_sample=b * n)
+            raw = np.empty((n, 2), np.int16)
+            raw[:, 0] = np.clip(c.real * 32768, -32768, 32767)
+            raw[:, 1] = np.clip(c.imag * 32768, -32768, 32767)
+            tx.send_iq(raw)
+            b += 1
+            time.sleep(0.02)
+        tx.close()
+
+    t = _t.Thread(target=feeder, daemon=True)
+    t.start()
+    _req(base, "/sdrangel/deviceset/0/device/run", "POST")
+    deadline = time.time() + 90
+    power = -200.0
+    try:
+        while time.time() < deadline:
+            code, rep = _req(base, "/sdrangel/deviceset/0/channel/0/report")
+            power = rep.get("channelPowerDB", -200.0)
+            if rep.get("audioSamples", 0) > 0 and power > -30:
+                break
+            time.sleep(0.5)
+    finally:
+        _req(base, "/sdrangel/deviceset/0/device/run", "DELETE")
+        stop.set()
+        t.join(timeout=5)
+    assert power > -30, f"daemon-source power {power}"
