@@ -40,6 +40,7 @@ _CHANNEL = re.compile(r"^/sdrangel/deviceset/(\d+)/channel$")
 _CHANNEL_IDX = re.compile(r"^/sdrangel/deviceset/(\d+)/channel/(\d+)$")
 _CHANNEL_SETTINGS = re.compile(r"^/sdrangel/deviceset/(\d+)/channel/(\d+)/settings$")
 _CHANNEL_REPORT = re.compile(r"^/sdrangel/deviceset/(\d+)/channel/(\d+)/report$")
+_CHANNEL_AUDIO = re.compile(r"^/sdrangel/deviceset/(\d+)/channel/(\d+)/audio$")
 
 
 class ApiHandler(BaseHTTPRequestHandler):
@@ -107,6 +108,32 @@ class ApiHandler(BaseHTTPRequestHandler):
                         **ch.settings,
                     },
                 )
+            if m := _CHANNEL_AUDIO.match(p):
+                # demodulated audio as a WAV download (drains the channel's
+                # buffered blocks — the AudioFifo egress over HTTP)
+                import io as _io
+                import wave as _wave
+
+                ds = s.device_sets[int(m.group(1))]
+                audio = ds.drain_audio(int(m.group(2)))
+                buf = _io.BytesIO()
+                import numpy as _np
+
+                pcm = _np.clip(audio * 32768.0, -32768, 32767).astype(_np.int16)
+                if pcm.ndim == 1:
+                    pcm = pcm[:, None]
+                with _wave.open(buf, "wb") as w:
+                    w.setnchannels(pcm.shape[1])
+                    w.setsampwidth(2)
+                    w.setframerate(48000)
+                    w.writeframes(pcm.tobytes())
+                body = buf.getvalue()
+                self.send_response(200)
+                self.send_header("Content-Type", "audio/wav")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return None
             if m := _CHANNEL_REPORT.match(p):
                 ds = s.device_sets[int(m.group(1))]
                 ch = ds.channels[int(m.group(2))]

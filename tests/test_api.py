@@ -287,3 +287,41 @@ def test_daemon_source_end_to_end(api):
         stop.set()
         t.join(timeout=5)
     assert power > -30, f"daemon-source power {power}"
+
+
+def test_audio_endpoint_returns_wav(api):
+    """Demodulated audio fetched over HTTP as a playable WAV."""
+    import io as _io
+    import wave as _wave
+
+    base, _ = api
+    _req(base, "/sdrangel/devicesets", "POST")
+    _req(base, "/sdrangel/deviceset/0/device/settings", "PATCH",
+         {"kind": "testsource", "sample_rate": 192000.0, "modulation": "fm",
+          "carrier_freq": 20000.0, "tone_freq": 1000.0})
+    _req(base, "/sdrangel/deviceset/0/channel", "POST",
+         {"channelType": "sdrangel.channel.nfmdemod",
+          "inputFrequencyOffset": 20000.0, "squelch_db": -60.0})
+    _req(base, "/sdrangel/deviceset/0/device/run", "POST")
+    deadline = time.time() + 60
+    data = b""
+    while time.time() < deadline:
+        req = urllib.request.Request(base + "/sdrangel/deviceset/0/channel/0/audio")
+        with urllib.request.urlopen(req) as r:
+            assert r.headers["Content-Type"] == "audio/wav"
+            data = r.read()
+        if len(data) > 44 + 2 * 48000:  # at least 1 s of audio
+            break
+        time.sleep(0.5)
+    _req(base, "/sdrangel/deviceset/0/device/run", "DELETE")
+    with _wave.open(_io.BytesIO(data)) as w:
+        assert w.getframerate() == 48000
+        n = w.getnframes()
+        pcm = np.frombuffer(w.readframes(n), np.int16).astype(np.float64) / 32768.0
+    assert n > 48000
+    a = pcm[len(pcm) // 2 :]
+    spec = np.abs(np.fft.rfft((a - a.mean()) * np.hanning(len(a)))) ** 2
+    freqs = np.fft.rfftfreq(len(a), 1 / 48000.0)
+    tone = np.abs(freqs - 1000.0) < 8 * 48000.0 / len(a)
+    snr = 10 * np.log10(spec[tone].sum() / max(spec[~tone].sum(), 1e-30))
+    assert snr > 20.0, snr

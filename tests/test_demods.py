@@ -145,3 +145,41 @@ def test_nfm_vmapped_bank():
     for c in range(4):
         a = audio[c][audio.shape[1] // 2 :]  # skip squelch-attack transient
         assert _tone_snr(a, 1000.0, cfg.audio_rate) > 30.0
+
+
+@pytest.mark.parametrize("mod", ["am", "ssb", "wfm"])
+def test_vmapped_banks_other_demods(mod):
+    """Channel-parallelism holds for every P0 demod, not just NFM."""
+    if mod == "am":
+        cfg = demod_am.AMConfig(channel_rate=48000.0, squelch_db=-60.0)
+        make, proc = demod_am.make_state, demod_am.process
+        src = testsource.TestSourceConfig(sample_rate=48000.0, modulation="am",
+                                          tone_freq=1000.0, am_depth=0.8, amplitude=0.5)
+    elif mod == "ssb":
+        cfg = demod_ssb.SSBConfig(channel_rate=48000.0, agc_enable=False)
+        make, proc = demod_ssb.make_state, demod_ssb.process
+        src = None
+    else:
+        cfg = demod_wfm.WFMConfig(channel_rate=192000.0, squelch_db=-70.0)
+        make, proc = demod_wfm.make_state, demod_wfm.process
+        src = testsource.TestSourceConfig(sample_rate=192000.0, modulation="fm",
+                                          tone_freq=1000.0, fm_deviation=75000.0,
+                                          amplitude=0.5)
+    block = cfg.resampler_plan.block_in
+    n_blocks = 5
+    if src is None:
+        t = np.arange(block * n_blocks) / cfg.channel_rate
+        x1 = (0.3 * np.exp(1j * 2 * np.pi * 1000.0 * t)).astype(np.complex64)
+    else:
+        x1 = testsource.generate(src, block * n_blocks)
+    x = np.stack([x1] * 3)
+    state = make(cfg, batch_shape=(3,))
+    run = jax.jit(proc, static_argnums=2)
+    outs = []
+    for b in range(n_blocks):
+        state, audio = run(state, jnp.asarray(x[:, b * block : (b + 1) * block]), cfg)
+        outs.append(np.asarray(audio))
+    audio = np.concatenate(outs, axis=-1)
+    for c in range(3):
+        a = audio[c][audio.shape[-1] // 2 :]
+        assert _tone_snr(a, 1000.0, 48000.0) > 20.0, (mod, c)

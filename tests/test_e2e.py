@@ -189,3 +189,18 @@ def test_input_formats():
     ])
     snr = _tone_snr(audio[len(audio) // 2 :], 1000.0, 48000.0)
     assert snr > 20.0, f"u8 ingest NFM SNR {snr:.1f} dB"
+
+
+def test_sdriq_24bit_roundtrip(tmp_path):
+    """24-bit DSP mode (.sdriq sampleSize=24, RX_SAMPLE_24BIT role)."""
+    path = str(tmp_path / "x24.sdriq")
+    rng = np.random.default_rng(0)
+    iq = (rng.uniform(-0.9, 0.9, 3000) + 1j * rng.uniform(-0.9, 0.9, 3000)).astype(
+        np.complex64
+    )
+    sdriq.write(path, iq, sample_rate=500000, sample_size=24)
+    info = sdriq.read_header(path)
+    assert info.sample_size == 24 and info.n_samples == 3000
+    _, mm = sdriq.open_mmap(path)
+    back = sdriq.to_complex64(sdriq.read_block(mm, 0, 3000), sample_size=24)
+    np.testing.assert_allclose(back, iq, atol=1.5 / 8388608.0)  # 24-bit LSB
