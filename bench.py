@@ -50,7 +50,7 @@ def main() -> int:
 
     n_channels = 16
     log2 = 6
-    block = 1 << 22  # device-rate samples per step (~91 µs fixed dispatch
+    block = 1 << 23  # device-rate samples per step (~91 µs fixed dispatch
     # overhead per step through the TPU tunnel — big blocks amortize it)
     device_rate = 12_288_000.0
     baseband_rate = device_rate / (1 << log2)  # 192 kHz
@@ -74,8 +74,10 @@ def main() -> int:
 
     rng = np.random.default_rng(7)
     raw = jnp.asarray(rng.integers(-2048, 2048, size=(block, 2), dtype=np.int16))
-    casc = dec.init_state(log2)
-    dstate = demod_nfm.make_state(demod_cfg, batch_shape=(n_channels,))
+    # states built inside jit: eager complex64 creation is unimplemented on
+    # some TPU runtimes (see .claude/skills/verify/SKILL.md)
+    casc = jax.jit(lambda: dec.init_state(log2))()
+    dstate = jax.jit(lambda: demod_nfm.make_state(demod_cfg, batch_shape=(n_channels,)))()
 
     # compile + warmup
     casc, dstate, audio = step(casc, dstate, raw)
