@@ -22,12 +22,16 @@ this kernel matches dsp/decimators.py to ~1e-3 absolute (the f64→f32
 rounding of the composed 3907-tap equivalent filter).
 
 Status (round 1): verified correct on real TPU v5e hardware. Throughput is
-currently limited by the VMEM live-range behavior of the unrolled tap loop
-(Mosaic materializes every shifted slice, capping tile_out at ~256 within
-the 16 MB scoped-VMEM limit → many small grid programs). The XLA conv path
-remains the production default (30+ GS/s at 2^21 blocks); planned fix:
-fori_loop + tpu.dynamic_rotate shifted reads and double-buffered DMA to
-restore large tiles.
+limited by the VMEM live-range behavior of the unrolled tap loop (Mosaic
+materializes every shifted slice, capping tile_out at ~256 within the 16 MB
+scoped-VMEM limit → many small grid programs, ~1 GS/s). A fori_loop +
+dynamic-rotate variant was measured (git history): it compiles at large
+tiles but rotating the whole tile per tap costs more than it saves (~1 GS/s
+as well) and dynamic unaligned lane *slices* are unsupported outright. The
+XLA conv path remains the production default (30-115 GS/s depending on
+block size). Round-2 direction: per-tap static slices inside a fori over
+*tap groups* (bounding live ranges to a group), or emitting the MXU form
+(128-lane tap matrix × shifted-window matmul).
 """
 
 from __future__ import annotations
