@@ -36,6 +36,7 @@ _DEVICESET = re.compile(r"^/sdrangel/deviceset/(\d+)$")
 _DEVICE_SETTINGS = re.compile(r"^/sdrangel/deviceset/(\d+)/device/settings$")
 _DEVICE_RUN = re.compile(r"^/sdrangel/deviceset/(\d+)/device/run$")
 _SPECTRUM = re.compile(r"^/sdrangel/deviceset/(\d+)/spectrum$")
+_SCOPE = re.compile(r"^/sdrangel/deviceset/(\d+)/scope$")
 _CHANNEL = re.compile(r"^/sdrangel/deviceset/(\d+)/channel$")
 _CHANNEL_IDX = re.compile(r"^/sdrangel/deviceset/(\d+)/channel/(\d+)$")
 _CHANNEL_SETTINGS = re.compile(r"^/sdrangel/deviceset/(\d+)/channel/(\d+)/settings$")
@@ -88,6 +89,20 @@ class ApiHandler(BaseHTTPRequestHandler):
                 ds = s.device_sets[int(m.group(1))]
                 target = ds.sink if ds.direction == "tx" else ds.source
                 return self._json(200, dataclasses.asdict(target))
+            if m := _SCOPE.match(p):
+                ds = s.device_sets[int(m.group(1))]
+                if getattr(ds, "scope", None) is None:
+                    return self._error(404, "no scope trace yet (device not running)")
+                tr = ds.scope
+                return self._json(
+                    200,
+                    {"length": tr.shape[-1],
+                     "traces": {
+                         "real": [round(float(v), 5) for v in tr[0]],
+                         "imag": [round(float(v), 5) for v in tr[1]],
+                         "magdb": [round(float(v), 2) for v in tr[2]],
+                     }},
+                )
             if m := _SPECTRUM.match(p):
                 ds = s.device_sets[int(m.group(1))]
                 if ds.spectrum is None:

@@ -88,6 +88,7 @@ class RDSStatus:
     tp: bool | None = None
     ps_name: str = "        "
     radiotext: str = " " * 64
+    clock_time: str = ""  # "YYYY-MM-DD HH:MM+TZ" from group 4A
     groups_ok: int = 0
     blocks_with_errors: int = 0
 
@@ -211,6 +212,25 @@ class RDSDecoder:
             self._ps[2 * seg] = chr((chars >> 8) & 0xFF)
             self._ps[2 * seg + 1] = chr(chars & 0xFF)
             st.ps_name = "".join(self._ps)
+        elif gtype == 4 and not version_b:
+            # 4A clock-time: Modified Julian Date + hour/minute + offset
+            mjd = ((g[1] & 0x3) << 15) | (g[2] >> 1)
+            hour = ((g[2] & 1) << 4) | (g[3] >> 12)
+            minute = (g[3] >> 6) & 0x3F
+            offs_sign = -1 if (g[3] >> 5) & 1 else 1
+            offs_half_hours = g[3] & 0x1F
+            # MJD -> calendar (standard RDS conversion)
+            yp = int((mjd - 15078.2) / 365.25)
+            mp = int((mjd - 14956.1 - int(yp * 365.25)) / 30.6001)
+            day = mjd - 14956 - int(yp * 365.25) - int(mp * 30.6001)
+            k = 1 if mp in (14, 15) else 0
+            year = 1900 + yp + k
+            month = mp - 1 - k * 12
+            tz = offs_sign * offs_half_hours * 0.5
+            st.clock_time = (
+                f"{year:04d}-{month:02d}-{day:02d} {hour:02d}:{minute:02d}"
+                f"{'+' if tz >= 0 else '-'}{abs(tz):g}h"
+            )
         elif gtype == 2:
             seg = g[1] & 0xF
             if version_b:

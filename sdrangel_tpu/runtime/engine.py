@@ -180,6 +180,16 @@ class RxPipeline:
         spec_state, bb_spectrum = dsp_spectrum.power_spectrum(
             state["spectrum"], bb, self.spectrum_cfg
         )
+        # scope tap: projected trace of the block head (ScopeVis role;
+        # projections computed on device so no complex leaves the chip)
+        from ..dsp import scope as dsp_scope
+
+        head = bb[..., :1024]
+        scope_traces = jnp.stack([
+            dsp_scope.project(head, dsp_scope.Projection.REAL),
+            dsp_scope.project(head, dsp_scope.Projection.IMAG),
+            dsp_scope.project(head, dsp_scope.Projection.MAG_DB),
+        ])
 
         new_state = {
             "corr": corr_state,
@@ -188,7 +198,9 @@ class RxPipeline:
             "demod": demod_states,
             "spectrum": spec_state,
         }
-        return new_state, {"channels": outs, "spectrum": bb_spectrum}
+        return new_state, {
+            "channels": outs, "spectrum": bb_spectrum, "scope": scope_traces,
+        }
 
     # -- host loop ---------------------------------------------------------
 
@@ -210,7 +222,11 @@ class RxPipeline:
                 {"audio": np.asarray(o["audio"]), "power": float(o["power"])}
                 for o in outs["channels"]
             ]
-            return {"channels": host, "spectrum": np.asarray(outs["spectrum"])}
+            return {
+                "channels": host,
+                "spectrum": np.asarray(outs["spectrum"]),
+                "scope": np.asarray(outs["scope"]),
+            }
 
         pending = []  # (idx, device arrays) — drain one behind for overlap
         for b in range(n_blocks):

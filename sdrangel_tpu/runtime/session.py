@@ -81,6 +81,7 @@ class DeviceSet:
         # the framework's per-block "real-time factor" metric)
         self.realtime_factor = 0.0
         self.spectrum: np.ndarray | None = None  # latest baseband spectrum
+        self.scope: np.ndarray | None = None  # latest scope traces (3, 1024)
 
     # -- configuration -----------------------------------------------------
 
@@ -192,6 +193,7 @@ class DeviceSet:
                 state, outs = pipe._step(state, jnp.asarray(raw))
                 with self._lock:
                     self.spectrum = np.asarray(outs["spectrum"])
+                    self.scope = np.asarray(outs["scope"])
                     for i, out in enumerate(outs["channels"]):
                         audio = np.asarray(out["audio"])
                         power = float(out["power"])

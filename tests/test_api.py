@@ -325,3 +325,29 @@ def test_audio_endpoint_returns_wav(api):
     tone = np.abs(freqs - 1000.0) < 8 * 48000.0 / len(a)
     snr = 10 * np.log10(spec[tone].sum() / max(spec[~tone].sum(), 1e-30))
     assert snr > 20.0, snr
+
+
+def test_scope_endpoint(api):
+    base, _ = api
+    _req(base, "/sdrangel/devicesets", "POST")
+    _req(base, "/sdrangel/deviceset/0/device/settings", "PATCH",
+         {"kind": "testsource", "sample_rate": 192000.0, "modulation": "none",
+          "carrier_freq": 1000.0, "amplitude": 0.5})
+    _req(base, "/sdrangel/deviceset/0/channel", "POST",
+         {"channelType": "sdrangel.channel.nfmdemod"})
+    _req(base, "/sdrangel/deviceset/0/device/run", "POST")
+    deadline = time.time() + 60
+    body = None
+    code = 0
+    while time.time() < deadline:
+        code, body = _req(base, "/sdrangel/deviceset/0/scope")
+        if code == 200:
+            break
+        time.sleep(0.5)
+    _req(base, "/sdrangel/deviceset/0/device/run", "DELETE")
+    assert code == 200 and body["length"] == 1024
+    mag = np.asarray(body["traces"]["magdb"])
+    re_t = np.asarray(body["traces"]["real"])
+    # a 0.5-amplitude carrier: magdb ~ -6 dB, real trace oscillates
+    assert abs(np.median(mag) - (-6.0)) < 1.5, np.median(mag)
+    assert re_t.max() > 0.3 and re_t.min() < -0.3

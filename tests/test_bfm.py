@@ -143,3 +143,15 @@ def test_rds_through_bfm_channel():
     assert dec.status.groups_ok >= 4, vars(dec.status)
     assert dec.status.pi == 0xF123
     assert "TU" in dec.status.ps_name or dec.status.ps_name.strip(), dec.status.ps_name
+
+
+def test_rds_clock_time_group():
+    """Group 4A decodes MJD + time (rdsparser.cpp decode_type4 role)."""
+    # 2026-08-17 = MJD 61269; 14:30 UTC+2 (4 half-hours)
+    mjd, hour, minute = 61269, 14, 30
+    g1 = (4 << 12) | ((mjd >> 15) & 0x3)
+    g2 = ((mjd & 0x7FFF) << 1) | (hour >> 4)
+    g3 = ((hour & 0xF) << 12) | (minute << 6) | 4
+    dec = rds.RDSDecoder()
+    dec.parse_group([0x1234, g1, g2, g3])
+    assert dec.status.clock_time == "2026-08-17 14:30+2h", dec.status.clock_time
