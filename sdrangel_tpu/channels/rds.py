@@ -48,6 +48,23 @@ def calc_syndrome(block: int, nbits: int) -> int:
 #: received syndrome equals the syndrome of the offset word alone).
 SYNDROMES = {name: calc_syndrome(w, 26) for name, w in OFFSET_WORDS.items()}
 
+#: syndrome delta of a single flipped bit i (linearity: syn(x ^ e_i) =
+#: syn(x) ^ _BIT_SYNDROMES[i]) — enables 1-bit correction per block
+_BIT_SYNDROMES = [calc_syndrome(1 << i, 26) for i in range(26)]
+
+
+def correct_block(block: int, expected_syndrome: int) -> int | None:
+    """Return the corrected 26-bit block if it is clean or has exactly one
+    bit error; None otherwise (the reference relies on the code's burst
+    correction; single-bit covers the dominant AWGN error mode)."""
+    delta = calc_syndrome(block, 26) ^ expected_syndrome
+    if delta == 0:
+        return block
+    for i in range(26):
+        if _BIT_SYNDROMES[i] == delta:
+            return block ^ (1 << i)
+    return None
+
 
 def crc10(dataword: int) -> int:
     """10-bit checkword of a 16-bit information word (shifted by x^10)."""
@@ -91,6 +108,7 @@ class RDSStatus:
     clock_time: str = ""  # "YYYY-MM-DD HH:MM+TZ" from group 4A
     groups_ok: int = 0
     blocks_with_errors: int = 0
+    blocks_corrected: int = 0
 
     @property
     def pty_name(self) -> str:
@@ -178,17 +196,19 @@ class RDSDecoder:
             return None
         self._bits_since_block = 0
         expected = _OFFSET_ORDER[self._block_idx]
-        dataword = self._bit_reg >> 10
-        syn = calc_syndrome(self._bit_reg, 26)
-        ok = syn == SYNDROMES[expected] or (expected == "C" and syn == SYNDROMES["C'"])
-        if not ok:
-            # drop sync and re-acquire (rdsdecoder.cpp error handling)
+        corrected = correct_block(self._bit_reg, SYNDROMES[expected])
+        if corrected is None and expected == "C":
+            corrected = correct_block(self._bit_reg, SYNDROMES["C'"])
+        if corrected is None:
+            # uncorrectable: drop sync and re-acquire (rdsdecoder.cpp)
             self.status.blocks_with_errors += 1
             self._synced = False
             self._group = []
             self._bits_seen = 0
             return None
-        self._group.append(dataword)
+        if corrected != self._bit_reg:
+            self.status.blocks_corrected += 1
+        self._group.append(corrected >> 10)
         self._block_idx += 1
         if self._block_idx == 4:
             g, self._group = self._group, []

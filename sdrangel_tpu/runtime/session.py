@@ -429,7 +429,10 @@ class Session:
             "name": name,
             "deviceSets": [
                 {
-                    "source": dataclasses.asdict(ds.source),
+                    "direction": ds.direction,
+                    "source": dataclasses.asdict(
+                        ds.sink if ds.direction == "tx" else ds.source
+                    ),
                     "channels": [
                         {
                             "uri": ch.uri,
@@ -451,8 +454,12 @@ class Session:
             ds.stop()
         self.device_sets = []
         for entry in preset["deviceSets"]:
-            ds = self.add_device_set()
-            ds.source = SourceSettings(**entry["source"])
+            direction = entry.get("direction", "rx")
+            ds = self.add_device_set(direction)
+            if direction == "tx":
+                ds.sink = SinkSettings(**entry["source"])
+            else:
+                ds.source = SourceSettings(**entry["source"])
             for ch in entry["channels"]:
                 ds.add_channel(
                     ch["uri"],

@@ -351,3 +351,23 @@ def test_scope_endpoint(api):
     # a 0.5-amplitude carrier: magdb ~ -6 dB, real trace oscillates
     assert abs(np.median(mag) - (-6.0)) < 1.5, np.median(mag)
     assert re_t.max() > 0.3 and re_t.min() < -0.3
+
+
+def test_preset_with_tx_set(api):
+    """Presets serialize/restore mixed Rx+Tx device sets (direction-aware)."""
+    base, session = api
+    _req(base, "/sdrangel/devicesets", "POST", {})
+    _req(base, "/sdrangel/devicesets", "POST", {"direction": "tx"})
+    _req(base, "/sdrangel/deviceset/1/channel", "POST",
+         {"channelType": "sdrangel.channeltx.modam", "inputFrequencyOffset": 12000.0})
+    code, _ = _req(base, "/sdrangel/preset", "POST", {"groupName": "g", "name": "tx"})
+    assert code == 200
+    _req(base, "/sdrangel/devicesets", "DELETE")
+    _req(base, "/sdrangel/devicesets", "DELETE")
+    code, _ = _req(base, "/sdrangel/preset/load", "POST", {"groupName": "g", "name": "tx"})
+    assert code == 200
+    code, body = _req(base, "/sdrangel")
+    sets = body["devicesetlist"]["deviceSets"]
+    assert len(sets) == 2
+    assert sets[1]["direction"] == "tx"
+    assert sets[1]["channels"][0]["inputFrequencyOffset"] == 12000.0

@@ -155,3 +155,21 @@ def test_rds_clock_time_group():
     dec = rds.RDSDecoder()
     dec.parse_group([0x1234, g1, g2, g3])
     assert dec.status.clock_time == "2026-08-17 14:30+2h", dec.status.clock_time
+
+
+def test_rds_single_bit_correction():
+    """A flipped bit inside a block is corrected, not dropped."""
+    groups = [[0x5678, (0 << 12) | (3 << 5) | s, 0x0000, 0x4150 + s] for s in range(4)] * 4
+    bits = np.concatenate([rds.encode_group(g) for g in groups])
+    # flip one bit inside the 5th group's B block
+    flip = 4 * 104 + 26 + 11
+    bits = bits.copy()
+    bits[flip] ^= 1
+    dec = rds.RDSDecoder()
+    for b in bits:
+        g = dec._feed_bit(int(b))
+        if g:
+            dec.parse_group(g)
+    assert dec.status.blocks_corrected >= 1
+    assert dec.status.groups_ok >= len(groups) - 1
+    assert dec.status.pi == 0x5678
