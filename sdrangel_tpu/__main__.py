@@ -51,24 +51,34 @@ def cmd_demod(args) -> int:
     from .io import sdriq, testsource, wav
     from .runtime.engine import ChannelSpec, DeviceConfig, RxPipeline
 
-    uri, offset = _parse_channel(args.channel)
+    chans = args.channel if isinstance(args.channel, list) else [args.channel]
+    parsed = [_parse_channel(c) for c in chans]
     settings = {}
     if args.squelch is not None:
         settings["squelch_db"] = args.squelch
 
     if args.infile:
-        info, mm = sdriq.open_mmap(args.infile)
-        rate = float(info.sample_rate)
+        from .io import native
 
-        def source(b, count):
-            return sdriq.read_block(mm, b * count, count)
+        if native.available():  # C++ loader: memcpy-span wrapped reads
+            nf = native.NativeSdriq(args.infile)
+            rate = float(nf.sample_rate)
+            total = nf.n_samples
 
-        total = info.n_samples
+            def source(b, count):
+                return nf.read_i16(b * count, count)
+        else:
+            info, mm = sdriq.open_mmap(args.infile)
+            rate = float(info.sample_rate)
+            total = info.n_samples
+
+            def source(b, count):
+                return sdriq.read_block(mm, b * count, count)
     else:
         rate = args.rate
         cfg_src = testsource.TestSourceConfig(
             sample_rate=rate,
-            carrier_freq=offset,
+            carrier_freq=parsed[0][1],
             modulation="fm" if args.test_fm else ("am" if args.test_am else "none"),
             tone_freq=args.test_fm or args.test_am or 1000.0,
             fm_deviation=5000.0,
@@ -88,7 +98,10 @@ def cmd_demod(args) -> int:
         sample_rate=rate, log2_decim=args.log2_decim, fc_pos=args.fc_pos,
         dc_correction=args.dc_correction, iq_correction=args.iq_correction,
     )
-    pipe = RxPipeline(device, [ChannelSpec(uri, offset, settings)])
+    pipe = RxPipeline(
+        device,
+        [ChannelSpec(uri, offset, dict(settings)) for uri, offset in parsed],
+    )
     n_blocks = max(1, total // pipe.device_block)
 
     print(
@@ -101,13 +114,18 @@ def cmd_demod(args) -> int:
         file=sys.stderr,
     )
 
-    audio_parts = []
+    audio_parts = [[] for _ in parsed]
     t0 = time.perf_counter()
     for idx, outs in pipe.run(source, n_blocks):
-        audio_parts.append(outs["channels"][0]["audio"])
+        for c in range(len(parsed)):
+            audio_parts[c].append(outs["channels"][c]["audio"])
     elapsed = time.perf_counter() - t0
-    audio = np.concatenate(audio_parts, axis=-1)
+    audio = np.concatenate(audio_parts[0], axis=-1)
     wav.write_wav(args.out, audio, int(48000))
+    for c in range(1, len(parsed)):  # extra channels: suffixed files
+        extra = np.concatenate(audio_parts[c], axis=-1)
+        root, ext = args.out.rsplit(".", 1)
+        wav.write_wav(f"{root}.ch{c}.{ext}", extra, int(48000))
     processed = n_blocks * pipe.device_block
     print(
         f"processed {processed} samples in {elapsed:.2f}s "
@@ -134,7 +152,8 @@ def main(argv=None) -> int:
     pd.add_argument("--test-am", type=float, default=None, metavar="TONE_HZ")
     pd.add_argument("--log2-decim", type=int, default=0, choices=range(7))
     pd.add_argument("--fc-pos", default="cen", choices=["cen", "inf", "sup"])
-    pd.add_argument("--channel", required=True, help="kind:offset_hz (nfm|am|ssb|wfm)")
+    pd.add_argument("--channel", required=True, action="append",
+                    help="kind:offset_hz (nfm|am|ssb|wfm|bfm); repeatable")
     pd.add_argument("--squelch", type=float, default=None, help="squelch dB")
     pd.add_argument("--dc-correction", action="store_true")
     pd.add_argument("--iq-correction", action="store_true")

@@ -161,6 +161,48 @@ class ApiHandler(BaseHTTPRequestHandler):
                         "audioSamples": ch.audio_samples,
                     },
                 )
+            if p == "/sdrangel/openapi":
+                # minimal OpenAPI 3 document of the implemented path layout
+                # (the reference ships a full swagger.yaml; this is the
+                # machine-discoverable subset actually served here)
+                paths = {
+                    "/sdrangel": {"get": {"summary": "instance summary"}},
+                    "/sdrangel/devicesets": {
+                        "get": {"summary": "device set list"},
+                        "post": {"summary": "add device set (body: {direction})"},
+                        "delete": {"summary": "remove last device set"},
+                    },
+                    "/sdrangel/devices": {"get": {"summary": "available source kinds"}},
+                    "/sdrangel/channels": {"get": {"summary": "available channel types"}},
+                    "/sdrangel/deviceset/{i}": {"get": {"summary": "one device set"}},
+                    "/sdrangel/deviceset/{i}/device/settings": {
+                        "get": {}, "put": {}, "patch": {}},
+                    "/sdrangel/deviceset/{i}/device/run": {
+                        "post": {"summary": "start"}, "delete": {"summary": "stop"}},
+                    "/sdrangel/deviceset/{i}/spectrum": {"get": {}},
+                    "/sdrangel/deviceset/{i}/scope": {"get": {}},
+                    "/sdrangel/deviceset/{i}/channel": {
+                        "post": {"summary": "add channel (body: {channelType,...})"}},
+                    "/sdrangel/deviceset/{i}/channel/{j}": {"delete": {}},
+                    "/sdrangel/deviceset/{i}/channel/{j}/settings": {
+                        "get": {}, "put": {}, "patch": {}},
+                    "/sdrangel/deviceset/{i}/channel/{j}/report": {"get": {}},
+                    "/sdrangel/deviceset/{i}/channel/{j}/audio": {
+                        "get": {"summary": "drain demod audio as WAV"}},
+                    "/sdrangel/presets": {"get": {}},
+                    "/sdrangel/preset": {"post": {"summary": "save"}},
+                    "/sdrangel/preset/load": {"post": {}},
+                    "/sdrangel/logging": {"get": {}, "put": {}},
+                    "/sdrangel/openapi": {"get": {}},
+                }
+                import sdrangel_tpu as _pkg
+
+                return self._json(
+                    200,
+                    {"openapi": "3.0.0",
+                     "info": {"title": "sdrangel_tpu", "version": _pkg.__version__},
+                     "paths": paths},
+                )
             if p == "/sdrangel/devices":
                 from ..runtime.session import SOURCE_KINDS
 

@@ -371,3 +371,11 @@ def test_preset_with_tx_set(api):
     assert len(sets) == 2
     assert sets[1]["direction"] == "tx"
     assert sets[1]["channels"][0]["inputFrequencyOffset"] == 12000.0
+
+
+def test_openapi_document(api):
+    base, _ = api
+    code, body = _req(base, "/sdrangel/openapi")
+    assert code == 200
+    assert body["openapi"].startswith("3.")
+    assert "/sdrangel/deviceset/{i}/channel/{j}/audio" in body["paths"]
