@@ -23,6 +23,8 @@ class ChannelKind:
     process: Callable[..., Any]
     direction: str = "rx"
     needs_fft_hop: bool = False  # demod uses fftfilt -> block must divide its hop
+    block_factor: Callable[[float], int] | None = None  # extra divisibility
+    # requirement of the channel-rate block (beyond the generic audio ratio)
 
 
 REGISTRY: dict[str, ChannelKind] = {}
@@ -51,5 +53,19 @@ def _bfm_process_engine(state, x, cfg, offset_hz=None):
     return state, outs.audio
 
 
+def _bfm_block_factor(channel_rate: float) -> int:
+    """BFM's internal resamplers need the block divisible by the mono AND
+    RDS (9500 Hz) rational numerators (demod_bfm.BFMConfig.mono_plan)."""
+    import math
+    from fractions import Fraction
+
+    p_mono = Fraction(channel_rate / 48000.0).limit_denominator(1 << 20).numerator
+    p_rds = Fraction(
+        channel_rate / (demod_bfm.RDS_SYMBOL_RATE * demod_bfm.RDS_SPS)
+    ).limit_denominator(1 << 20).numerator
+    return math.lcm(p_mono, p_rds, 512)
+
+
 register(ChannelKind("sdrangel.channel.bfm", demod_bfm.BFMConfig,
-                     demod_bfm.make_state, _bfm_process_engine, needs_fft_hop=True))
+                     demod_bfm.make_state, _bfm_process_engine,
+                     needs_fft_hop=True, block_factor=_bfm_block_factor))

@@ -115,6 +115,8 @@ class RxPipeline:
                 hop = 512
                 audio_need = p * hop // math.gcd(frac.denominator, hop)
                 need = math.lcm(need, hop << k, audio_need << k)
+            if kind.block_factor is not None:
+                need = math.lcm(need, kind.block_factor(plan.channel_rate) << k)
         block = need
         target = requested or (1 << 17)
         while block < target:

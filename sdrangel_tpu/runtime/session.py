@@ -202,7 +202,8 @@ class DeviceSet:
                             10.0 * np.log10(max(power, 1e-12))
                         )
                         ch.squelch = bool(np.abs(audio).max() > 1e-4)
-                        ch.audio_samples += audio.shape[-1]
+                        # audio is (T,) mono or (T,2) stereo — count frames
+                        ch.audio_samples += audio.shape[0]
                         buf = self._audio_buffers[i]
                         buf.append(audio)
                         if len(buf) > self.audio_keep_blocks:
@@ -224,7 +225,7 @@ class DeviceSet:
             self._audio_buffers[channel] = []
         if not parts:
             return np.zeros(0, dtype=np.float32)
-        return np.concatenate(parts, axis=-1)
+        return np.concatenate(parts, axis=0)  # frame axis (mono or stereo)
 
 
 @dataclasses.dataclass

@@ -204,3 +204,31 @@ def test_sdriq_24bit_roundtrip(tmp_path):
     _, mm = sdriq.open_mmap(path)
     back = sdriq.to_complex64(sdriq.read_block(mm, 0, 3000), sample_size=24)
     np.testing.assert_allclose(back, iq, atol=1.5 / 8388608.0)  # 24-bit LSB
+
+
+def test_bfm_through_engine():
+    """BFM attached via the engine (REST path) builds and runs — its internal
+    RDS/mono resampler divisibility is honored by the block solver."""
+    import jax.numpy as jnp
+
+    rate = 768_000.0
+    pipe = RxPipeline(
+        DeviceConfig(sample_rate=rate, log2_decim=1),
+        [ChannelSpec("sdrangel.channel.bfm", 0.0, {"squelch_db": -100.0},
+                     requested_rate=300_000.0)],
+    )
+    n = pipe.device_block
+    t = np.arange(n) / rate
+    mono = 0.5 * np.sin(2 * np.pi * 1000.0 * t)
+    pilot = 0.09 * np.cos(2 * np.pi * 19000.0 * t)
+    mpx = 0.45 * mono + pilot
+    phase = 2 * np.pi * 75000.0 * np.cumsum(mpx) / rate
+    iq = (0.5 * np.exp(1j * phase)).astype(np.complex64)
+    raw = np.empty((n, 2), np.int16)
+    raw[:, 0] = np.clip(iq.real * 32768, -32768, 32767)
+    raw[:, 1] = np.clip(iq.imag * 32768, -32768, 32767)
+    outs_all = list(pipe.run(lambda b, c: raw, 2))
+    audio = np.concatenate([o["channels"][0]["audio"] for _, o in outs_all], axis=0)
+    assert audio.ndim == 2 and audio.shape[1] == 2  # stereo frames
+    a = audio[audio.shape[0] // 2 :, 0]
+    assert _tone_snr(a, 1000.0, 48000.0) > 15.0
