@@ -1,0 +1,85 @@
+"""DVB-S FEC chain tests: each layer + full loopback with channel errors."""
+
+import numpy as np
+import pytest
+
+from sdrangel_tpu.channels import dvbs
+
+
+def _ts_packets(n, seed=0):
+    rng = np.random.default_rng(seed)
+    pk = rng.integers(0, 256, size=(n, dvbs.TS_PACKET), dtype=np.uint8)
+    pk[:, 0] = dvbs.SYNC_BYTE
+    return pk.reshape(-1)
+
+
+def test_conv_viterbi_clean():
+    rng = np.random.default_rng(1)
+    bits = rng.integers(0, 2, 600).astype(np.uint8)
+    coded = dvbs.conv_encode(bits)
+    decoded = dvbs.viterbi_decode(coded)
+    np.testing.assert_array_equal(decoded, bits)
+
+
+def test_viterbi_corrects_channel_errors():
+    rng = np.random.default_rng(2)
+    bits = rng.integers(0, 2, 1000).astype(np.uint8)
+    coded = dvbs.conv_encode(bits).astype(np.float64) * 2 - 1
+    noisy = coded + 0.6 * rng.standard_normal(len(coded))
+    decoded = dvbs.viterbi_decode(noisy)
+    ber = (decoded != bits).mean()
+    assert ber < 0.01, ber
+
+
+def test_interleaver_roundtrip():
+    rng = np.random.default_rng(3)
+    data = rng.integers(0, 256, 204 * 30, dtype=np.uint8)
+    rt = dvbs.deinterleave(dvbs.interleave(data))
+    d = dvbs.INTERLEAVER_DELAY
+    np.testing.assert_array_equal(rt[d:], data[: len(data) - d])
+
+
+def test_rs_roundtrip_and_correction():
+    rng = np.random.default_rng(4)
+    msg = rng.integers(0, 256, dvbs.TS_PACKET, dtype=np.uint8)
+    cw = dvbs.rs_encode(msg)
+    out, n = dvbs.rs_decode(cw)
+    assert n == 0
+    np.testing.assert_array_equal(out, msg)
+    # up to 8 byte errors correct
+    bad = cw.copy()
+    pos = rng.choice(204, 8, replace=False)
+    bad[pos] ^= rng.integers(1, 256, 8).astype(np.uint8)
+    out, n = dvbs.rs_decode(bad)
+    assert n == 8
+    np.testing.assert_array_equal(out, msg)
+    # 9 errors -> flagged uncorrectable
+    bad9 = cw.copy()
+    pos = rng.choice(204, 9, replace=False)
+    bad9[pos] ^= rng.integers(1, 256, 9).astype(np.uint8)
+    _, n = dvbs.rs_decode(bad9)
+    assert n == -1
+
+
+def test_scramble_involution():
+    pk = _ts_packets(8, seed=5)
+    rt = dvbs.fix_sync(dvbs.descramble(dvbs.scramble(pk)))
+    np.testing.assert_array_equal(rt, pk)
+
+
+def test_full_transport_loopback_with_errors():
+    n_pk = 16
+    pk = _ts_packets(n_pk, seed=6)
+    chan = dvbs.encode_transport(pk).astype(np.float64) * 2 - 1
+    rng = np.random.default_rng(7)
+    # flip ~0.5% of channel bits (pre-Viterbi)
+    flips = rng.random(len(chan)) < 0.005
+    chan[flips] *= -1
+    # interleaver pipeline eats 11 packets: send 11 extra tail packets
+    pad = _ts_packets(11, seed=8)
+    chan_full = dvbs.encode_transport(np.concatenate([pk, pad])).astype(np.float64) * 2 - 1
+    flips = rng.random(len(chan_full)) < 0.005
+    chan_full[flips] *= -1
+    out, corrected = dvbs.decode_transport(chan_full, n_pk)
+    out = out.reshape(-1, dvbs.TS_PACKET)[:n_pk]
+    np.testing.assert_array_equal(out.reshape(-1), pk)
