@@ -1,0 +1,123 @@
+"""DATV front end — QPSK symbol recovery feeding the DVB-S FEC chain.
+
+Reference: plugins/channelrx/demoddatv/datvdemod.cpp configures the leansdr
+pipeline: sampler → RRC matched filter → timing/carrier recovery → QPSK
+soft symbols → deconvol (Viterbi) → deinterleave → RS → derandomize →
+TS output. The TPU part here is the MS/s section (NCO mix, RRC via the
+overlap-add filter, Gardner timing); the bit/byte layers come from
+channels/dvbs.py on the host.
+
+Carrier phase: DVB-S QPSK has a 4-fold phase ambiguity; this front end
+resolves it by trying all four rotations on the first block and locking the
+one whose Viterbi+RS chain yields sync bytes (the leansdr "phase search"
+role) — exposed as `resolve_rotation`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..dsp import fftfilt, nco, resampler, symsync
+from . import dvbs
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class DATVConfig:
+    channel_rate: float
+    input_offset: float = 0.0
+    symbol_rate: float = 250_000.0
+    rrc_rolloff: float = 0.35
+    fec_rate: str = "1/2"
+    fft_len: int = 1024
+
+    @property
+    def sps(self) -> int:
+        sps = int(round(self.channel_rate / self.symbol_rate))
+        assert abs(self.channel_rate / self.symbol_rate - sps) < 1e-9, (
+            "channel rate must be an integer number of samples per symbol"
+        )
+        return sps
+
+    @functools.cached_property
+    def rrc_filter(self) -> np.ndarray:
+        fb = self.symbol_rate / self.channel_rate
+        return fftfilt.create_rrc_filter(fb, self.rrc_rolloff, self.fft_len)
+
+
+class DATVState(NamedTuple):
+    nco: nco.NCOState
+    fft: fftfilt.FftFiltState
+    sym: symsync.SymSyncState
+
+
+def make_state(cfg: DATVConfig, batch_shape=()) -> DATVState:
+    return DATVState(
+        nco=nco.make_nco(batch_shape),
+        fft=fftfilt.make_state(cfg.fft_len, batch_shape),
+        sym=symsync.make_state(batch_shape, sps=cfg.sps),
+    )
+
+
+class DATVOutputs(NamedTuple):
+    soft_i: jnp.ndarray  # (..., n_sym) float32 in [-1,1]
+    soft_q: jnp.ndarray
+
+
+def process(state: DATVState, x: jnp.ndarray, cfg: DATVConfig) -> tuple[DATVState, DATVOutputs]:
+    """(state, iq at channel rate) -> (state', QPSK soft symbols)."""
+    inc = jnp.asarray(nco.freq_to_increment(-cfg.input_offset, cfg.channel_rate))
+    nco_state, xm = nco.mix_block(state.nco, x, inc)
+    fft_state, mf = fftfilt.run_filt(state.fft, xm, jnp.asarray(cfg.rrc_filter))
+    sym_state, symbols = symsync.synchronize_block(state.sym, mf, cfg.sps)
+    # normalize to unit outer level
+    scale = jnp.maximum(jnp.mean(jnp.abs(symbols), axis=-1, keepdims=True), 1e-9)
+    s = symbols / scale.astype(jnp.complex64)
+    return (
+        DATVState(nco_state, fft_state, sym_state),
+        DATVOutputs(
+            jnp.clip(jnp.real(s), -1, 1).astype(jnp.float32),
+            jnp.clip(jnp.imag(s), -1, 1).astype(jnp.float32),
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# host-side symbol<->bit glue
+# ---------------------------------------------------------------------------
+
+def bits_to_qpsk(channel_bits: np.ndarray) -> np.ndarray:
+    """(2n,) bits -> (n,) unit QPSK symbols (Gray: I = b0, Q = b1)."""
+    pairs = channel_bits.reshape(-1, 2).astype(np.float64) * 2.0 - 1.0
+    return ((pairs[:, 0] + 1j * pairs[:, 1]) / np.sqrt(2.0)).astype(np.complex64)
+
+
+def qpsk_to_soft_bits(soft_i: np.ndarray, soft_q: np.ndarray) -> np.ndarray:
+    """Interleave I/Q soft values back into the (2n,) bit-likelihood stream."""
+    out = np.empty(2 * len(soft_i), dtype=np.float64)
+    out[0::2] = soft_i
+    out[1::2] = soft_q
+    return out
+
+
+_ROTATIONS = [1.0, 1j, -1.0, -1j]
+
+
+def resolve_rotation(soft_i: np.ndarray, soft_q: np.ndarray, n_probe_packets: int = 2):
+    """Try the 4 QPSK phase ambiguities; return (rotation index, soft bits)
+    for the one whose decoded stream carries TS sync bytes."""
+    best = (0, None, -1)
+    s = soft_i + 1j * soft_q
+    for ri, rot in enumerate(_ROTATIONS):
+        sr = s * rot
+        soft = qpsk_to_soft_bits(np.real(sr), np.imag(sr))
+        bits = dvbs.viterbi_decode(soft)
+        byts = np.packbits(bits)
+        score = int((byts == dvbs.SYNC_BYTE).sum() + (byts == 0xB8).sum())
+        if score > best[2]:
+            best = (ri, soft, score)
+    return best[0], best[1]

@@ -104,6 +104,55 @@ def viterbi_decode(soft: np.ndarray) -> np.ndarray:
     return bits
 
 
+#: DVB-S puncturing patterns (X, Y kept-bit masks per rate)
+PUNCTURE = {
+    "1/2": ([1], [1]),
+    "2/3": ([1, 0], [1, 1]),
+    "3/4": ([1, 0, 1], [1, 1, 0]),
+    "5/6": ([1, 0, 1, 0, 1], [1, 1, 0, 1, 0]),
+    "7/8": ([1, 0, 0, 0, 1, 0, 1], [1, 1, 1, 1, 0, 1, 0]),
+}
+
+
+def puncture(coded: np.ndarray, rate: str) -> np.ndarray:
+    """Drop bits of the rate-1/2 stream per the DVB pattern."""
+    px, py = PUNCTURE[rate]
+    period = len(px)
+    pairs = coded.reshape(-1, 2)
+    n = (len(pairs) // period) * period
+    pairs = pairs[:n]
+    keep = []
+    for i in range(n):
+        if px[i % period]:
+            keep.append(pairs[i, 0])
+        if py[i % period]:
+            keep.append(pairs[i, 1])
+    return np.asarray(keep, dtype=coded.dtype)
+
+
+def depuncture(received: np.ndarray, rate: str) -> np.ndarray:
+    """Re-insert erasures (soft 0) at the punctured positions so the plain
+    rate-1/2 Viterbi decodes any DVB rate."""
+    px, py = PUNCTURE[rate]
+    period = len(px)
+    kept_per_period = sum(px) + sum(py)
+    n_periods = len(received) // kept_per_period
+    out = np.zeros(2 * period * n_periods, dtype=np.float64)
+    r = np.asarray(received, dtype=np.float64)
+    if r.min() >= 0.0 and r.max() <= 1.0:
+        r = r * 2.0 - 1.0
+    src = 0
+    for p_i in range(n_periods):
+        for i in range(period):
+            if px[i]:
+                out[2 * (p_i * period + i)] = r[src]
+                src += 1
+            if py[i]:
+                out[2 * (p_i * period + i) + 1] = r[src]
+                src += 1
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Forney convolutional interleaver I=12, M=17
 # ---------------------------------------------------------------------------
@@ -346,5 +395,7 @@ def decode_transport(channel_bits: np.ndarray, n_packets: int) -> tuple[np.ndarr
         out.append(data)
         if n > 0:
             corrected += n
+    if not out:
+        return np.zeros(0, dtype=np.uint8), 0
     recovered = descramble(np.concatenate(out))
     return fix_sync(recovered), corrected

@@ -83,3 +83,15 @@ def test_full_transport_loopback_with_errors():
     out, corrected = dvbs.decode_transport(chan_full, n_pk)
     out = out.reshape(-1, dvbs.TS_PACKET)[:n_pk]
     np.testing.assert_array_equal(out.reshape(-1), pk)
+
+
+@pytest.mark.parametrize("rate", ["2/3", "3/4", "5/6", "7/8"])
+def test_punctured_viterbi(rate):
+    rng = np.random.default_rng(10)
+    bits = rng.integers(0, 2, 840).astype(np.uint8)
+    coded = dvbs.conv_encode(bits)
+    punct = dvbs.puncture(coded, rate).astype(np.float64) * 2 - 1
+    soft = dvbs.depuncture(punct, rate)
+    decoded = dvbs.viterbi_decode(soft)
+    n = min(len(decoded), len(bits)) - 8  # tail truncation from puncture period
+    assert (decoded[:n] == bits[:n]).mean() > 0.999
