@@ -38,6 +38,7 @@ _DEVICE_RUN = re.compile(r"^/sdrangel/deviceset/(\d+)/device/run$")
 _SPECTRUM = re.compile(r"^/sdrangel/deviceset/(\d+)/spectrum$")
 _SCOPE = re.compile(r"^/sdrangel/deviceset/(\d+)/scope$")
 _CHANNEL = re.compile(r"^/sdrangel/deviceset/(\d+)/channel$")
+_COMMAND_RUN = re.compile(r"^/sdrangel/command/([\w-]+)/run$")
 _CHANNEL_IDX = re.compile(r"^/sdrangel/deviceset/(\d+)/channel/(\d+)$")
 _CHANNEL_SETTINGS = re.compile(r"^/sdrangel/deviceset/(\d+)/channel/(\d+)/settings$")
 _CHANNEL_REPORT = re.compile(r"^/sdrangel/deviceset/(\d+)/channel/(\d+)/report$")
@@ -225,6 +226,8 @@ class ApiHandler(BaseHTTPRequestHandler):
                          for uri, k in sorted(REGISTRY.items())
                      ]},
                 )
+            if p == "/sdrangel/commands":
+                return self._json(200, {"commands": sorted(self.session.commands)})
             if p == "/sdrangel/presets":
                 return self._json(
                     200, {"presets": sorted(self.session.presets.keys())}
@@ -254,6 +257,13 @@ class ApiHandler(BaseHTTPRequestHandler):
                 uri = body.pop("channelType")
                 idx = ds.add_channel(uri, body)
                 return self._json(201, {"index": idx})
+            if p == "/sdrangel/command":
+                name = body["name"]
+                s.set_command(name, body["command"], body.get("args", ""))
+                return self._json(201, {"name": name})
+            if m := _COMMAND_RUN.match(p):
+                result = s.run_command(m.group(1), self.server.server_address[1])
+                return self._json(200, result)
             if p == "/sdrangel/preset":
                 key = body.get("groupName", "default"), body.get("name", "preset")
                 s.save_preset(*key)

@@ -355,6 +355,7 @@ class Session:
     def __init__(self, preset_path: str | None = None):
         self.device_sets: list[DeviceSet] = []
         self.presets: dict[str, dict] = {}
+        self.commands: dict[str, dict] = {}
         self.start_time = time.time()
         self.preset_path = preset_path
         if preset_path:
@@ -382,6 +383,31 @@ class Session:
         if self.device_sets:
             ds = self.device_sets.pop()
             ds.stop()
+
+    # -- commands (sdrbase/commands/command.h:30-70: user shell commands
+    # with API-substituted arguments, run on demand) ----------------------
+
+    def set_command(self, name: str, command: str, args: str = "") -> None:
+        self.commands[name] = {"command": command, "args": args}
+
+    def run_command(self, name: str, api_port: int = 8091) -> dict:
+        """Run a stored command; %1 in args substitutes the API address
+        (the reference substitutes API address/port the same way)."""
+        import subprocess
+
+        entry = self.commands[name]
+        args = entry["args"].replace("%1", f"127.0.0.1:{api_port}")
+        cmd = f"{entry['command']} {args}".strip()
+        proc = subprocess.run(
+            cmd, shell=True, capture_output=True, text=True, timeout=30.0
+        )
+        return {
+            "name": name,
+            "command": cmd,
+            "returncode": proc.returncode,
+            "stdout": proc.stdout[-4096:],
+            "stderr": proc.stderr[-4096:],
+        }
 
     def summary(self) -> dict:
         """instanceSummary (webapiadaptersrv.cpp:71-103)."""

@@ -379,3 +379,18 @@ def test_openapi_document(api):
     assert code == 200
     assert body["openapi"].startswith("3.")
     assert "/sdrangel/deviceset/{i}/channel/{j}/audio" in body["paths"]
+
+
+def test_commands_api(api):
+    """Store and run a user command with API-address substitution
+    (sdrbase/commands role)."""
+    base, _ = api
+    code, _ = _req(base, "/sdrangel/command", "POST",
+                   {"name": "whoru", "command": "echo", "args": "api at %1"})
+    assert code == 201
+    code, body = _req(base, "/sdrangel/commands")
+    assert body["commands"] == ["whoru"]
+    code, body = _req(base, "/sdrangel/command/whoru/run", "POST")
+    assert code == 200
+    assert body["returncode"] == 0
+    assert "api at 127.0.0.1:" in body["stdout"]
