@@ -22,7 +22,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..dsp import fftfilt, nco, resampler, symsync
+from ..dsp import fftfilt, nco, symsync
 from . import dvbs
 
 

@@ -101,9 +101,6 @@ def make_state(cfg: NFMConfig, batch_shape=()) -> NFMState:
     )
 
 
-_CTCSS_LP_TAPS = None
-
-
 def _ctcss_lowpass_taps(audio_rate: float) -> np.ndarray:
     # 300 Hz lowpass ahead of the ÷8 CTCSS decimation (nfmdemod.cpp m_lowpass)
     return firdesign.lowpass(63, 300.0 / audio_rate)
