@@ -32,8 +32,15 @@ def _cpu_baseline_ksps() -> float:
     subprocess.run(
         ["g++", "-O3", "-march=native", "-o", exe, src], check=True, capture_output=True
     )
-    out = subprocess.run([exe, "1048576", "10"], check=True, capture_output=True, text=True)
-    result = json.loads(out.stdout)
+    best = None
+    for _ in range(5):  # best-of-5: the honest single-core capability
+        out = subprocess.run(
+            [exe, "1048576", "10"], check=True, capture_output=True, text=True
+        )
+        r = json.loads(out.stdout)
+        if best is None or r["ksps"] > best["ksps"]:
+            best = r
+    result = best
     with open(cache, "w") as f:
         json.dump(result, f)
     return result["ksps"]
