@@ -61,7 +61,10 @@ class SourceSettings:
 
 
 class DeviceSet:
-    """One source + its channels (sdrsrv/device/deviceset.h:31-53)."""
+    """One source + its channels (sdrsrv/device/deviceset.h:31-53).
+
+    A channel setting `audioFile` streams its demod audio to a WAV file
+    continuously while running (the FileRecord-for-audio role)."""
 
     direction = "rx"
 
@@ -134,10 +137,11 @@ class DeviceSet:
             dc_correction=src.dc_correction,
             iq_correction=src.iq_correction,
         )
-        specs = [
-            ChannelSpec(ch.uri, ch.frequency_offset, dict(ch.settings))
-            for ch in self.channels
-        ]
+        specs = []
+        for ch in self.channels:
+            st = dict(ch.settings)
+            st.pop("audioFile", None)  # session-level setting, not a demod knob
+            specs.append(ChannelSpec(ch.uri, ch.frequency_offset, st))
         pipe = RxPipeline(device, specs, block_size=1 << 16)
         if src.kind == "daemonsource":
             from ..io.daemon import DaemonReceiver
@@ -179,9 +183,20 @@ class DeviceSet:
     def _work(self) -> None:
         """Engine thread: gotoRunning → block loop → gotoIdle
         (dspdevicesourceengine.cpp:325-408 work loop)."""
+        wav_writers = {}
         try:
             with self._lock:
                 pipe, reader = self._build_pipeline()
+                import wave as _wave
+
+                for i, ch in enumerate(self.channels):
+                    path = ch.settings.get("audioFile")
+                    if path:
+                        w = _wave.open(path, "wb")
+                        w.setnchannels(1)
+                        w.setsampwidth(2)
+                        w.setframerate(48000)
+                        wav_writers[i] = w
             state = pipe.init_state()
             block_seconds = pipe.device_block / pipe.device.sample_rate
             b = 0
@@ -208,6 +223,10 @@ class DeviceSet:
                         buf.append(audio)
                         if len(buf) > self.audio_keep_blocks:
                             buf.pop(0)
+                        if i in wav_writers:
+                            mono = audio if audio.ndim == 1 else audio[:, 0]
+                            pcm = np.clip(mono * 32768.0, -32768, 32767).astype(np.int16)
+                            wav_writers[i].writeframes(pcm.tobytes())
                     self.blocks_processed += 1
                 dt = time.perf_counter() - t0
                 self.realtime_factor = block_seconds / max(dt, 1e-9)
@@ -217,6 +236,11 @@ class DeviceSet:
         except Exception as e:  # StError state (dspdevicesourceengine.h:28)
             self.error = f"{type(e).__name__}: {e}"
         finally:
+            for w in wav_writers.values():
+                try:
+                    w.close()
+                except Exception:
+                    pass
             self.running = False
 
     def drain_audio(self, channel: int) -> np.ndarray:

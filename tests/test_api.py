@@ -394,3 +394,36 @@ def test_commands_api(api):
     assert code == 200
     assert body["returncode"] == 0
     assert "api at 127.0.0.1:" in body["stdout"]
+
+
+def test_channel_wav_file_egress(api, tmp_path):
+    """A channel with audioFile set records its demod audio continuously."""
+    import wave as _wave
+
+    base, _ = api
+    out = str(tmp_path / "rec.wav")
+    _req(base, "/sdrangel/devicesets", "POST")
+    _req(base, "/sdrangel/deviceset/0/device/settings", "PATCH",
+         {"kind": "testsource", "sample_rate": 192000.0, "modulation": "fm",
+          "carrier_freq": 20000.0, "tone_freq": 1000.0})
+    _req(base, "/sdrangel/deviceset/0/channel", "POST",
+         {"channelType": "sdrangel.channel.nfmdemod",
+          "inputFrequencyOffset": 20000.0, "squelch_db": -60.0,
+          "audioFile": out})
+    _req(base, "/sdrangel/deviceset/0/device/run", "POST")
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        code, rep = _req(base, "/sdrangel/deviceset/0/channel/0/report")
+        if rep.get("audioSamples", 0) > 96000:
+            break
+        time.sleep(0.5)
+    _req(base, "/sdrangel/deviceset/0/device/run", "DELETE")
+    with _wave.open(out) as w:
+        n = w.getnframes()
+        pcm = np.frombuffer(w.readframes(n), np.int16).astype(np.float64) / 32768.0
+    assert n > 48000
+    a = pcm[len(pcm) // 2 :]
+    spec = np.abs(np.fft.rfft((a - a.mean()) * np.hanning(len(a)))) ** 2
+    freqs = np.fft.rfftfreq(len(a), 1 / 48000.0)
+    tone = np.abs(freqs - 1000.0) < 8 * 48000.0 / len(a)
+    assert 10 * np.log10(spec[tone].sum() / max(spec[~tone].sum(), 1e-30)) > 20.0
