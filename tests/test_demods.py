@@ -183,3 +183,23 @@ def test_vmapped_banks_other_demods(mod):
     for c in range(3):
         a = audio[c][audio.shape[-1] // 2 :]
         assert _tone_snr(a, 1000.0, 48000.0) > 20.0, (mod, c)
+
+
+def test_am_synchronous_mode():
+    """PLL-synchronous AM (amdemod processOneSample PLL branch): carrier
+    with a small frequency error is tracked and the tone recovered."""
+    channel_rate = 48000.0
+    cfg = demod_am.AMConfig(
+        channel_rate=channel_rate, squelch_db=-60.0, sync_am=True, sync_usb=True,
+    )
+    block = cfg.resampler_plan.block_in
+    n = block * 6
+    t = np.arange(n) / channel_rate
+    env = 1.0 + 0.8 * np.sin(2 * np.pi * 1000.0 * t)
+    # 30 Hz carrier error that plain envelope detection tolerates but the
+    # PLL must track for coherent detection
+    x = (0.4 * env * np.exp(1j * 2 * np.pi * 30.0 * t)).astype(np.complex64)
+    audio = _run_blocks(demod_am.process, demod_am.make_state(cfg), x, cfg, 6, block)
+    a = audio[len(audio) // 2 :]
+    snr = _tone_snr(a, 1000.0, cfg.audio_rate)
+    assert snr > 15.0, f"sync-AM SNR {snr:.1f} dB"

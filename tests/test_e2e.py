@@ -232,3 +232,32 @@ def test_bfm_through_engine():
     assert audio.ndim == 2 and audio.shape[1] == 2  # stereo frames
     a = audio[audio.shape[0] // 2 :, 0]
     assert _tone_snr(a, 1000.0, 48000.0) > 15.0
+
+
+@pytest.mark.parametrize("fc_pos", ["inf", "sup"])
+def test_engine_fc_pos_placement(fc_pos):
+    """Device-level inf/sup placements through the engine: the wanted band
+    sits at ∓fs/2^n (devicesamplesource.cpp:84-110) and the cascade brings
+    it to baseband centre."""
+    rate = 768_000.0
+    log2 = 3
+    shift = rate / (1 << log2)  # n>=3: fs/2^n
+    f_want = -shift if fc_pos == "inf" else shift
+    device = DeviceConfig(sample_rate=rate, log2_decim=log2, fc_pos=fc_pos)
+    pipe = RxPipeline(
+        device, [ChannelSpec("sdrangel.channel.nfmdemod", 0.0, {"squelch_db": -60.0})]
+    )
+    src = testsource.TestSourceConfig(
+        sample_rate=rate, carrier_freq=f_want, modulation="fm",
+        tone_freq=1000.0, fm_deviation=5000.0, amplitude=0.4,
+    )
+    iq = testsource.generate(src, pipe.device_block * 3)
+    raw = np.empty((len(iq), 2), dtype=np.int16)
+    raw[:, 0] = np.clip(iq.real * 32768, -32768, 32767)
+    raw[:, 1] = np.clip(iq.imag * 32768, -32768, 32767)
+    audio = np.concatenate([
+        o["channels"][0]["audio"]
+        for _, o in pipe.run(lambda b, n: raw[b * n : (b + 1) * n], 3)
+    ])
+    snr = _tone_snr(audio[len(audio) // 2 :], 1000.0, 48000.0)
+    assert snr > 25.0, f"{fc_pos} placement SNR {snr:.1f} dB"
