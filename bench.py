@@ -69,10 +69,19 @@ def main() -> int:
         squelch_gate_ms=1.0,
     )
 
+    # SDRANGEL_BENCH_FLAT=1 swaps the 6-conv staged cascade for the flat
+    # composed-filter polyphase conv (dsp/decimators.py decimate_flat) — one
+    # HBM pass over the input at ~3.7× the MACs; A/B knob for the
+    # memory-bound regime.
+    flat = bool(int(os.environ.get("SDRANGEL_BENCH_FLAT", "0")))
+
     def step(casc, dstate, raw):
         x = raw.astype(jnp.float32) * (1.0 / 32768.0)
         x = (x[..., 0] + 1j * x[..., 1]).astype(jnp.complex64)
-        casc, bb = dec.decimate_cascade(casc, x, log2, "cen")
+        if flat:
+            casc, bb = dec.decimate_flat(casc, x, log2)
+        else:
+            casc, bb = dec.decimate_cascade(casc, x, log2, "cen")
         xb = jnp.broadcast_to(bb, (n_channels, bb.shape[-1]))
         dstate, audio = demod_nfm.process(dstate, xb, demod_cfg)
         return casc, dstate, audio
@@ -83,7 +92,7 @@ def main() -> int:
     raw = jnp.asarray(rng.integers(-2048, 2048, size=(block, 2), dtype=np.int16))
     # states built inside jit: eager complex64 creation is unimplemented on
     # some TPU runtimes (see .claude/skills/verify/SKILL.md)
-    casc = jax.jit(lambda: dec.init_state(log2))()
+    casc = jax.jit(lambda: dec.init_flat_state(log2) if flat else dec.init_state(log2))()
     dstate = jax.jit(lambda: demod_nfm.make_state(demod_cfg, batch_shape=(n_channels,)))()
 
     # compile + warmup

@@ -45,6 +45,10 @@ _CHANNEL_REPORT = re.compile(r"^/sdrangel/deviceset/(\d+)/channel/(\d+)/report$"
 _CHANNEL_AUDIO = re.compile(r"^/sdrangel/deviceset/(\d+)/channel/(\d+)/audio$")
 
 
+class _BadRequest(Exception):
+    """Client error in the request body (mapped to HTTP 400)."""
+
+
 class ApiHandler(BaseHTTPRequestHandler):
     session: Session  # injected by make_server
 
@@ -63,9 +67,12 @@ class ApiHandler(BaseHTTPRequestHandler):
         if not length:
             return {}
         try:
-            return json.loads(self.rfile.read(length))
-        except json.JSONDecodeError:
-            return {}
+            body = json.loads(self.rfile.read(length))
+        except json.JSONDecodeError as e:
+            raise _BadRequest(f"malformed JSON body: {e}") from e
+        if not isinstance(body, dict):
+            raise _BadRequest("JSON body must be an object")
+        return body
 
     def _error(self, code: int, message: str) -> None:
         self._json(code, {"message": message})
@@ -216,13 +223,15 @@ class ApiHandler(BaseHTTPRequestHandler):
                      ]},
                 )
             if p == "/sdrangel/channels":
-                from ..channels.registry import REGISTRY
+                from ..channels.registry import REGISTRY, SESSION_KEYS, settings_schema
 
                 return self._json(
                     200,
                     {"channelcount": len(REGISTRY),
+                     "sessionKeys": sorted(SESSION_KEYS),
                      "channels": [
-                         {"uri": uri, "direction": k.direction}
+                         {"uri": uri, "direction": k.direction,
+                          "settings": settings_schema(uri)}
                          for uri, k in sorted(REGISTRY.items())
                      ]},
                 )
@@ -243,8 +252,8 @@ class ApiHandler(BaseHTTPRequestHandler):
     def do_POST(self):
         s = self.session
         p = self.path.rstrip("/")
-        body = self._body()
         try:
+            body = self._body()
             if p == "/sdrangel/devicesets":
                 ds = s.add_device_set(body.get("direction", "rx"))
                 return self._json(201, {"index": ds.index, "direction": ds.direction})
@@ -254,6 +263,8 @@ class ApiHandler(BaseHTTPRequestHandler):
                 return self._json(200, {"state": "running"})
             if m := _CHANNEL.match(p):
                 ds = s.device_sets[int(m.group(1))]
+                if "channelType" not in body:
+                    raise _BadRequest("missing required field 'channelType'")
                 uri = body.pop("channelType")
                 idx = ds.add_channel(uri, body)
                 return self._json(201, {"index": idx})
@@ -272,6 +283,8 @@ class ApiHandler(BaseHTTPRequestHandler):
                 s.load_preset(body.get("groupName", "default"), body.get("name", "preset"))
                 return self._json(200, {"loaded": True})
             return self._error(404, f"unknown path {p}")
+        except (_BadRequest, ValueError) as e:
+            return self._error(400, str(e))
         except (IndexError, KeyError) as e:
             return self._error(404, f"not found: {e}")
 
@@ -284,8 +297,8 @@ class ApiHandler(BaseHTTPRequestHandler):
     def _put_patch(self):
         s = self.session
         p = self.path.rstrip("/")
-        body = self._body()
         try:
+            body = self._body()
             if m := _DEVICE_SETTINGS.match(p):
                 ds = s.device_sets[int(m.group(1))]
                 target = ds.sink if ds.direction == "tx" else ds.source
@@ -318,6 +331,8 @@ class ApiHandler(BaseHTTPRequestHandler):
                     resp["fileName"] = body["fileName"]
                 return self._json(200, resp)
             return self._error(404, f"unknown path {p}")
+        except (_BadRequest, ValueError) as e:
+            return self._error(400, str(e))
         except (IndexError, KeyError) as e:
             return self._error(404, f"not found: {e}")
 

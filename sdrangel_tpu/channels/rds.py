@@ -53,16 +53,43 @@ SYNDROMES = {name: calc_syndrome(w, 26) for name, w in OFFSET_WORDS.items()}
 _BIT_SYNDROMES = [calc_syndrome(1 << i, 26) for i in range(26)]
 
 
-def correct_block(block: int, expected_syndrome: int) -> int | None:
-    """Return the corrected 26-bit block if it is clean or has exactly one
-    bit error; None otherwise (the reference relies on the code's burst
-    correction; single-bit covers the dominant AWGN error mode)."""
+def _burst_tables(max_burst: int) -> list[dict[int, int]]:
+    """tables[L-1]: syndrome-delta -> error pattern, for bursts of exact
+    span L (first and last bit of the span flipped). The RDS code is a
+    shortened cyclic (26,16) burst-correcting code designed for bursts up
+    to 5 bits; within that design envelope syndromes of distinct bursts do
+    not collide, so the lookup is exact."""
+    tables: list[dict[int, int]] = []
+    for span in range(1, max_burst + 1):
+        tbl: dict[int, int] = {}
+        inner = span - 2  # free bits between the fixed first/last of the span
+        for pos in range(26 - span + 1):
+            base = (1 << (span - 1)) | 1 if span > 1 else 1
+            for mid in range(1 << max(inner, 0)):
+                pattern = (base | (mid << 1)) << pos
+                tbl[calc_syndrome(pattern, 26)] = pattern
+        tables.append(tbl)
+    return tables
+
+
+_BURST_TABLES = _burst_tables(5)
+
+
+def correct_block(block: int, expected_syndrome: int, max_burst: int = 1) -> int | None:
+    """Return the corrected 26-bit block if it is clean or its errors form
+    a single burst of span <= max_burst; None otherwise.
+
+    The reference decoder (rdsdecoder.cpp) only detects; we exploit the
+    code's designed burst-5 correction capability. Shorter bursts are tried
+    first so the minimal correction wins (a clean block returns untouched).
+    """
     delta = calc_syndrome(block, 26) ^ expected_syndrome
     if delta == 0:
         return block
-    for i in range(26):
-        if _BIT_SYNDROMES[i] == delta:
-            return block ^ (1 << i)
+    for tbl in _BURST_TABLES[:max_burst]:
+        pattern = tbl.get(delta)
+        if pattern is not None:
+            return block ^ pattern
     return None
 
 
@@ -98,14 +125,37 @@ def bits_to_waveform(bits: np.ndarray, sps: int = 8) -> np.ndarray:
     return out.astype(np.float32)
 
 
+#: TMC event descriptions (tiny subset of the reference's RDSTMC tables —
+#: the raw event code is always reported alongside).
+TMC_EVENTS = {
+    1: "traffic problem",
+    101: "stationary traffic",
+    108: "queuing traffic",
+    201: "accident",
+    401: "closed",
+    701: "roadworks",
+    1101: "strong winds",
+    1301: "ice",
+}
+
+
 @dataclasses.dataclass
 class RDSStatus:
     pi: int | None = None
     pty: int | None = None
     tp: bool | None = None
+    ta: bool | None = None          # traffic announcement (group 0 / 15B)
+    music: bool | None = None       # music/speech flag (group 0)
     ps_name: str = "        "
     radiotext: str = " " * 64
+    ptyn: str = ""                  # programme type name (group 10A)
+    pin: int | None = None          # programme item number (group 1A)
     clock_time: str = ""  # "YYYY-MM-DD HH:MM+TZ" from group 4A
+    af_mhz: list = dataclasses.field(default_factory=list)  # alt freqs, MHz
+    af_khz: list = dataclasses.field(default_factory=list)  # LF/MF alt freqs
+    oda: dict = dataclasses.field(default_factory=dict)     # group -> AID (3A)
+    eon: dict = dataclasses.field(default_factory=dict)     # other-net PI -> PS
+    tmc_events: list = dataclasses.field(default_factory=list)  # 8A decodes
     groups_ok: int = 0
     blocks_with_errors: int = 0
     blocks_corrected: int = 0
@@ -118,8 +168,9 @@ class RDSStatus:
 class RDSDecoder:
     """Streaming symbol→bit→group pipeline with carried state."""
 
-    def __init__(self, sps: int = 8):
+    def __init__(self, sps: int = 8, max_burst: int = 5):
         self.sps = sps
+        self.max_burst = max_burst
         self._carry = np.zeros(0, dtype=np.float64)
         self._prev_raw = 0
         self._bit_reg = 0
@@ -130,6 +181,10 @@ class RDSDecoder:
         self.status = RDSStatus()
         self._ps = list(" " * 8)
         self._rt = list(" " * 64)
+        self._ptyn = list(" " * 8)
+        self._eon_ps: dict[int, list[str]] = {}
+        self._af: set[float] = set()
+        self._af_lf: set[float] = set()
 
     # -- symbol layer ------------------------------------------------------
 
@@ -196,9 +251,9 @@ class RDSDecoder:
             return None
         self._bits_since_block = 0
         expected = _OFFSET_ORDER[self._block_idx]
-        corrected = correct_block(self._bit_reg, SYNDROMES[expected])
+        corrected = correct_block(self._bit_reg, SYNDROMES[expected], self.max_burst)
         if corrected is None and expected == "C":
-            corrected = correct_block(self._bit_reg, SYNDROMES["C'"])
+            corrected = correct_block(self._bit_reg, SYNDROMES["C'"], self.max_burst)
         if corrected is None:
             # uncorrectable: drop sync and re-acquire (rdsdecoder.cpp)
             self.status.blocks_with_errors += 1
@@ -217,7 +272,23 @@ class RDSDecoder:
             return g
         return None
 
-    # -- parser (rdsparser.cpp subset: 0A/0B PS, 2A/2B RT) -----------------
+    # -- parser (rdsparser.cpp semantics: 0/1A/2/3A/4A/8A/10A/14A/15B) -----
+
+    def _feed_af_code(self, code: int) -> None:
+        """One alternate-frequency byte of a 0A block-C pair (rdsparser.cpp
+        decode_type0 AF handling)."""
+        if getattr(self, "_af_lfmf_next", False):
+            self._af_lfmf_next = False
+            if 1 <= code <= 15:  # LF: 153..279 kHz in 9 kHz steps
+                self._af_lf.add(153.0 + 9.0 * (code - 1))
+            elif 16 <= code <= 135:  # MF: 531..1602 kHz
+                self._af_lf.add(531.0 + 9.0 * (code - 16))
+            return
+        if 1 <= code <= 204:  # VHF: 87.6..108.0 MHz in 100 kHz steps
+            self._af.add(round(87.5 + 0.1 * code, 1))
+        elif code == 250:  # "one LF/MF frequency follows"
+            self._af_lfmf_next = True
+        # 205 = filler, 224..249 = "N AFs follow" counters, others unused
 
     def parse_group(self, g: list[int]) -> None:
         st = self.status
@@ -227,11 +298,61 @@ class RDSDecoder:
         st.tp = bool((g[1] >> 10) & 1)
         st.pty = (g[1] >> 5) & 0x1F
         if gtype == 0:
+            st.ta = bool((g[1] >> 4) & 1)
+            st.music = bool((g[1] >> 3) & 1)
             seg = g[1] & 0x3
+            if not version_b:
+                self._feed_af_code((g[2] >> 8) & 0xFF)
+                self._feed_af_code(g[2] & 0xFF)
+                st.af_mhz = sorted(self._af)
+                st.af_khz = sorted(self._af_lf)
             chars = g[3]
             self._ps[2 * seg] = chr((chars >> 8) & 0xFF)
             self._ps[2 * seg + 1] = chr(chars & 0xFF)
             st.ps_name = "".join(self._ps)
+        elif gtype == 1 and not version_b:
+            # programme item number: day(5) hour(5) minute(6)
+            st.pin = g[3]
+        elif gtype == 3 and not version_b:
+            # ODA announcement: block 2 low 5 bits name the carrier group,
+            # block 4 is the application id (AID)
+            agt = (g[1] >> 1) & 0xF
+            aver = "B" if g[1] & 1 else "A"
+            st.oda[f"{agt}{aver}"] = g[3]
+        elif gtype == 8 and not version_b:
+            # TMC (ALERT-C) user message, single- or first-group layout
+            system = (g[1] >> 4) & 1
+            if not system:
+                st.tmc_events.append({
+                    "single_group": bool((g[1] >> 3) & 1),
+                    "duration": g[1] & 0x7,
+                    "diversion": bool((g[2] >> 15) & 1),
+                    "direction": (g[2] >> 14) & 1,
+                    "extent": (g[2] >> 11) & 0x7,
+                    "event": g[2] & 0x7FF,
+                    "event_text": TMC_EVENTS.get(g[2] & 0x7FF, ""),
+                    "location": g[3],
+                })
+                del st.tmc_events[:-32]  # bounded history
+        elif gtype == 10 and not version_b:
+            seg = g[1] & 1
+            for i, c in enumerate([(g[2] >> 8) & 0xFF, g[2] & 0xFF,
+                                   (g[3] >> 8) & 0xFF, g[3] & 0xFF]):
+                self._ptyn[4 * seg + i] = chr(c)
+            st.ptyn = "".join(self._ptyn)
+        elif gtype == 14 and not version_b:
+            # EON: variants 0..3 carry the other network's PS in segments
+            variant = g[1] & 0xF
+            on_pi = g[3]
+            if variant <= 3:
+                ps = self._eon_ps.setdefault(on_pi, list(" " * 8))
+                ps[2 * variant] = chr((g[2] >> 8) & 0xFF)
+                ps[2 * variant + 1] = chr(g[2] & 0xFF)
+                st.eon[on_pi] = "".join(ps)
+        elif gtype == 15 and version_b:
+            # fast basic tuning: repeats the group-0 flags, no PS/AF payload
+            st.ta = bool((g[1] >> 4) & 1)
+            st.music = bool((g[1] >> 3) & 1)
         elif gtype == 4 and not version_b:
             # 4A clock-time: Modified Julian Date + hour/minute + offset
             mjd = ((g[1] & 0x3) << 15) | (g[2] >> 1)

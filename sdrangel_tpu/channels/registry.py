@@ -32,10 +32,62 @@ REGISTRY: dict[str, ChannelKind] = {}
 
 def register(kind: ChannelKind) -> None:
     REGISTRY[kind.uri] = kind
+    CONFIG_CLASSES[kind.uri] = kind.config_cls
 
 
 def get_demod(uri: str) -> ChannelKind:
     return REGISTRY[uri]
+
+
+#: config fields bound by the pipeline (not user-settable over the API)
+_PIPELINE_FIELDS = {"channel_rate", "input_offset", "block_in", "block_af"}
+#: session-level per-channel keys handled outside the demod/mod config
+#: (offset → channel plan; audioFile/audioUdp/audioRtp → audio egress;
+#: toneFrequency → Tx AF source)
+SESSION_KEYS = {
+    "inputFrequencyOffset", "audioFile", "audioUdp", "audioRtp", "toneFrequency",
+}
+
+#: uri -> config dataclass for schema purposes; Rx kinds land here via
+#: register(), Tx modulator kinds via register_config() (runtime/tx.py)
+CONFIG_CLASSES: dict[str, type] = {}
+
+
+def register_config(uri: str, config_cls: type) -> None:
+    CONFIG_CLASSES[uri] = config_cls
+
+
+def settings_schema(uri: str) -> dict[str, dict]:
+    """The channel type's settable fields: name -> {type, default}.
+
+    The reference publishes per-plugin settings DTOs through swagger
+    (swagger/sdrangel/api/swagger/include/*.yaml); here the schema is
+    derived from the config dataclass so it can never drift from the code.
+    """
+    schema: dict[str, dict] = {}
+    for f in dataclasses.fields(CONFIG_CLASSES[uri]):
+        if f.name in _PIPELINE_FIELDS:
+            continue
+        default = None if f.default is dataclasses.MISSING else f.default
+        schema[f.name] = {
+            "type": getattr(f.type, "__name__", str(f.type)),
+            "default": default,
+        }
+    return schema
+
+
+def validate_settings(uri: str, settings: dict) -> None:
+    """Reject unknown setting keys up front (ValueError) instead of failing
+    later inside the engine thread at pipeline-build time."""
+    if uri not in CONFIG_CLASSES:
+        raise ValueError(f"unknown channel type {uri!r}")
+    allowed = set(settings_schema(uri)) | SESSION_KEYS
+    unknown = set(settings) - allowed
+    if unknown:
+        raise ValueError(
+            f"unknown settings for {uri}: {sorted(unknown)}; "
+            f"allowed: {sorted(allowed)}"
+        )
 
 
 register(ChannelKind("sdrangel.channel.nfmdemod", demod_nfm.NFMConfig,

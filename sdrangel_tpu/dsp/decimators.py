@@ -175,3 +175,89 @@ def decimate_reference_oracle(
         full = np.convolve(ext, h[::-1], mode="valid")  # correlation
         y = full[::2]
     return y.astype(np.complex64)
+
+
+# ---------------------------------------------------------------------------
+# Flat (single-stage) form of the whole cen cascade
+# ---------------------------------------------------------------------------
+#
+# The k chained ÷2 stages re-read every intermediate rate from HBM (~2×
+# the input bytes in total intermediates). The LTI composition
+# h_eq = h ∗ (h↑2) ∗ (h↑4) ∗ … collapses the cascade into ONE filter at the
+# output grid: y[M] = Σ_l h_eq[l]·x[2^k·M − D + l], D = (order−2)·(2^k − 1). Decomposed into 2^k polyphase legs this is a single
+# multi-input-channel conv: planes[j, i] = ext[2^k·i + j] and
+# y[M] = Σ_j (legs_j ⋆ planes_j)[M] — one HBM pass over the input and ~3.7×
+# the cascade's MACs (61-tap legs × 64 vs Σ 33/2^s), a good trade when the
+# chain is memory-bound. cen placement only (inf/sup rotations make the
+# cascade periodically time-varying; use decimate_cascade for those).
+
+
+class FlatState(NamedTuple):
+    tail: jnp.ndarray  # (..., 2^k·(t_leg−1)) carried input samples
+
+
+@functools.lru_cache(maxsize=8)
+def flat_equivalent_filter(log2_decim: int, order: int = DECIMATORS_ORDER) -> np.ndarray:
+    h = hb_taps(order).astype(np.float64)
+    h_eq = np.array([1.0])
+    for s in range(log2_decim):
+        up = np.zeros(((len(h) - 1) << s) + 1)
+        up[:: 1 << s] = h
+        h_eq = np.convolve(h_eq, up)
+    return h_eq
+
+
+@functools.lru_cache(maxsize=8)
+def flat_legs(log2_decim: int, order: int = DECIMATORS_ORDER) -> np.ndarray:
+    """(2^k, t_leg) float32 polyphase legs of h_eq, front-padded so leg
+    convolution lands on the streaming cascade's output grid."""
+    r = 1 << log2_decim
+    h_eq = flat_equivalent_filter(log2_decim, order)
+    d = (order - 2) * (r - 1)  # cascade group history (62·(2^k−1) for order 64)
+    front = (-d) % r
+    padded = np.concatenate([np.zeros(front), h_eq])
+    t_leg = -(-len(padded) // r)
+    full = np.zeros(t_leg * r)
+    full[: len(padded)] = padded
+    return full.reshape(t_leg, r).T.astype(np.float32)
+
+
+def init_flat_state(
+    log2_decim: int, batch_shape: Sequence[int] = (), order: int = DECIMATORS_ORDER
+) -> FlatState:
+    r = 1 << log2_decim
+    t_leg = flat_legs(log2_decim, order).shape[1]
+    return FlatState(
+        jnp.zeros((*batch_shape, r * (t_leg - 1)), dtype=jnp.complex64)
+    )
+
+
+def decimate_flat(
+    state: FlatState, x: jnp.ndarray, log2_decim: int, order: int = DECIMATORS_ORDER
+) -> tuple[FlatState, jnp.ndarray]:
+    """Whole ÷2^k cen cascade as one polyphase conv; streaming-equivalent to
+    decimate_cascade (within f32 rounding of the composed filter).
+
+    x: (..., T) complex64, T a multiple of 2^k. Returns (state', y (..., T/2^k)).
+    """
+    if log2_decim == 0:
+        return state, x
+    r = 1 << log2_decim
+    legs = jnp.asarray(flat_legs(log2_decim, order))  # (r, t_leg)
+    t_leg = legs.shape[1]
+    ext = jnp.concatenate([state.tail, x], axis=-1)
+    batch_shape = ext.shape[:-1]
+    lanes = jnp.stack([jnp.real(ext), jnp.imag(ext)], axis=0)
+    w = ext.shape[-1] // r
+    planes = lanes.reshape(-1, w, r)  # (2·prod(batch), w, 2^k)
+    planes = jnp.swapaxes(planes, -1, -2)  # (N, 2^k, w) — legs on channels
+    out = jax.lax.conv_general_dilated(
+        planes,
+        legs[None],  # (1, 2^k, t_leg) OIH
+        window_strides=(1,),
+        padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )  # (N, 1, w − t_leg + 1) = (N, 1, T/2^k)
+    out = out.reshape(2, *batch_shape, out.shape[-1])
+    y = (out[0] + 1j * out[1]).astype(jnp.complex64)
+    return FlatState(ext[..., x.shape[-1] :]), y

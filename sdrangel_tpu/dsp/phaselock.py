@@ -64,17 +64,19 @@ def pll_run(
 
 class PilotPLLState(NamedTuple):
     phase: jnp.ndarray
-    freq: jnp.ndarray
-    lock_avg: jnp.ndarray  # lock detector moving value
+    freq: jnp.ndarray      # radians/sample
+    phasor_i1: jnp.ndarray  # 2-pole phasor lowpass delay line (I)
+    phasor_i2: jnp.ndarray
+    phasor_q1: jnp.ndarray  # … (Q)
+    phasor_q2: jnp.ndarray
+    loop_x1: jnp.ndarray   # loop-filter previous phase error
+    lock_avg: jnp.ndarray  # smoothed pilot level (filtered I)
 
 
 def make_pilot_pll(freq_hz: float, sample_rate: float, batch_shape=()) -> PilotPLLState:
     w0 = 2.0 * np.pi * freq_hz / sample_rate
-    return PilotPLLState(
-        jnp.zeros(batch_shape, dtype=jnp.float32),
-        jnp.full(batch_shape, w0, dtype=jnp.float32),
-        jnp.zeros(batch_shape, dtype=jnp.float32),
-    )
+    z = jnp.zeros(batch_shape, dtype=jnp.float32)
+    return PilotPLLState(z, jnp.full(batch_shape, w0, jnp.float32), z, z, z, z, z, z)
 
 
 def pilot_pll_run(
@@ -82,39 +84,63 @@ def pilot_pll_run(
     x: jnp.ndarray,
     freq_hz: float,
     sample_rate: float,
-    bandwidth_hz: float = 10.0,
+    bandwidth_hz: float = 50.0,
 ) -> tuple[PilotPLLState, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """19 kHz pilot tracker for BFM stereo (PhaseLock, phaselock.h:181).
+    """19 kHz pilot tracker for BFM stereo — the reference's type-2 4th-order
+    loop (PhaseLock ctor + process, sdrbase/dsp/phaselock.cpp:24-230): the
+    raw I/Q phase detector is lowpassed by a 2-pole filter (poles at
+    exp(-1.146·ω_bw), exp(-5.331·ω_bw)) before a clamped-arctan error
+    estimate feeds a 1st-order loop filter and the freq/phase integrators.
 
     x: (..., T) float32 (real MPX signal). Returns (state', cos(θ),
-    cos(2θ), cos(3θ)) — the harmonically locked references the reference
-    produces as pll samples for the 38 kHz stereo and 57 kHz RDS subcarriers.
+    cos(2θ), cos(3θ)) — harmonically locked references for the 38 kHz
+    stereo and 57 kHz RDS subcarriers. Lock quality: state.lock_avg (the
+    filtered in-phase pilot level; reference compares it to minsignal).
     """
+    bw = bandwidth_hz / sample_rate
     w0 = 2.0 * np.pi * freq_hz / sample_rate
-    wn = 2.0 * np.pi * bandwidth_hz / sample_rate
-    g1 = jnp.float32(2.0 * 0.707 * wn)
-    g2 = jnp.float32(wn * wn)
-    w_lo = jnp.float32(w0 * 0.9)
-    w_hi = jnp.float32(w0 * 1.1)
+    w_lo = jnp.float32(2.0 * np.pi * (freq_hz - bandwidth_hz) / sample_rate)
+    w_hi = jnp.float32(2.0 * np.pi * (freq_hz + bandwidth_hz) / sample_rate)
+    p1 = np.exp(-1.146 * bw * 2.0 * np.pi)
+    p2 = np.exp(-5.331 * bw * 2.0 * np.pi)
+    pa1 = jnp.float32(-(p1 + p2))
+    pa2 = jnp.float32(p1 * p2)
+    pb0 = jnp.float32(1.0 - (p1 + p2) + p1 * p2)
+    q1 = np.exp(-0.1153 * bw * 2.0 * np.pi)
+    lf_b0 = jnp.float32(0.62 * bw * 2.0 * np.pi)
+    lf_b1 = jnp.float32(-0.62 * bw * 2.0 * np.pi * q1)
+    del w0
 
     xt = jnp.moveaxis(x, -1, 0)
 
     def step(carry, xi):
-        phase, freq, lock = carry
-        # phase detector: mix the real input with the quadrature oscillator
-        err = (-xi * jnp.sin(phase)).astype(jnp.float32)
-        lock = 0.999 * lock + 0.001 * (xi * jnp.cos(phase))
-        freq = jnp.clip(freq + g2 * err, w_lo, w_hi)
-        phase = phase + freq + g1 * err
-        phase = jnp.mod(phase, 2.0 * np.pi)
-        return (phase, freq, lock), phase
+        phase, freq, i1, i2, qq1, qq2, x1, lock = carry
+        phase_out = phase  # reference emits from the pre-update phase
+        psin = jnp.sin(phase)
+        pcos = jnp.cos(phase)
+        # phase detector + 2-pole unit-DC-gain lowpass on I/Q
+        fi = pb0 * (psin * xi) - pa1 * i1 - pa2 * i2
+        fq = pb0 * (pcos * xi) - pa1 * qq1 - pa2 * qq2
+        i2, i1 = i1, fi
+        qq2, qq1 = qq1, fq
+        # clamped arctan approximation (phaselock.cpp:186-197)
+        err = jnp.where(
+            fi > jnp.abs(fq),
+            fq / jnp.maximum(fi, 1e-20),
+            jnp.where(fq > 0.0, 1.0, -1.0),
+        ).astype(jnp.float32)
+        lock = 0.999 * lock + 0.001 * fi
+        freq = jnp.clip(freq + lf_b0 * err + lf_b1 * x1, w_lo, w_hi)
+        phase = jnp.mod(phase + freq, 2.0 * np.pi)
+        return (phase, freq, i1, i2, qq1, qq2, err, lock), phase_out
 
-    (phase, freq, lock), phases = jax.lax.scan(
-        step, (state.phase, state.freq, state.lock_avg), xt
-    )
-    phases = jnp.moveaxis(phases, 0, -1)
+    carry0 = tuple(state)
+    carry, phases = jax.lax.scan(step, carry0, xt)
+    # the detector locks sin(θ) onto the pilot; shift so a pilot A·cos(ω₀t+φ)
+    # yields references cos(k·(ω₀t+φ)) directly
+    phases = jnp.moveaxis(phases, 0, -1) - jnp.float32(np.pi / 2.0)
     return (
-        PilotPLLState(phase, freq, lock),
+        PilotPLLState(*carry),
         jnp.cos(phases),
         jnp.cos(2.0 * phases),
         jnp.cos(3.0 * phases),

@@ -267,25 +267,36 @@ def _polyphase_conv_kernels(plan: ResamplerPlan) -> np.ndarray:
 def _resample_polyphase_conv(
     state: ResamplerState, x: jnp.ndarray, plan: ResamplerPlan
 ) -> tuple[ResamplerState, jnp.ndarray]:
-    import jax
+    """Gather-mode schedule as ONE matmul on the MXU.
 
-    rhs_np = plan.residue_kernels
+    Output q·m'+j is dot(K_j, ext[m'·p : m'·p + L]) with K_j the phase leg
+    embedded at start_idx[j] (period-p/q schedule). Formulated as a strided
+    conv (stride p, L-wide kernels) XLA's TPU compile blows up for large p
+    (the 625/384-type rates took tens of minutes); the identical computation
+    as window extraction by reshape + `windows (m', L) @ K.T (L, q)` compiles
+    in seconds and runs on the MXU.
+    """
+    rhs_np = plan.residue_kernels  # (q, 1, L)
     q_ = rhs_np.shape[0]
+    k_mat = jnp.asarray(rhs_np[:, 0, :])  # (q, L)
+    l_full = rhs_np.shape[-1]
+    p_ = plan._pq_eff[0]
+    m_per = plan.block_out // q_
     ext = jnp.concatenate([state.tail, x], axis=-1)
     batch_shape = ext.shape[:-1]
+
+    # windows[m'] = ext[m'·p : m'·p + L] via r p-wide row chunks (r·p ≥ L);
+    # zero-pad the tail chunk reads — padded columns are sliced off by [:L]
+    r = -(-l_full // p_)
+    pad = m_per * p_ + r * p_ - ext.shape[-1]
     lanes = jnp.stack([jnp.real(ext), jnp.imag(ext)], axis=0)
-    lhs = lanes.reshape(-1, 1, ext.shape[-1])
-    out = jax.lax.conv_general_dilated(
-        lhs,
-        jnp.asarray(rhs_np),
-        window_strides=(plan._pq_eff[0],),
-        padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-    )  # (2*prod(batch), q, M')
-    m_per = plan.block_out // q_
-    out = out[..., :m_per]
-    # interleave residues back into time order: y[q*m' + j]
-    out = jnp.swapaxes(out, -1, -2).reshape(out.shape[0], plan.block_out)
+    lanes = jnp.pad(lanes, [(0, 0)] * (lanes.ndim - 1) + [(0, max(pad, 0))])
+    chunks = [
+        lanes[..., s * p_ : (s + m_per) * p_].reshape(*lanes.shape[:-1], m_per, p_)
+        for s in range(r)
+    ]
+    windows = jnp.concatenate(chunks, axis=-1)[..., :l_full]  # (2, ..., m', L)
+    out = jnp.einsum("...ml,ql->...mq", windows, k_mat)  # (2, ..., m', q)
     out = out.reshape(2, *batch_shape, plan.block_out)
     y = (out[0] + 1j * out[1]).astype(jnp.complex64)
     return ResamplerState(ext[..., plan.block_in :]), y

@@ -19,6 +19,7 @@ from typing import Any, Optional
 
 import numpy as np
 
+from ..channels import registry
 from ..channels.registry import REGISTRY
 from ..io import sdriq, testsource
 from .engine import ChannelSpec, DeviceConfig, RxPipeline
@@ -92,6 +93,7 @@ class DeviceSet:
         if uri not in REGISTRY:
             raise KeyError(uri)
         settings = dict(settings or {})
+        registry.validate_settings(uri, settings)
         offset = float(settings.pop("inputFrequencyOffset", 0.0))
         with self._lock:
             self.channels.append(ChannelState(uri, offset, settings))
@@ -106,6 +108,7 @@ class DeviceSet:
     def update_channel(self, index: int, settings: dict) -> None:
         with self._lock:
             ch = self.channels[index]
+            registry.validate_settings(ch.uri, settings)
             if "inputFrequencyOffset" in settings:
                 ch.frequency_offset = float(settings.pop("inputFrequencyOffset"))
             ch.settings.update(settings)
@@ -140,7 +143,8 @@ class DeviceSet:
         specs = []
         for ch in self.channels:
             st = dict(ch.settings)
-            st.pop("audioFile", None)  # session-level setting, not a demod knob
+            for k in registry.SESSION_KEYS:  # session-level, not demod knobs
+                st.pop(k, None)
             specs.append(ChannelSpec(ch.uri, ch.frequency_offset, st))
         pipe = RxPipeline(device, specs, block_size=1 << 16)
         if src.kind == "daemonsource":
@@ -184,6 +188,7 @@ class DeviceSet:
         """Engine thread: gotoRunning → block loop → gotoIdle
         (dspdevicesourceengine.cpp:325-408 work loop)."""
         wav_writers = {}
+        net_sinks = {}  # channel idx -> list of objects with .write(audio f32)
         try:
             with self._lock:
                 pipe, reader = self._build_pipeline()
@@ -197,6 +202,22 @@ class DeviceSet:
                         w.setsampwidth(2)
                         w.setframerate(48000)
                         wav_writers[i] = w
+                    # network audio egress (AudioNetSink role, audionetsink.h:
+                    # 29-63 — raw UDP or RTP L16): settings "audioUdp" /
+                    # "audioRtp" take "host:port"
+                    sinks = []
+                    if ch.settings.get("audioUdp"):
+                        from ..io.udp import UdpSink
+
+                        host, port = ch.settings["audioUdp"].rsplit(":", 1)
+                        sinks.append(UdpSink(host, int(port), "mono16"))
+                    if ch.settings.get("audioRtp"):
+                        from ..io.rtp import RtpAudioSender
+
+                        host, port = ch.settings["audioRtp"].rsplit(":", 1)
+                        sinks.append(RtpAudioSender(host, int(port)))
+                    if sinks:
+                        net_sinks[i] = sinks
             state = pipe.init_state()
             block_seconds = pipe.device_block / pipe.device.sample_rate
             b = 0
@@ -227,6 +248,9 @@ class DeviceSet:
                             mono = audio if audio.ndim == 1 else audio[:, 0]
                             pcm = np.clip(mono * 32768.0, -32768, 32767).astype(np.int16)
                             wav_writers[i].writeframes(pcm.tobytes())
+                        for sink in net_sinks.get(i, ()):
+                            mono = audio if audio.ndim == 1 else audio[:, 0]
+                            sink.write(mono)
                     self.blocks_processed += 1
                 dt = time.perf_counter() - t0
                 self.realtime_factor = block_seconds / max(dt, 1e-9)
@@ -241,6 +265,12 @@ class DeviceSet:
                     w.close()
                 except Exception:
                     pass
+            for sinks in net_sinks.values():
+                for s in sinks:
+                    try:
+                        s.close()
+                    except Exception:
+                        pass
             self.running = False
 
     def drain_audio(self, channel: int) -> np.ndarray:
@@ -284,6 +314,7 @@ class TxDeviceSet:
         if uri not in _MOD_KINDS:
             raise KeyError(uri)
         settings = dict(settings or {})
+        registry.validate_settings(uri, settings)
         offset = float(settings.pop("inputFrequencyOffset", 0.0))
         self.channels.append(ChannelState(uri, offset, settings))
         return len(self.channels) - 1
@@ -293,6 +324,7 @@ class TxDeviceSet:
 
     def update_channel(self, index: int, settings: dict) -> None:
         ch = self.channels[index]
+        registry.validate_settings(ch.uri, settings)
         if "inputFrequencyOffset" in settings:
             ch.frequency_offset = float(settings.pop("inputFrequencyOffset"))
         ch.settings.update(settings)

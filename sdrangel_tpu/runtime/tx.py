@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..channels import modulators as mods
+from ..channels import registry
 from ..dsp import channelizer as chan
 from ..dsp import interpolators as interp
 
@@ -26,6 +27,9 @@ _MOD_KINDS = {
     "sdrangel.channeltx.modssb": (mods.SSBModConfig, mods.make_ssb_state, mods.ssb_modulate),
     "sdrangel.channeltx.modwfm": (mods.WFMModConfig, mods.make_wfm_state, mods.wfm_modulate),
 }
+
+for _uri, (_cfg_cls, _, _) in _MOD_KINDS.items():
+    registry.register_config(_uri, _cfg_cls)
 
 
 @dataclasses.dataclass(frozen=True, eq=False)

@@ -427,3 +427,100 @@ def test_channel_wav_file_egress(api, tmp_path):
     freqs = np.fft.rfftfreq(len(a), 1 / 48000.0)
     tone = np.abs(freqs - 1000.0) < 8 * 48000.0 / len(a)
     assert 10 * np.log10(spec[tone].sum() / max(spec[~tone].sum(), 1e-30)) > 20.0
+
+
+def test_malformed_json_400(api):
+    """Malformed or non-object JSON bodies are 400, not silently ignored."""
+    base, _ = api
+    req = urllib.request.Request(
+        base + "/sdrangel/devicesets", data=b"{not json", method="POST")
+    req.add_header("Content-Type", "application/json")
+    try:
+        with urllib.request.urlopen(req):
+            code = 200
+    except urllib.error.HTTPError as e:
+        code = e.code
+        body = json.loads(e.read())
+        assert "malformed" in body["message"]
+    assert code == 400
+    code, body = _req(base, "/sdrangel/devicesets", "POST", body=[1, 2])
+    assert code == 400 and "object" in body["message"]
+
+
+def test_channel_settings_validation_400(api):
+    """Unknown setting keys and missing channelType fail fast with 400."""
+    base, _ = api
+    _req(base, "/sdrangel/devicesets", "POST")
+    code, body = _req(base, "/sdrangel/deviceset/0/channel", "POST",
+                      {"inputFrequencyOffset": 0.0})
+    assert code == 400 and "channelType" in body["message"]
+    code, body = _req(base, "/sdrangel/deviceset/0/channel", "POST",
+                      {"channelType": "sdrangel.channel.nfmdemod",
+                       "fmDeviation": 5000.0})  # wrong name: fm_deviation
+    assert code == 400 and "fmDeviation" in body["message"]
+    code, _ = _req(base, "/sdrangel/deviceset/0/channel", "POST",
+                   {"channelType": "sdrangel.channel.nfmdemod",
+                    "fm_deviation": 5000.0})
+    assert code == 201
+    code, body = _req(base, "/sdrangel/deviceset/0/channel/0/settings", "PATCH",
+                      {"bogus_knob": 1})
+    assert code == 400 and "bogus_knob" in body["message"]
+
+
+def test_channel_settings_schema(api):
+    """/sdrangel/channels surfaces each type's settable fields + defaults."""
+    base, _ = api
+    code, body = _req(base, "/sdrangel/channels")
+    assert code == 200
+    by_uri = {c["uri"]: c for c in body["channels"]}
+    nfm = by_uri["sdrangel.channel.nfmdemod"]["settings"]
+    assert nfm["fm_deviation"] == {"type": "float", "default": 5000.0}
+    assert "squelch_db" in nfm and "channel_rate" not in nfm
+    assert "inputFrequencyOffset" in body["sessionKeys"]
+
+
+def test_channel_udp_rtp_audio_egress(api):
+    """audioUdp / audioRtp channel settings stream the demod audio as UDP
+    mono16 datagrams and RTP L16 packets (the AudioNetSink roles)."""
+    import socket
+
+    from sdrangel_tpu.io.rtp import parse_packet
+    from sdrangel_tpu.io.udp import decode_payload
+
+    udp_rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    udp_rx.bind(("127.0.0.1", 0))
+    udp_rx.settimeout(30.0)
+    rtp_rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    rtp_rx.bind(("127.0.0.1", 0))
+    rtp_rx.settimeout(30.0)
+
+    base, _ = api
+    _req(base, "/sdrangel/devicesets", "POST")
+    _req(base, "/sdrangel/deviceset/0/device/settings", "PATCH",
+         {"kind": "testsource", "sample_rate": 192000.0, "modulation": "fm",
+          "carrier_freq": 20000.0, "tone_freq": 1000.0})
+    code, _body = _req(base, "/sdrangel/deviceset/0/channel", "POST",
+         {"channelType": "sdrangel.channel.nfmdemod",
+          "inputFrequencyOffset": 20000.0, "squelch_db": -60.0,
+          "audioUdp": f"127.0.0.1:{udp_rx.getsockname()[1]}",
+          "audioRtp": f"127.0.0.1:{rtp_rx.getsockname()[1]}"})
+    assert code == 201
+    _req(base, "/sdrangel/deviceset/0/device/run", "POST")
+    try:
+        chunks = [decode_payload(udp_rx.recv(4096), "mono16") for _ in range(40)]
+        pkts = [parse_packet(rtp_rx.recv(4096)) for _ in range(10)]
+    finally:
+        _req(base, "/sdrangel/deviceset/0/device/run", "DELETE")
+        udp_rx.close()
+        rtp_rx.close()
+
+    audio = np.concatenate(chunks)
+    a = audio - audio.mean()
+    spec = np.abs(np.fft.rfft(a * np.hanning(len(a)))) ** 2
+    freqs = np.fft.rfftfreq(len(a), 1.0 / 48000.0)
+    tone = np.abs(freqs - 1000.0) < 8 * 48000.0 / len(a)
+    snr = 10 * np.log10(spec[tone].sum() / max(spec[~tone].sum(), 1e-30))
+    assert snr > 10.0, snr
+    seqs = [p["seq"] for p in pkts]
+    assert all((b - a) & 0xFFFF == 1 for a, b in zip(seqs, seqs[1:]))
+    assert all(p["payload_type"] in (96, 11, 10) for p in pkts)

@@ -173,3 +173,106 @@ def test_rds_single_bit_correction():
     assert dec.status.blocks_corrected >= 1
     assert dec.status.groups_ok >= len(groups) - 1
     assert dec.status.pi == 0x5678
+
+
+def test_rds_burst_correction():
+    """The (26,16) code's designed burst-5 correction: a 5-bit burst inside
+    one block is repaired (reference only detects; rdsdecoder.cpp)."""
+    groups = [[0x5678, (0 << 12) | (3 << 5) | s, 0xE0CD, 0x4150 + s] for s in range(4)] * 4
+    bits = np.concatenate([rds.encode_group(g) for g in groups]).copy()
+    start = 4 * 104 + 2 * 26 + 7  # inside the 5th group's C block
+    for off in (0, 1, 3, 4):  # span-5 burst: bits 0 and 4 set
+        bits[start + off] ^= 1
+    dec = rds.RDSDecoder()
+    for b in bits:
+        g = dec._feed_bit(int(b))
+        if g:
+            dec.parse_group(g)
+    assert dec.status.blocks_corrected >= 1
+    assert dec.status.groups_ok >= len(groups) - 1
+
+
+def test_rds_af_list():
+    """0A block-C AF pairs accumulate into a VHF alternate-frequency list."""
+    dec = rds.RDSDecoder()
+    # AF codes: 224+2 = "2 AFs follow"; 15 -> 89.0 MHz; 100 -> 97.5 MHz
+    dec.parse_group([0x1234, (0 << 12) | 0, (226 << 8) | 15, 0x2020])
+    dec.parse_group([0x1234, (0 << 12) | 1, (100 << 8) | 205, 0x2020])
+    assert dec.status.af_mhz == [89.0, 97.5], dec.status.af_mhz
+    # LF/MF escape: 250 then code 1 -> 153 kHz
+    dec.parse_group([0x1234, (0 << 12) | 2, (250 << 8) | 1, 0x2020])
+    assert dec.status.af_khz == [153.0]
+
+
+def test_rds_flags_pin_ptyn_oda_eon_tmc():
+    dec = rds.RDSDecoder()
+    # group 0A with TA=1, M/S=1
+    dec.parse_group([0x1234, (0 << 12) | (1 << 4) | (1 << 3), 0xCDCD, 0x2020])
+    assert dec.status.ta is True and dec.status.music is True
+    # 1A: PIN
+    dec.parse_group([0x1234, (1 << 12), 0, (17 << 11) | (14 << 6) | 30])
+    assert dec.status.pin == (17 << 11) | (14 << 6) | 30
+    # 3A: ODA announcing TMC (AID 0xCD46) on group 8A
+    dec.parse_group([0x1234, (3 << 12) | (8 << 1), 0, 0xCD46])
+    assert dec.status.oda == {"8A": 0xCD46}
+    # 10A: PTYN "ROCK    "
+    dec.parse_group([0x1234, (10 << 12) | 0, ord("R") << 8 | ord("O"), ord("C") << 8 | ord("K")])
+    dec.parse_group([0x1234, (10 << 12) | 1, 0x2020, 0x2020])
+    assert dec.status.ptyn == "ROCK    "
+    # 14A: EON PS of other network 0xABCD
+    for v, pair in enumerate(["NE", "TW", "OR", "K2"]):
+        dec.parse_group([0x1234, (14 << 12) | v, ord(pair[0]) << 8 | ord(pair[1]), 0xABCD])
+    assert dec.status.eon[0xABCD] == "NETWORK2"
+    # 8A: TMC user message, single group: event 201 (accident), extent 2
+    b2 = (1 << 15) | (0 << 14) | (2 << 11) | 201
+    dec.parse_group([0x1234, (8 << 12) | (1 << 3) | 5, b2, 0xBEEF])
+    ev = dec.status.tmc_events[-1]
+    assert ev["event"] == 201 and ev["event_text"] == "accident"
+    assert ev["extent"] == 2 and ev["location"] == 0xBEEF and ev["diversion"]
+    assert ev["single_group"] and ev["duration"] == 5
+    # 15B: fast TA toggle off
+    dec.parse_group([0x1234, (15 << 12) | (1 << 11) | (0 << 4) | (0 << 3), 0, 0])
+    assert dec.status.ta is False and dec.status.music is False
+
+
+def test_pilot_pll_vs_analytic_pilot_parity():
+    """The scan PLL (dsp/phaselock.py, the reference's PhaseLock path) and
+    the analytic-bandpass pilot path used inside demod_bfm produce matched
+    38 kHz references: both recover the same L-R subcarrier signal."""
+    from sdrangel_tpu.dsp import firdesign, phaselock
+
+    fs = 192000.0
+    n = 1 << 16
+    t = np.arange(n) / fs
+    pilot_phase = 2 * np.pi * 19000.0 * t + 0.7
+    lr = np.sin(2 * np.pi * 400.0 * t)  # stereo difference signal
+    mpx = (0.09 * np.cos(pilot_phase) + 0.45 * lr * np.cos(2 * pilot_phase)).astype(np.float32)
+
+    # (a) PLL path
+    st = phaselock.make_pilot_pll(19000.0, fs)
+    run = jax.jit(lambda s, x: phaselock.pilot_pll_run(s, x, 19000.0, fs, 40.0))
+    st, _c1, c2, _c3 = run(st, jnp.asarray(mpx))
+    lr_pll = np.asarray(mpx * 2.0 * np.asarray(c2)) / 0.45
+
+    # (b) analytic pilot path (complex bandpass -> e^{j2θ}), as in demod_bfm
+    ntaps = 501
+    lp = firdesign.lowpass(ntaps, 400.0 / fs).astype(np.float64)
+    k = np.arange(ntaps) - ntaps // 2
+    taps = 2.0 * lp * np.exp(1j * 2 * np.pi * 19000.0 / fs * k)
+    z = np.convolve(mpx.astype(np.float64), taps, mode="same")
+    unit = z / np.maximum(np.abs(z), 1e-9)
+    lr_ana = np.real(mpx * 2.0 * np.real(unit * unit)) / 0.45
+
+    # compare after PLL lock + filter edge, through a common audio lowpass
+    af = firdesign.lowpass(301, 15000.0 / fs)
+    a = np.convolve(lr_pll, af, mode="same")[40000:60000]
+    b = np.convolve(lr_ana, af, mode="same")[40000:60000]
+    ref = lr[40000:60000]
+    for rec, name in ((a, "pll"), (b, "analytic")):
+        err = rec - ref
+        snr = 10 * np.log10(np.mean(ref**2) / max(np.mean(err**2), 1e-30))
+        assert snr > 20.0, (name, snr)
+    # and against each other
+    xerr = a - b
+    xsnr = 10 * np.log10(np.mean(ref**2) / max(np.mean(xerr**2), 1e-30))
+    assert xsnr > 20.0, xsnr

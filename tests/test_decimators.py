@@ -130,3 +130,28 @@ def test_vmap_over_channels():
         np.testing.assert_allclose(
             np.asarray(y[c]), dec.decimate_reference_oracle(x[c], 2), atol=2e-5
         )
+
+
+def test_flat_cascade_matches_staged():
+    """decimate_flat (single composed-filter conv) streams identically to
+    the staged cascade across block seams, for several ÷2^k."""
+    from sdrangel_tpu.dsp import decimators as dec
+
+    rng = np.random.default_rng(11)
+    for log2 in (1, 3, 6):
+        n = 4 << max(10, log2 + 6)
+        x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(np.complex64) * 0.3
+        cs = dec.init_state(log2)
+        fs_ = dec.init_flat_state(log2)
+        block = n // 4
+        ys, yf = [], []
+        for b in range(4):
+            xb = jnp.asarray(x[b * block : (b + 1) * block])
+            cs, a = dec.decimate_cascade(cs, xb, log2, "cen")
+            fs_, c = dec.decimate_flat(fs_, xb, log2)
+            ys.append(np.asarray(a))
+            yf.append(np.asarray(c))
+        a = np.concatenate(ys)
+        c = np.concatenate(yf)
+        np.testing.assert_allclose(c, a, atol=2e-3, rtol=0)
+        assert np.abs(a).max() > 0.1  # non-vacuous

@@ -104,3 +104,55 @@ def test_sharded_bank_recovers_tone(devices):
     tone = np.abs(freqs - 1000.0) < 4 * 48000.0 / len(a)
     snr = 10 * np.log10(spec[tone].sum() / spec[~tone].sum())
     assert snr > 25.0, f"sharded NFM SNR {snr:.1f} dB"
+
+
+def test_sharded_sdriq_feeder(tmp_path, devices):
+    """ShardedSdriqFeeder materialises per-shard mmap slices that drive the
+    sharded step to the same audio as feeding the whole block directly
+    (the multi-host input pipeline on a single-host mesh)."""
+    from sdrangel_tpu.io import sdriq
+    from sdrangel_tpu.parallel.hostfeed import ShardedSdriqFeeder
+
+    cfg = sharded.ShardedPipelineConfig(
+        n_time=4, n_channel=2, log2_decim=3, block=1 << 15, n_channels=8,
+    )
+    mesh = sharded.make_mesh(4, 2, devices)
+    src = testsource.TestSourceConfig(
+        sample_rate=cfg.device_rate, carrier_freq=20_000.0, modulation="fm",
+        tone_freq=700.0, fm_deviation=5000.0, amplitude=0.4,
+    )
+    iq = testsource.generate(src, cfg.block * 3)
+    raw = _to_int16(iq)
+    path = str(tmp_path / "cap.sdriq")
+    sdriq.write(path, raw, sample_rate=int(cfg.device_rate), center_frequency=100_000_000)
+
+    feeder = ShardedSdriqFeeder(path, mesh, cfg.block)
+    assert feeder.n_blocks() == 3
+    assert feeder.info.sample_rate == int(cfg.device_rate)
+
+    # shard placement sanity: shard t starts at global offset t*B/4
+    arr = feeder.block(1)
+    for shard in arr.addressable_shards:
+        start = shard.index[0].start or 0
+        np.testing.assert_array_equal(
+            np.asarray(shard.data), raw[cfg.block + start : cfg.block + start + cfg.block // 4]
+        )
+
+    step, init_fn = sharded.build_sharded_step(cfg, mesh)
+    offsets = jnp.full(cfg.n_channels, 20_000.0, jnp.float32)
+
+    state, carry = init_fn()
+    fed = []
+    for b in range(3):
+        state, audio, carry = step(state, feeder.block(b), carry, offsets)
+        fed.append(np.asarray(audio))
+    state, carry = init_fn()
+    ref = []
+    for b in range(3):
+        state, audio, carry = step(
+            state, jnp.asarray(raw[b * cfg.block : (b + 1) * cfg.block]), carry, offsets
+        )
+        ref.append(np.asarray(audio))
+    np.testing.assert_allclose(
+        np.concatenate(fed, axis=-1), np.concatenate(ref, axis=-1), atol=1e-6
+    )

@@ -1,0 +1,77 @@
+"""MPEG TS demux tests: PSI parse, PES reassembly, resync, and the full
+DVB-S → TS → demux chain (the container layer the reference delegates to
+ffmpeg in plugins/channelrx/demoddatv/datvideorender.cpp)."""
+
+import numpy as np
+
+from sdrangel_tpu.channels import dvbs, tsdemux
+
+
+def _make_stream():
+    """A tiny 2-stream programme: PAT + PMT + video/audio PES."""
+    pkts = []
+    pkts += tsdemux._section_packetize(0, tsdemux.make_pat({1: 0x100}), 0)
+    pkts += tsdemux._section_packetize(
+        0x100, tsdemux.make_pmt(1, 0x200, {0x200: 0x02, 0x201: 0x04}), 0
+    )
+    video = bytes(range(256)) * 4
+    audio = b"\xab\xcd" * 100
+    pkts += tsdemux.make_pes_packets(0x200, video, pts=900_000)
+    pkts += tsdemux.make_pes_packets(0x201, audio, pts=900_300)
+    return pkts, video, audio
+
+
+def test_psi_and_pes_roundtrip():
+    pkts, video, audio = _make_stream()
+    d = tsdemux.TsDemux()
+    d.feed(b"".join(pkts))
+    assert 1 in d.programs
+    info = d.programs[1]
+    assert info.pmt_pid == 0x100 and info.pcr_pid == 0x200
+    assert info.streams == {0x200: 0x02, 0x201: 0x04}
+    assert d.drain_pes(0x200) == video
+    assert d.drain_pes(0x201) == audio
+    assert d.pts[0x200] == [900_000]
+    assert d.pts[0x201] == [900_300]
+    desc = d.summary()
+    assert desc["programs"][0]["streams"][0]["codec"] == "MPEG-2 video"
+    assert desc["continuityErrors"] == 0
+
+
+def test_feed_in_fragments_and_resync():
+    """Bytes may arrive in arbitrary chunks with garbage prefixes."""
+    pkts, video, _ = _make_stream()
+    raw = b"\x12\x34\x56" + b"".join(pkts)  # leading garbage forces resync
+    d = tsdemux.TsDemux()
+    for i in range(0, len(raw), 100):
+        d.feed(raw[i : i + 100])
+    assert d.sync_losses >= 1
+    assert d.drain_pes(0x200) == video
+
+
+def test_continuity_counter_detection():
+    pkts, _, _ = _make_stream()
+    # drop a packet in the middle of the video PES (pid 0x200 spans several)
+    vid_idxs = [i for i, p in enumerate(pkts) if ((p[1] & 0x1F) << 8) | p[2] == 0x200]
+    del pkts[vid_idxs[2]]
+    d = tsdemux.TsDemux()
+    d.feed(b"".join(pkts))
+    assert d.continuity_errors >= 1
+
+
+def test_demux_after_dvbs_fec_chain():
+    """TS packets through DVB-S encode (conv + interleave + RS + scramble)
+    and back through the receive FEC chain, then demuxed."""
+    pkts, video, audio = _make_stream()
+    ts = np.frombuffer(b"".join(pkts), np.uint8).reshape(-1, dvbs.TS_PACKET)
+    rng = np.random.default_rng(3)
+    pad = rng.integers(0, 256, size=(11, dvbs.TS_PACKET), dtype=np.uint8)
+
+    chan = dvbs.encode_transport(np.concatenate([ts, pad])).astype(np.float64) * 2 - 1
+    rx, corrected = dvbs.decode_transport(chan, len(ts))
+    assert corrected == 0
+    d = tsdemux.TsDemux()
+    d.feed(rx)
+    assert d.programs[1].streams == {0x200: 0x02, 0x201: 0x04}
+    assert d.drain_pes(0x200) == video
+    assert d.drain_pes(0x201) == audio
