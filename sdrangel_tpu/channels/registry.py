@@ -25,6 +25,11 @@ class ChannelKind:
     needs_fft_hop: bool = False  # demod uses fftfilt -> block must divide its hop
     block_factor: Callable[[float], int] | None = None  # extra divisibility
     # requirement of the channel-rate block (beyond the generic audio ratio)
+    output: str = "audio"  # "audio" (48 kHz demod) | "data" (symbols/video/iq)
+    needs_audio_ratio: bool = True  # block must make the 48 kHz ratio integral
+    adapter: Callable[[Any], dict] | None = None  # data kinds: Outputs
+    # NamedTuple -> {name: real-valued jnp array} (complex split on device so
+    # transfers stay float — see .claude/skills/verify/SKILL.md)
 
 
 REGISTRY: dict[str, ChannelKind] = {}
@@ -76,6 +81,23 @@ def settings_schema(uri: str) -> dict[str, dict]:
     return schema
 
 
+def requested_rate(uri: str, settings: dict) -> float:
+    """The bandwidth a channel asks of the channelizer (the reference's
+    demods request their audio/RF width through DSPConfigureChannelizer).
+    Audio demods want the 48 kHz class; data channels derive theirs from
+    their own signal parameters."""
+    if uri == "sdrangel.channel.demoddatv":
+        # integer samples-per-symbol at 4 sps
+        return 4.0 * float(settings.get("symbol_rate", 250_000.0))
+    if uri == "sdrangel.channel.demodatv":
+        return float(settings.get("rf_bandwidth", 6_000_000.0))
+    if uri == "sdrangel.channel.lorademod":
+        return 2.0 * float(settings.get("bandwidth", 125_000.0))
+    if uri == "sdrangel.channel.chanalyzer":
+        return max(48_000.0, 2.5 * float(settings.get("bandwidth", 5000.0)))
+    return 48_000.0
+
+
 def validate_settings(uri: str, settings: dict) -> None:
     """Reject unknown setting keys up front (ValueError) instead of failing
     later inside the engine thread at pipeline-build time."""
@@ -121,3 +143,102 @@ def _bfm_block_factor(channel_rate: float) -> int:
 register(ChannelKind("sdrangel.channel.bfm", demod_bfm.BFMConfig,
                      demod_bfm.make_state, _bfm_process_engine,
                      needs_fft_hop=True, block_factor=_bfm_block_factor))
+
+
+# -- data channels (non-audio outputs; reference plugins chanalyzer,
+# demodlora, demoddsd, demodatv, demoddatv) ---------------------------------
+
+def _split_complex(z):
+    import jax.numpy as jnp
+
+    return {"real": jnp.real(z).astype(jnp.float32),
+            "imag": jnp.imag(z).astype(jnp.float32)}
+
+
+def _chanalyzer_adapter(outs) -> dict:
+    iq = _split_complex(outs.iq)
+    return {"iq_real": iq["real"], "iq_imag": iq["imag"],
+            "spectrum": outs.spectrum, "channelPowerDB": outs.channel_power_db}
+
+
+def _lora_adapter(outs) -> dict:
+    return {"symbols": outs.symbols, "magnitudes": outs.magnitudes,
+            "snr_est": outs.snr_est}
+
+
+def _dsd_adapter(outs) -> dict:
+    import jax.numpy as jnp
+
+    return {"dibits": outs.dibits, "soft_symbols": outs.soft_symbols,
+            "squelch_open": outs.squelch_open.astype(jnp.int32)}
+
+
+def _atv_adapter(outs) -> dict:
+    return {"lines": outs.lines, "sync_phase": outs.sync_phase,
+            "sync_quality": outs.sync_quality}
+
+
+def _datv_adapter(outs) -> dict:
+    return {"soft_i": outs.soft_i, "soft_q": outs.soft_q}
+
+
+def _lora_block_factor(channel_rate: float) -> int:
+    from . import demod_lora
+
+    return demod_lora.LoRaConfig(channel_rate=channel_rate).block_factor()
+
+
+def _dsd_block_factor(channel_rate: float) -> int:
+    # audio-rate stream must split into whole symbols (sps = 48000/4800)
+    import math
+    from fractions import Fraction
+
+    frac = Fraction(channel_rate / 48000.0).limit_denominator(1 << 20)
+    p = frac.numerator
+    # block·q/p audio samples divisible by 10 -> block multiple of 10p/gcd(q,10)
+    return 10 * p // math.gcd(frac.denominator, 10)
+
+
+def _atv_block_factor(channel_rate: float) -> int:
+    # whole lines per block keep the line grid block-aligned (PAL 15625 Hz)
+    from . import demod_atv
+
+    return demod_atv.ATVConfig(channel_rate=channel_rate).samples_per_line
+
+
+def _datv_block_factor(channel_rate: float) -> int:
+    from . import demod_datv
+
+    return demod_datv.DATVConfig(channel_rate=channel_rate).sps
+
+
+def _register_data_kinds() -> None:
+    from . import chanalyzer, demod_atv, demod_datv, demod_dsd, demod_lora
+
+    register(ChannelKind(
+        "sdrangel.channel.chanalyzer", chanalyzer.ChanAnalyzerConfig,
+        chanalyzer.make_state, chanalyzer.process, needs_fft_hop=True,
+        output="data", needs_audio_ratio=False, adapter=_chanalyzer_adapter))
+    register(ChannelKind(
+        "sdrangel.channel.lorademod", demod_lora.LoRaConfig,
+        demod_lora.make_state, demod_lora.process,
+        block_factor=_lora_block_factor,
+        output="data", needs_audio_ratio=False, adapter=_lora_adapter))
+    register(ChannelKind(
+        "sdrangel.channel.dsddemod", demod_dsd.DSDConfig,
+        demod_dsd.make_state, demod_dsd.process,
+        block_factor=_dsd_block_factor,
+        output="data", needs_audio_ratio=True, adapter=_dsd_adapter))
+    register(ChannelKind(
+        "sdrangel.channel.demodatv", demod_atv.ATVConfig,
+        demod_atv.make_state, demod_atv.process,
+        block_factor=_atv_block_factor, needs_fft_hop=True,
+        output="data", needs_audio_ratio=False, adapter=_atv_adapter))
+    register(ChannelKind(
+        "sdrangel.channel.demoddatv", demod_datv.DATVConfig,
+        demod_datv.make_state, demod_datv.process,
+        block_factor=_datv_block_factor, needs_fft_hop=True,
+        output="data", needs_audio_ratio=False, adapter=_datv_adapter))
+
+
+_register_data_kinds()

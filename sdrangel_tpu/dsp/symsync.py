@@ -18,14 +18,19 @@ import jax.numpy as jnp
 
 
 class SymSyncState(NamedTuple):
-    mu: jnp.ndarray  # fractional timing phase in samples [0, sps)
+    mu: jnp.ndarray  # fractional timing phase in samples [0, 2*sps)
     freq: jnp.ndarray  # timing frequency error (samples/symbol drift)
     tail: jnp.ndarray  # (..., 2*sps) carried samples (look-ahead margin)
 
 
 def make_state(batch_shape=(), sps: int = 10) -> SymSyncState:
+    # mu starts mid-window (= sps): a transmitter aligned to the sample grid
+    # has true phase ≡ 0 (mod sps), and sitting at the centre keeps the loop
+    # away from the window edges — mu is carried CONTINUOUSLY (clamped, not
+    # wrapped) because a mod-wrap at a block seam drops/duplicates a whole
+    # symbol (observed as periodic slips that scrambled DVB-S streams).
     return SymSyncState(
-        jnp.zeros(batch_shape, jnp.float32),
+        jnp.full(batch_shape, float(sps), jnp.float32),
         jnp.zeros(batch_shape, jnp.float32),
         jnp.zeros((*batch_shape, 2 * sps), jnp.complex64),
     )
@@ -56,7 +61,12 @@ def synchronize_block(
     )  # >0: sample late
 
     freq = state.freq + 0.1 * loop_gain * err
-    mu = jnp.mod(state.mu + loop_gain * err * sps + freq, float(sps))
+    # continuous phase, clamped to the tail window — NO mod: wrapping at a
+    # seam slips one whole symbol. A real sustained clock skew walks mu to
+    # an edge (2·sps of margin ≫ any rationally-locked source's drift).
+    mu = jnp.clip(
+        state.mu + loop_gain * err * sps + freq, 0.0, 2.0 * sps - 1.01
+    )
     new_tail = ext[..., x.shape[-1] :]
     return (
         SymSyncState(mu.astype(jnp.float32), freq.astype(jnp.float32), new_tail),

@@ -81,14 +81,19 @@ class RxPipeline:
         self.kinds = [REGISTRY[c.uri] for c in channels]
         self.base_block = self._solve_block_size(block_size)
         self.demod_cfgs = []
+        import dataclasses as _dc
+
         for spec, plan, kind in zip(channels, self.plans, self.kinds):
             n_stages = len(plan.signs)
-            cfg = kind.config_cls(
+            kwargs = dict(
                 channel_rate=plan.channel_rate,
                 input_offset=plan.residual_offset,
-                block_in=self.base_block >> n_stages,
                 **spec.settings,
             )
+            # data channels without block-coupled resamplers don't take it
+            if any(f.name == "block_in" for f in _dc.fields(kind.config_cls)):
+                kwargs["block_in"] = self.base_block >> n_stages
+            cfg = kind.config_cls(**kwargs)
             self.demod_cfgs.append(cfg)
 
         # device-level spectrum tap (the SpectrumVis direct-sink role)
@@ -106,15 +111,19 @@ class RxPipeline:
         need = 4 << self.device.log2_decim
         for spec, plan, kind in zip(self.channel_specs, self.plans, self.kinds):
             k = len(plan.signs)
-            p = Fraction(plan.channel_rate / 48000.0).limit_denominator(1 << 20).numerator
             frac = Fraction(plan.channel_rate / 48000.0).limit_denominator(1 << 20)
-            need = math.lcm(need, (4 << k), p << k)
+            p = frac.numerator
+            need = math.lcm(need, 4 << k)
+            if kind.needs_audio_ratio:
+                need = math.lcm(need, p << k)
             if kind.needs_fft_hop:
                 # the fftfilt may run at channel rate (WFM) or audio rate
                 # (SSB/BFM): constrain the hop (fft_len/2) to divide both
                 hop = 512
-                audio_need = p * hop // math.gcd(frac.denominator, hop)
-                need = math.lcm(need, hop << k, audio_need << k)
+                need = math.lcm(need, hop << k)
+                if kind.needs_audio_ratio:
+                    audio_need = p * hop // math.gcd(frac.denominator, hop)
+                    need = math.lcm(need, audio_need << k)
             if kind.block_factor is not None:
                 need = math.lcm(need, kind.block_factor(plan.channel_rate) << k)
         block = need
@@ -140,7 +149,11 @@ class RxPipeline:
         state: dict[str, Any] = {
             "corr": corrections.make_state(),
             "spectrum": dsp_spectrum.make_state(self.spectrum_cfg),
-            "dev_casc": dec.init_state(self.device.log2_decim),
+            "dev_casc": (
+                dec.init_flat_state(self.device.log2_decim)
+                if self.device.fc_pos == "cen" and self.device.log2_decim
+                else dec.init_state(self.device.log2_decim)
+            ),
             "chan": [
                 chan.init_state(len(plan.signs)) for plan in self.plans
             ],
@@ -162,22 +175,33 @@ class RxPipeline:
             state["corr"], x, self.device.dc_correction, self.device.iq_correction
         )
 
-        dev_state, bb = dec.decimate_cascade(
-            state["dev_casc"], x, self.device.log2_decim, self.device.fc_pos
-        )
+        if self.device.fc_pos == "cen" and self.device.log2_decim:
+            # flat composed-filter form: one HBM pass (measured ~1.5× the
+            # staged cascade on v5e; dsp/decimators.py decimate_flat)
+            dev_state, bb = dec.decimate_flat(
+                state["dev_casc"], x, self.device.log2_decim
+            )
+        else:
+            dev_state, bb = dec.decimate_cascade(
+                state["dev_casc"], x, self.device.log2_decim, self.device.fc_pos
+            )
 
         chan_states, demod_states, outs = [], [], []
         for i, (plan, kind, cfg) in enumerate(
             zip(self.plans, self.kinds, self.demod_cfgs)
         ):
             cstate, y = chan.channelize(state["chan"][i], bb, plan)
-            dstate, audio = kind.process(state["demod"][i], y, cfg)
+            dstate, result = kind.process(state["demod"][i], y, cfg)
             # channel power meter (the report's channelPowerDB source —
             # magsq average as in nfmdemod.h:153-170 getters)
             power = jnp.mean(jnp.real(y) ** 2 + jnp.imag(y) ** 2)
             chan_states.append(cstate)
             demod_states.append(dstate)
-            outs.append({"audio": audio, "power": power.astype(jnp.float32)})
+            if kind.output == "audio":
+                outs.append({"audio": result, "power": power.astype(jnp.float32)})
+            else:
+                outs.append({"data": kind.adapter(result),
+                             "power": power.astype(jnp.float32)})
 
         spec_state, bb_spectrum = dsp_spectrum.power_spectrum(
             state["spectrum"], bb, self.spectrum_cfg
@@ -220,10 +244,14 @@ class RxPipeline:
         state = state or self.init_state()
 
         def to_host(outs):
-            host = [
-                {"audio": np.asarray(o["audio"]), "power": float(o["power"])}
-                for o in outs["channels"]
-            ]
+            host = []
+            for o in outs["channels"]:
+                h = {"power": float(o["power"])}
+                if "audio" in o:
+                    h["audio"] = np.asarray(o["audio"])
+                else:
+                    h["data"] = {k: np.asarray(v) for k, v in o["data"].items()}
+                host.append(h)
             return {
                 "channels": host,
                 "spectrum": np.asarray(outs["spectrum"]),

@@ -36,6 +36,9 @@ class ChannelState:
     audio_sample_rate: int = 48000
     squelch: bool = False
     audio_samples: int = 0
+    data_blocks: int = 0
+    latest_data: dict | None = None  # data channels: last block's arrays
+    host_report: dict | None = None  # host-side decode results (e.g. DATV)
 
 
 @dataclasses.dataclass
@@ -132,6 +135,13 @@ class DeviceSet:
 
     def _build_pipeline(self) -> tuple[RxPipeline, Any]:
         src = self.source
+        if src.kind == "filesource" and src.file_path:
+            # the capture header is authoritative for rate/centre (the
+            # reference reads it in filesourcethread.cpp and reconfigures)
+            info = sdriq.read_header(src.file_path)
+            src.sample_rate = float(info.sample_rate)
+            if info.center_frequency:
+                src.center_frequency = float(info.center_frequency)
         device = DeviceConfig(
             sample_rate=src.sample_rate,
             center_frequency=src.center_frequency,
@@ -145,7 +155,10 @@ class DeviceSet:
             st = dict(ch.settings)
             for k in registry.SESSION_KEYS:  # session-level, not demod knobs
                 st.pop(k, None)
-            specs.append(ChannelSpec(ch.uri, ch.frequency_offset, st))
+            specs.append(ChannelSpec(
+                ch.uri, ch.frequency_offset, st,
+                requested_rate=registry.requested_rate(ch.uri, st),
+            ))
         pipe = RxPipeline(device, specs, block_size=1 << 16)
         if src.kind == "daemonsource":
             from ..io.daemon import DaemonReceiver
@@ -231,12 +244,20 @@ class DeviceSet:
                     self.spectrum = np.asarray(outs["spectrum"])
                     self.scope = np.asarray(outs["scope"])
                     for i, out in enumerate(outs["channels"]):
-                        audio = np.asarray(out["audio"])
                         power = float(out["power"])
                         ch = self.channels[i]
                         ch.channel_power_db = float(
                             10.0 * np.log10(max(power, 1e-12))
                         )
+                        if "data" in out:
+                            ch.latest_data = {
+                                k: np.asarray(v) for k, v in out["data"].items()
+                            }
+                            ch.data_blocks += 1
+                            if ch.uri == "sdrangel.channel.demoddatv":
+                                self._datv_host_decode(i, ch)
+                            continue
+                        audio = np.asarray(out["audio"])
                         ch.squelch = bool(np.abs(audio).max() > 1e-4)
                         # audio is (T,) mono or (T,2) stereo — count frames
                         ch.audio_samples += audio.shape[0]
@@ -280,6 +301,38 @@ class DeviceSet:
         if not parts:
             return np.zeros(0, dtype=np.float32)
         return np.concatenate(parts, axis=0)  # frame axis (mono or stereo)
+
+    #: soft bits to buffer before the one-shot DATV host FEC pass
+    _DATV_DECODE_BITS = 120_000
+
+    def _datv_host_decode(self, idx: int, ch: ChannelState) -> None:
+        """Accumulate a demoddatv channel's soft symbols; once enough are
+        buffered run the host FEC chain + TS demux once and publish the
+        programme map in the channel report (the leansdr graph +
+        ffmpeg-demux role of the reference's DATV plugin, datvdemod.cpp).
+        """
+        if getattr(ch, "_datv_done", False):
+            return
+        acc = getattr(ch, "_datv_acc", None)
+        if acc is None:
+            acc = ([], [])
+            ch._datv_acc = acc
+        acc[0].append(ch.latest_data["soft_i"].reshape(-1))
+        acc[1].append(ch.latest_data["soft_q"].reshape(-1))
+        total_bits = 2 * sum(a.shape[-1] for a in acc[0])
+        if total_bits < self._DATV_DECODE_BITS:
+            return
+        ch._datv_done = True
+        from ..channels import demod_datv, tsdemux
+
+        cfg_rate = ch.settings.get("fec_rate", "1/2")
+        ts, stats = demod_datv.recover_ts(
+            np.concatenate(acc[0]), np.concatenate(acc[1]), fec_rate=cfg_rate
+        )
+        demux = tsdemux.TsDemux()
+        demux.feed(ts)
+        ch.host_report = {"datv": {**stats, "ts": demux.summary()}}
+        ch._datv_acc = None
 
 
 @dataclasses.dataclass
@@ -548,3 +601,25 @@ class Session:
                     ch["uri"],
                     {"inputFrequencyOffset": ch["inputFrequencyOffset"], **ch["settings"]},
                 )
+
+    def export_preset_file(self, group: str, name: str, path: str) -> None:
+        """Server-side preset export (the reference's POST
+        /sdrangel/preset/file, webapiadaptersrv.cpp instancePresetFilePost)."""
+        import json
+
+        with open(path, "w") as f:
+            json.dump(self.presets[f"{group}/{name}"], f, indent=1)
+
+    def import_preset_file(self, path: str) -> str:
+        """Server-side preset import (PUT /sdrangel/preset/file): the file
+        holds one preset object as written by export."""
+        import json
+
+        with open(path) as f:
+            preset = json.load(f)
+        if not isinstance(preset, dict) or "deviceSets" not in preset:
+            raise ValueError("not a preset file (missing deviceSets)")
+        key = f"{preset.get('group', 'default')}/{preset.get('name', 'imported')}"
+        self.presets[key] = preset
+        self._persist_presets()
+        return key

@@ -524,3 +524,75 @@ def test_channel_udp_rtp_audio_egress(api):
     seqs = [p["seq"] for p in pkts]
     assert all((b - a) & 0xFFFF == 1 for a, b in zip(seqs, seqs[1:]))
     assert all(p["payload_type"] in (96, 11, 10) for p in pkts)
+
+
+def test_chanalyzer_data_channel(api):
+    """A data channel (channel analyzer) through the session + REST /data
+    endpoint: spectrum peaks at the tuned carrier, IQ trace is delivered."""
+    base, _ = api
+    _req(base, "/sdrangel/devicesets", "POST")
+    _req(base, "/sdrangel/deviceset/0/device/settings", "PATCH",
+         {"kind": "testsource", "sample_rate": 192000.0, "modulation": "none",
+          "carrier_freq": 20000.0})
+    code, _b = _req(base, "/sdrangel/deviceset/0/channel", "POST",
+         {"channelType": "sdrangel.channel.chanalyzer",
+          "inputFrequencyOffset": 20000.0, "bandwidth": 8000.0})
+    assert code == 201
+    _req(base, "/sdrangel/deviceset/0/device/run", "POST")
+    deadline = time.time() + 60
+    body = None
+    try:
+        while time.time() < deadline:
+            code, rep = _req(base, "/sdrangel/deviceset/0/channel/0/report")
+            if rep.get("dataBlocks", 0) >= 2:
+                code, body = _req(base, "/sdrangel/deviceset/0/channel/0/data")
+                break
+            time.sleep(0.5)
+    finally:
+        _req(base, "/sdrangel/deviceset/0/device/run", "DELETE")
+    assert body is not None, "no data blocks produced"
+    assert code == 200
+    assert set(body["data"]) >= {"iq_real", "iq_imag", "spectrum", "channelPowerDB"}
+    # the analyzer mixes the offset to DC: spectrum peak at centre bin
+    spec = np.asarray(body["data"]["spectrum"], np.float64)
+    peak = np.argmax(spec)
+    centre = len(spec) // 2
+    assert abs(peak - centre) < len(spec) // 16, (peak, centre)
+    assert body["data"]["channelPowerDB"] > -40.0
+    # audio endpoints answer sensibly for a data channel
+    code, rep = _req(base, "/sdrangel/deviceset/0/channel/0/report")
+    assert rep["dataKeys"] == sorted(body["data"].keys())
+
+
+def test_preset_file_roundtrip(api, tmp_path):
+    """Export a preset to a server-side file, wipe, import it back, load it
+    (instancePresetFilePost/Put roles)."""
+    base, session = api
+    _req(base, "/sdrangel/devicesets", "POST")
+    _req(base, "/sdrangel/deviceset/0/device/settings", "PATCH",
+         {"kind": "testsource", "sample_rate": 384000.0})
+    _req(base, "/sdrangel/deviceset/0/channel", "POST",
+         {"channelType": "sdrangel.channel.amdemod",
+          "inputFrequencyOffset": 12000.0})
+    code, _ = _req(base, "/sdrangel/preset", "POST",
+                   {"groupName": "g", "name": "p1"})
+    assert code == 200
+    path = str(tmp_path / "p1.json")
+    code, body = _req(base, "/sdrangel/preset/file", "POST",
+                      {"groupName": "g", "name": "p1", "filePath": path})
+    assert code == 200 and body["exported"] == path
+    session.presets.clear()
+    code, body = _req(base, "/sdrangel/preset/file", "PUT", {"filePath": path})
+    assert code == 200 and body["imported"] == "g/p1"
+    code, _ = _req(base, "/sdrangel/preset/load", "POST",
+                   {"groupName": "g", "name": "p1"})
+    assert code == 200
+    code, body = _req(base, "/sdrangel/deviceset/0/channel/0/settings")
+    assert code == 200 and body["channelType"] == "sdrangel.channel.amdemod"
+    assert body["inputFrequencyOffset"] == 12000.0
+    # missing filePath and bogus path are client errors
+    code, _ = _req(base, "/sdrangel/preset/file", "POST", {"name": "p1"})
+    assert code == 400
+    code, _ = _req(base, "/sdrangel/preset/file", "PUT",
+                   {"filePath": str(tmp_path / "missing.json")})
+    assert code == 404

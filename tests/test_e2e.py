@@ -261,3 +261,46 @@ def test_engine_fc_pos_placement(fc_pos):
     ])
     snr = _tone_snr(audio[len(audio) // 2 :], 1000.0, 48000.0)
     assert snr > 25.0, f"{fc_pos} placement SNR {snr:.1f} dB"
+
+
+def test_mixed_audio_and_data_bank():
+    """One fused step serving an NFM audio channel and two data channels
+    (channel analyzer + LoRa): block solving honours each kind's grid and
+    the outputs carry the right payloads."""
+    rate = 768_000.0
+    src = testsource.TestSourceConfig(
+        sample_rate=rate, carrier_freq=50_000.0, modulation="fm",
+        tone_freq=1000.0, fm_deviation=5000.0, amplitude=0.4,
+    )
+    device = DeviceConfig(sample_rate=rate, log2_decim=0)
+    pipe = RxPipeline(
+        device,
+        [
+            ChannelSpec("sdrangel.channel.nfmdemod", 50_000.0, {"squelch_db": -60.0}),
+            ChannelSpec("sdrangel.channel.chanalyzer", 50_000.0, {"bandwidth": 12000.0}),
+            ChannelSpec("sdrangel.channel.lorademod", -100_000.0,
+                        {"bandwidth": 96000.0, "spread_factor": 7}),
+        ],
+    )
+    iq = testsource.generate(src, pipe.device_block * 2)
+
+    def reader(b, n):
+        raw = np.empty((n, 2), np.int16)
+        blk = iq[b * n : (b + 1) * n]
+        raw[:, 0] = np.clip(blk.real * 32768, -32768, 32767)
+        raw[:, 1] = np.clip(blk.imag * 32768, -32768, 32767)
+        return raw
+
+    results = list(pipe.run(reader, 2))
+    _, outs = results[-1]
+    chans = outs["channels"]
+    assert "audio" in chans[0] and "data" not in chans[0]
+    assert set(chans[1]["data"]) >= {"iq_real", "iq_imag", "spectrum"}
+    assert set(chans[2]["data"]) == {"symbols", "magnitudes", "snr_est"}
+    # LoRa frame grid: whole symbols per block
+    lora_cfg = pipe.demod_cfgs[2]
+    chips_per_block = lora_cfg.resamp_plan.block_out
+    assert chips_per_block % lora_cfg.n_bins == 0
+    assert np.asarray(chans[2]["data"]["symbols"]).shape[-1] == chips_per_block // lora_cfg.n_bins
+    # analyzer sees the FM carrier: power well above the LoRa channel's noise
+    assert float(chans[1]["data"]["channelPowerDB"]) > -30.0
