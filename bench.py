@@ -57,8 +57,10 @@ def main() -> int:
 
     n_channels = 16
     log2 = 6
-    block = 1 << 23  # device-rate samples per step (~91 µs fixed dispatch
-    # overhead per step through the TPU tunnel — big blocks amortize it)
+    # device-rate samples per step (~91 µs fixed dispatch overhead per step
+    # through the TPU tunnel — big blocks amortize it); SDRANGEL_BENCH_LOG2BLOCK
+    # overrides for sweeps
+    block = 1 << int(os.environ.get("SDRANGEL_BENCH_LOG2BLOCK", "23"))
     device_rate = 12_288_000.0
     baseband_rate = device_rate / (1 << log2)  # 192 kHz
 

@@ -37,6 +37,7 @@ logger = logging.getLogger("sdrangel_tpu.api")
 _DEVICESET = re.compile(r"^/sdrangel/deviceset/(\d+)$")
 _DEVICE_SETTINGS = re.compile(r"^/sdrangel/deviceset/(\d+)/device/settings$")
 _DEVICE_RUN = re.compile(r"^/sdrangel/deviceset/(\d+)/device/run$")
+_DEVICE_REPORT = re.compile(r"^/sdrangel/deviceset/(\d+)/device/report$")
 _SPECTRUM = re.compile(r"^/sdrangel/deviceset/(\d+)/spectrum$")
 _SCOPE = re.compile(r"^/sdrangel/deviceset/(\d+)/scope$")
 _CHANNEL = re.compile(r"^/sdrangel/deviceset/(\d+)/channel$")
@@ -100,6 +101,22 @@ class ApiHandler(BaseHTTPRequestHandler):
                 ds = s.device_sets[int(m.group(1))]
                 target = ds.sink if ds.direction == "tx" else ds.source
                 return self._json(200, dataclasses.asdict(target))
+            if m := _DEVICE_REPORT.match(p):
+                # devicesetDeviceReportGet role: live acquisition state
+                ds = s.device_sets[int(m.group(1))]
+                target = ds.sink if ds.direction == "tx" else ds.source
+                return self._json(
+                    200,
+                    {
+                        "state": "error" if getattr(ds, "error", "") else (
+                            "running" if ds.running else "idle"),
+                        "error": getattr(ds, "error", ""),
+                        "sampleRate": target.sample_rate,
+                        "centerFrequency": getattr(target, "center_frequency", 0.0),
+                        "blocksProcessed": getattr(ds, "blocks_processed", 0),
+                        "realtimeFactor": round(getattr(ds, "realtime_factor", 0.0), 3),
+                    },
+                )
             if m := _SCOPE.match(p):
                 ds = s.device_sets[int(m.group(1))]
                 if getattr(ds, "scope", None) is None:
@@ -208,6 +225,7 @@ class ApiHandler(BaseHTTPRequestHandler):
                     "/sdrangel/deviceset/{i}": {"get": {"summary": "one device set"}},
                     "/sdrangel/deviceset/{i}/device/settings": {
                         "get": {}, "put": {}, "patch": {}},
+                    "/sdrangel/deviceset/{i}/device/report": {"get": {}},
                     "/sdrangel/deviceset/{i}/device/run": {
                         "post": {"summary": "start"}, "delete": {"summary": "stop"}},
                     "/sdrangel/deviceset/{i}/spectrum": {"get": {}},

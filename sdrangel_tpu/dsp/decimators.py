@@ -261,3 +261,87 @@ def decimate_flat(
     out = out.reshape(2, *batch_shape, out.shape[-1])
     y = (out[0] + 1j * out[1]).astype(jnp.complex64)
     return FlatState(ext[..., x.shape[-1] :]), y
+
+
+@functools.lru_cache(maxsize=32)
+def flat_rotated(
+    log2_decim: int, fc_pos: str, order: int = DECIMATORS_ORDER
+) -> tuple[np.ndarray, np.ndarray]:
+    """(legs (2^k, t_leg) complex64, pattern (4·2^k,) complex64) for inf/sup.
+
+    Pulling each stage's ±fs/4 rotation to the input (M_ω D₂ᵐ = D₂ᵐ M_{ω/2ᵐ},
+    M_ω H_g = H_{g·e^{jωl}} M_ω) turns the rotated cascade into
+    input-modulation · one LTI filter · ÷2^k:  y[M] = Σ_l G[l]·(x·e^{jΩn})[2^k·M − D + l],
+    Ω = Σ_m s_m(π/2)/2^m. G (complex) is extracted numerically from the
+    float64 oracle's impulse responses so orientation/alignment are exact by
+    construction; the modulation pattern has period 4·2^k, which every block
+    length already satisfies (rotation-pattern constraint), so blocks tile it.
+    """
+    r = 1 << log2_decim
+    signs = placement_schedule(log2_decim, fc_pos)
+    omega = sum(s * (np.pi / 2.0) / (1 << m) for m, s in enumerate(signs))
+    d = (order - 2) * (r - 1)
+    l_full_eq = d + 1  # support of the composed filter
+    g = np.zeros(l_full_eq, dtype=np.complex128)
+    n_in = l_full_eq + 8 * r
+    for n0 in range(r):
+        x = np.zeros(n_in, dtype=np.complex128)
+        x[n0] = 1.0
+        y = decimate_reference_oracle(x, log2_decim, fc_pos, order).astype(
+            np.complex128
+        )
+        for m in range(len(y)):
+            i = n0 + d - r * m
+            if 0 <= i < l_full_eq:
+                g[i] = y[m] * np.exp(-1j * omega * n0)
+    # polyphase legs with the cen-identical grid alignment
+    front = (-d) % r
+    padded = np.concatenate([np.zeros(front, np.complex128), g])
+    t_leg = -(-len(padded) // r)
+    full = np.zeros(t_leg * r, np.complex128)
+    full[: len(padded)] = padded
+    legs = full.reshape(t_leg, r).T.astype(np.complex64)
+    pattern = np.exp(1j * omega * np.arange(4 * r)).astype(np.complex64)
+    return legs, pattern
+
+
+def decimate_flat_any(
+    state: FlatState, x: jnp.ndarray, log2_decim: int, fc_pos: str = "cen",
+    order: int = DECIMATORS_ORDER,
+) -> tuple[FlatState, jnp.ndarray]:
+    """Flat composed-filter decimation for ANY placement. cen dispatches to
+    the real-leg path; inf/sup modulate the input by the period-4·2^k
+    pattern and correlate with complex legs (2×2 real block matmul)."""
+    if log2_decim == 0 or fc_pos == "cen":
+        return decimate_flat(state, x, log2_decim, order)
+    r = 1 << log2_decim
+    legs_c, pattern = flat_rotated(log2_decim, fc_pos, order)
+    t_leg = legs_c.shape[1]
+    assert x.shape[-1] % (4 * r) == 0, "block must be a multiple of 4·2^k"
+    # global-phase tiling: the carried tail length is r·(t_leg−1), also a
+    # multiple of 4·2^k? Not necessarily — modulate x before concatenating
+    # so each block sees the same tiled pattern (tail is stored modulated).
+    rot = jnp.asarray(np.tile(pattern, x.shape[-1] // (4 * r)))
+    xm = x * rot
+    ext = jnp.concatenate([state.tail, xm], axis=-1)
+    batch_shape = ext.shape[:-1]
+    lanes = jnp.stack([jnp.real(ext), jnp.imag(ext)], axis=0)
+    w = ext.shape[-1] // r
+    planes = lanes.reshape(2, -1, w, r) if batch_shape else lanes.reshape(2, 1, w, r)
+    planes = jnp.swapaxes(planes, -1, -2)  # (2, N, r, w)
+    kr = jnp.asarray(np.real(legs_c))[None]  # (1, r, t_leg)
+    ki = jnp.asarray(np.imag(legs_c))[None]
+
+    def conv1(pl, k):
+        return jax.lax.conv_general_dilated(
+            pl, k, window_strides=(1,), padding="VALID",
+            dimension_numbers=("NCH", "OIH", "NCH"),
+        )[:, 0]
+
+    yr = conv1(planes[0], kr) - conv1(planes[1], ki)
+    yi = conv1(planes[0], ki) + conv1(planes[1], kr)
+    t_out = yr.shape[-1]
+    yr = yr.reshape(*batch_shape, t_out)
+    yi = yi.reshape(*batch_shape, t_out)
+    y = (yr + 1j * yi).astype(jnp.complex64)
+    return FlatState(ext[..., xm.shape[-1] :]), y

@@ -54,9 +54,13 @@ def halo_samples(log2_decim: int, order: int = DECIMATORS_ORDER) -> int:
 
 def _cascade_with_halo(x_ext: jnp.ndarray, log2: int, fc_pos: str, halo: int) -> jnp.ndarray:
     """Zero-state cascade over [halo | local]; drops the halo-driven head so
-    the remaining outputs equal the streaming cascade's."""
-    state = dec.init_state(log2, batch_shape=x_ext.shape[:-1])
-    _, y = dec.decimate_cascade(state, x_ext, log2, fc_pos)
+    the remaining outputs equal the streaming cascade's. Uses the flat
+    composed-filter form (one HBM pass — the same kernel the single-chip
+    engine defaults to); valid because every output at index ≥ halo/2^k
+    reads only real samples (the flat history r·(t_leg−1) ≤ halo)."""
+    state = dec.init_flat_state(log2, batch_shape=x_ext.shape[:-1])
+    assert state.tail.shape[-1] <= halo, (state.tail.shape, halo)
+    _, y = dec.decimate_flat_any(state, x_ext, log2, fc_pos)
     return y[..., halo >> log2 :]
 
 

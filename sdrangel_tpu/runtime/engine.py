@@ -151,7 +151,7 @@ class RxPipeline:
             "spectrum": dsp_spectrum.make_state(self.spectrum_cfg),
             "dev_casc": (
                 dec.init_flat_state(self.device.log2_decim)
-                if self.device.fc_pos == "cen" and self.device.log2_decim
+                if self.device.log2_decim
                 else dec.init_state(self.device.log2_decim)
             ),
             "chan": [
@@ -175,11 +175,12 @@ class RxPipeline:
             state["corr"], x, self.device.dc_correction, self.device.iq_correction
         )
 
-        if self.device.fc_pos == "cen" and self.device.log2_decim:
+        if self.device.log2_decim:
             # flat composed-filter form: one HBM pass (measured ~1.5× the
-            # staged cascade on v5e; dsp/decimators.py decimate_flat)
-            dev_state, bb = dec.decimate_flat(
-                state["dev_casc"], x, self.device.log2_decim
+            # staged cascade on v5e); inf/sup fold the per-stage rotations
+            # into an input modulation + complex legs (decimate_flat_any)
+            dev_state, bb = dec.decimate_flat_any(
+                state["dev_casc"], x, self.device.log2_decim, self.device.fc_pos
             )
         else:
             dev_state, bb = dec.decimate_cascade(

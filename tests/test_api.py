@@ -596,3 +596,29 @@ def test_preset_file_roundtrip(api, tmp_path):
     code, _ = _req(base, "/sdrangel/preset/file", "PUT",
                    {"filePath": str(tmp_path / "missing.json")})
     assert code == 404
+
+
+def test_device_report(api):
+    base, _ = api
+    _req(base, "/sdrangel/devicesets", "POST")
+    _req(base, "/sdrangel/deviceset/0/device/settings", "PATCH",
+         {"kind": "testsource", "sample_rate": 192000.0, "modulation": "fm",
+          "carrier_freq": 10000.0})
+    code, rep = _req(base, "/sdrangel/deviceset/0/device/report")
+    assert code == 200 and rep["state"] == "idle"
+    assert rep["sampleRate"] == 192000.0
+    _req(base, "/sdrangel/deviceset/0/channel", "POST",
+         {"channelType": "sdrangel.channel.nfmdemod",
+          "inputFrequencyOffset": 10000.0})
+    _req(base, "/sdrangel/deviceset/0/device/run", "POST")
+    deadline = time.time() + 60
+    try:
+        while time.time() < deadline:
+            code, rep = _req(base, "/sdrangel/deviceset/0/device/report")
+            if rep.get("blocksProcessed", 0) >= 1:
+                break
+            time.sleep(0.3)
+    finally:
+        _req(base, "/sdrangel/deviceset/0/device/run", "DELETE")
+    assert rep["state"] == "running" and rep["blocksProcessed"] >= 1
+    assert rep["realtimeFactor"] > 0.0

@@ -155,3 +155,31 @@ def test_flat_cascade_matches_staged():
         c = np.concatenate(yf)
         np.testing.assert_allclose(c, a, atol=2e-3, rtol=0)
         assert np.abs(a).max() > 0.1  # non-vacuous
+
+
+def test_flat_rotated_matches_staged_inf_sup():
+    """decimate_flat_any == staged cascade for inf/sup placements across
+    block seams (input-modulated composed filter)."""
+    from sdrangel_tpu.dsp import decimators as dec
+
+    rng = np.random.default_rng(3)
+    for fc_pos in ("inf", "sup"):
+        for log2 in (1, 2, 4, 6):
+            n = 4 << max(11, log2 + 7)
+            x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+                np.complex64) * 0.3
+            cs = dec.init_state(log2)
+            fs_ = dec.init_flat_state(log2)
+            block = n // 4
+            ys, yf = [], []
+            for b in range(4):
+                xb = jnp.asarray(x[b * block : (b + 1) * block])
+                cs, a = dec.decimate_cascade(cs, xb, log2, fc_pos)
+                fs_, c = dec.decimate_flat_any(fs_, xb, log2, fc_pos)
+                ys.append(np.asarray(a))
+                yf.append(np.asarray(c))
+            a = np.concatenate(ys)
+            c = np.concatenate(yf)
+            assert np.abs(a).max() > 0.05
+            np.testing.assert_allclose(c, a, atol=3e-3, rtol=0,
+                                       err_msg=f"{fc_pos} /{1<<log2}")

@@ -72,7 +72,7 @@ def test_halo_cascade_matches_streaming(devices):
 
     assert np.abs(ref).max() > 0.01  # non-vacuous: the oracle produced audio
     for c in range(cfg.n_channels):
-        np.testing.assert_allclose(sharded_audio[c], ref, atol=2e-4)
+        np.testing.assert_allclose(sharded_audio[c], ref, atol=3e-3)
 
 
 def test_sharded_bank_recovers_tone(devices):
