@@ -248,6 +248,9 @@ class ApiHandler(BaseHTTPRequestHandler):
                         "put": {"summary": "import preset from file"},
                         "post": {"summary": "export preset to file"}},
                     "/sdrangel/logging": {"get": {}, "put": {}},
+                    "/sdrangel/profile": {
+                        "post": {"summary": "capture a JAX profiler trace "
+                                            "(body: {seconds, path})"}},
                     "/sdrangel/openapi": {"get": {}},
                 }
                 import sdrangel_tpu as _pkg
@@ -322,6 +325,21 @@ class ApiHandler(BaseHTTPRequestHandler):
             if m := _COMMAND_RUN.match(p):
                 result = s.run_command(m.group(1), self.server.server_address[1])
                 return self._json(200, result)
+            if p == "/sdrangel/profile":
+                # capture a JAX profiler trace of the running pipelines
+                # (the framework's tracing story — SURVEY.md §5; the
+                # reference has only QElapsedTimer micro-timing)
+                import jax as _jax
+
+                path = body.get("path", "/tmp/sdrangel_tpu_trace")
+                seconds = float(body.get("seconds", 2.0))
+                seconds = max(0.1, min(seconds, 30.0))
+                _jax.profiler.start_trace(path)
+                import time as _time
+
+                _time.sleep(seconds)
+                _jax.profiler.stop_trace()
+                return self._json(200, {"trace": path, "seconds": seconds})
             if p == "/sdrangel/preset":
                 key = body.get("groupName", "default"), body.get("name", "preset")
                 s.save_preset(*key)

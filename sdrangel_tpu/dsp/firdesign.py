@@ -70,9 +70,30 @@ def make_state(ntaps: int, batch_shape=(), dtype=jnp.float32) -> FirState:
 def fir_apply(
     state: FirState, x: jnp.ndarray, taps: jnp.ndarray
 ) -> tuple[FirState, jnp.ndarray]:
-    """Stride-1 FIR over a real or complex block with carried tail."""
+    """Stride-1 FIR over a real or complex block with carried tail.
+
+    Long filters (≥64 taps) run as FFT fast convolution: XLA's direct TPU
+    conv at non-power-of-two block lengths compiles pathologically (a
+    301-tap conv over 6144 samples measured 410 s of compile vs seconds
+    for the identical FFT form), and the FFT is also the cheaper runtime at
+    these sizes. Short filters keep the exact direct conv.
+    """
     ext = jnp.concatenate([state.tail, x], axis=-1)
     is_complex = jnp.iscomplexobj(x)
+    l_taps = taps.shape[-1]
+    if l_taps >= 64:
+        n_fft = 1 << int(np.ceil(np.log2(ext.shape[-1] + l_taps - 1)))
+        # valid correlation == linear convolution with reversed taps,
+        # sliced at the L-1 offset
+        tf = jnp.fft.fft(taps[::-1].astype(jnp.complex64), n_fft)
+        xf = jnp.fft.fft(ext.astype(jnp.complex64), n_fft, axis=-1)
+        full = jnp.fft.ifft(xf * tf, axis=-1)
+        y = full[..., l_taps - 1 : l_taps - 1 + x.shape[-1]]
+        if not (is_complex or jnp.iscomplexobj(taps)):
+            y = jnp.real(y).astype(jnp.float32)
+        else:
+            y = y.astype(jnp.complex64)
+        return FirState(ext[..., x.shape[-1] :]), y
     if is_complex:
         lanes = jnp.stack([jnp.real(ext), jnp.imag(ext)], axis=0)
     else:
@@ -91,3 +112,24 @@ def fir_apply(
         y = out[0] if out.shape[0] == 1 else out
         y = y.astype(jnp.float32)
     return FirState(ext[..., x.shape[-1] :]), y
+
+
+def kaiser_lowpass(ntaps: int, cutoff: float, atten_db: float = 60.0) -> np.ndarray:
+    """Kaiser-window lowpass (WFIR::BasicFIR LPF + wKaiser,
+    sdrbase/dsp/wfir.cpp:26-78 — the reference's generic windowed designer
+    offers Kaiser beside Hamming/Blackman/etc). cutoff in cycles/sample.
+    β from the standard attenuation formula (Kaiser's empirical fit)."""
+    if atten_db > 50.0:
+        beta = 0.1102 * (atten_db - 8.7)
+    elif atten_db >= 21.0:
+        beta = 0.5842 * (atten_db - 21.0) ** 0.4 + 0.07886 * (atten_db - 21.0)
+    else:
+        beta = 0.0
+    n = np.arange(ntaps, dtype=np.float64)
+    m = (ntaps - 1) / 2.0
+    k = n - m
+    with np.errstate(invalid="ignore"):
+        h = np.where(k == 0, 2.0 * cutoff, np.sin(2.0 * np.pi * cutoff * k) / (np.pi * k))
+    w = np.kaiser(ntaps, beta)
+    h = h * w
+    return (h / h.sum()).astype(np.float32)

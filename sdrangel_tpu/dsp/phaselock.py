@@ -145,3 +145,45 @@ def pilot_pll_run(
         jnp.cos(2.0 * phases),
         jnp.cos(3.0 * phases),
     )
+
+
+class FLLState(NamedTuple):
+    phi: jnp.ndarray     # (...,) oscillator phase
+    fhat: jnp.ndarray    # (...,) smoothed instantaneous frequency (rad/sample)
+    phi_x1: jnp.ndarray  # (...,) previous input phase (delta-arg carry)
+
+
+def make_fll(batch_shape=()) -> FLLState:
+    z = jnp.zeros(batch_shape, dtype=jnp.float32)
+    return FLLState(z, z, z)
+
+
+def fll_run(
+    state: FLLState, x: jnp.ndarray, sample_rate: float
+) -> tuple[FLLState, jnp.ndarray, jnp.ndarray]:
+    """Frequency-locked loop (FreqLockComplex::feed,
+    sdrbase/dsp/freqlockcomplex.cpp:64-80): per sample the reference smooths
+    the wrapped delta-arg of the input with a one-pole (α₁ = 10/fs) and
+    integrates it into the NCO phase. Delta-arg and the phase integral are
+    block-parallel (diff / prefix sum); the one-pole is the EMA scan — no
+    sequential per-sample loop remains.
+
+    x: (..., T) complex64. Returns (state', e^{jφ[n]} locked oscillator,
+    f̂[n] rad/sample instantaneous-frequency track).
+    """
+    a1 = 10.0 / float(sample_rate)
+    phix = jnp.arctan2(jnp.imag(x), jnp.real(x)).astype(jnp.float32)
+    prev = jnp.concatenate([state.phi_x1[..., None], phix[..., :-1]], axis=-1)
+    ef = phix - prev
+    ef = jnp.mod(ef + np.pi, 2.0 * np.pi) - np.pi  # normalizeAngle
+    from .scanops import ema
+
+    fhat = ema(ef, a1, state.fhat)
+    phi = state.phi[..., None] + jnp.cumsum(fhat, axis=-1)
+    y = jnp.exp(1j * phi.astype(jnp.complex64))
+    new_state = FLLState(
+        jnp.mod(phi[..., -1], 2.0 * np.pi).astype(jnp.float32),
+        fhat[..., -1],
+        phix[..., -1],
+    )
+    return new_state, y, fhat

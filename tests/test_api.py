@@ -622,3 +622,30 @@ def test_device_report(api):
         _req(base, "/sdrangel/deviceset/0/device/run", "DELETE")
     assert rep["state"] == "running" and rep["blocksProcessed"] >= 1
     assert rep["realtimeFactor"] > 0.0
+
+
+def test_profile_endpoint(api, tmp_path):
+    """POST /sdrangel/profile captures a JAX profiler trace while a device
+    set runs (the framework's tracing surface; SURVEY.md §5)."""
+    import os
+
+    base, _ = api
+    _req(base, "/sdrangel/devicesets", "POST")
+    _req(base, "/sdrangel/deviceset/0/device/settings", "PATCH",
+         {"kind": "testsource", "sample_rate": 192000.0, "modulation": "fm",
+          "carrier_freq": 10000.0})
+    _req(base, "/sdrangel/deviceset/0/channel", "POST",
+         {"channelType": "sdrangel.channel.nfmdemod",
+          "inputFrequencyOffset": 10000.0})
+    _req(base, "/sdrangel/deviceset/0/device/run", "POST")
+    out = str(tmp_path / "trace")
+    try:
+        code, body = _req(base, "/sdrangel/profile", "POST",
+                          {"seconds": 0.5, "path": out})
+    finally:
+        _req(base, "/sdrangel/deviceset/0/device/run", "DELETE")
+    assert code == 200 and body["trace"] == out
+    found = []
+    for root, _dirs, files in os.walk(out):
+        found += [f for f in files if f.endswith((".trace.json.gz", ".xplane.pb"))]
+    assert found, f"no trace artifacts under {out}"

@@ -229,3 +229,37 @@ def test_symsync_converges():
     # after convergence the sampled symbols are near +-1 (not transitions)
     s = np.real(np.asarray(syms))
     assert np.abs(s).mean() > 0.8, np.abs(s).mean()
+
+
+def test_fll_tracks_carrier():
+    """FreqLockComplex role: the FLL's frequency track converges to a
+    rotating carrier's frequency and its oscillator locks the rotation."""
+    from sdrangel_tpu.dsp import phaselock
+
+    fs = 48000.0
+    f0 = 1234.0
+    n = 1 << 15
+    t = np.arange(n) / fs
+    x = np.exp(1j * (2 * np.pi * f0 * t + 0.4)).astype(np.complex64)
+    st = phaselock.make_fll()
+    run = jax.jit(lambda s, xx: phaselock.fll_run(s, xx, fs))
+    half = n // 2
+    st, y, fhat = run(st, jnp.asarray(x[:half]))
+    st, y2, fhat2 = run(st, jnp.asarray(x[half:]))
+    f_est = float(np.mean(np.asarray(fhat2)[-4096:])) * fs / (2 * np.pi)
+    assert abs(f_est - f0) < 2.0, f_est
+    # oscillator derotates the carrier to ~DC
+    bb = x[half:] * np.conj(np.asarray(y2))
+    dphi = np.angle(bb[1:] * np.conj(bb[:-1]))[-4096:]  # settled tail
+    assert np.abs(np.mean(dphi)) * fs / (2 * np.pi) < 2.0
+
+
+def test_kaiser_lowpass_attenuation():
+    from sdrangel_tpu.dsp import firdesign
+
+    h = firdesign.kaiser_lowpass(201, 0.1, atten_db=70.0)
+    w = np.fft.rfft(h, 8192)
+    f = np.linspace(0, 0.5, len(w))
+    stop = np.abs(w[f > 0.14])
+    assert 20 * np.log10(stop.max()) < -60.0
+    assert abs(np.abs(w[0]) - 1.0) < 1e-3
