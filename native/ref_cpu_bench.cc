@@ -89,6 +89,30 @@ class HalfbandDecimator {
 }  // namespace
 
 int main(int argc, char** argv) {
+  if (argc == 4 && std::strcmp(argv[1], "--parity") == 0) {
+    // Parity mode: decimate an int16 interleaved capture with the exact
+    // reference integer arithmetic and dump int32 outputs — the oracle for
+    // the framework's fixed-point parity test (SURVEY.md §7.3 hard part 4).
+    FILE* fi = fopen(argv[2], "rb");
+    FILE* fo = fopen(argv[3], "wb");
+    if (!fi || !fo) return 2;
+    HalfbandDecimator st[6];
+    int16_t s[2];
+    while (fread(s, sizeof(int16_t), 2, fi) == 2) {
+      int32_t i = s[0], q = s[1], oi, oq;
+      if (!st[0].feed(i, q, &oi, &oq)) continue;
+      if (!st[1].feed(oi, oq, &oi, &oq)) continue;
+      if (!st[2].feed(oi, oq, &oi, &oq)) continue;
+      if (!st[3].feed(oi, oq, &oi, &oq)) continue;
+      if (!st[4].feed(oi, oq, &oi, &oq)) continue;
+      if (!st[5].feed(oi, oq, &oi, &oq)) continue;
+      int32_t o[2] = {oi, oq};
+      fwrite(o, sizeof(int32_t), 2, fo);
+    }
+    fclose(fi);
+    fclose(fo);
+    return 0;
+  }
   const long n = argc > 1 ? atol(argv[1]) : 1048576;
   const int repeat = argc > 2 ? atoi(argv[2]) : 10;
 

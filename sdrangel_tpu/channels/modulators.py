@@ -227,3 +227,86 @@ def wfm_modulate(
     fm_state, iq = fm_modulate(state.fm, af, cfg.fm)
     fft_state, out = fftfilt.run_filt(state.fft, iq, jnp.asarray(cfg.rf_filter))
     return WFMModState(fm_state, fft_state), out
+
+
+# ---------------------------------------------------------------------------
+# ATV modulator (plugins/channeltx/modatv — analog TV transmitter)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class ATVModConfig:
+    channel_rate: float
+    input_offset: float = 0.0
+    modulation: str = "am"  # am | fm
+    lines: int = 625
+    fps: float = 25.0
+    fm_deviation: float = 2_500_000.0
+    sync_level: float = 0.15  # sync tip as a fraction of full scale
+    black_level: float = 0.3  # blanking/black pedestal
+    hsync_fraction: float = 0.08  # sync-tip width as a fraction of a line
+    amplitude: float = 0.891
+
+    @property
+    def samples_per_line(self) -> int:
+        return int(round(self.channel_rate / (self.lines * self.fps)))
+
+
+class ATVModState(NamedTuple):
+    phase: jnp.ndarray  # (...,) FM integrator / carrier phase
+
+
+def make_atv_state(cfg: ATVModConfig, batch_shape=()) -> ATVModState:
+    return ATVModState(jnp.zeros(batch_shape, jnp.float32))
+
+
+def atv_composite(cfg: ATVModConfig, frame: jnp.ndarray) -> jnp.ndarray:
+    """(n_lines, width) luma in [0,1] -> (n_lines · samples_per_line,)
+    composite video: per line [sync tip | black porch | scaled luma].
+    The reference builds the same line structure in atvmod.cpp (pointsPerSync
+    / pointsPerBP per standard)."""
+    spl = cfg.samples_per_line
+    n_sync = max(1, int(cfg.hsync_fraction * spl))
+    n_porch = max(1, spl // 16)
+    n_active = spl - n_sync - n_porch
+    n_lines = frame.shape[0]
+    # nearest-index resample of luma rows to the active width (host-static)
+    idx = (np.arange(n_active) * frame.shape[1] / n_active).astype(np.int32)
+    luma = jnp.clip(frame[:, idx].astype(jnp.float32), 0.0, 1.0)
+    # levels: sync tip (minimum) < black pedestal < white
+    video_lo = cfg.sync_level + cfg.black_level * (1.0 - cfg.sync_level)
+    comp = jnp.concatenate(
+        [
+            jnp.full((n_lines, n_sync), cfg.sync_level, jnp.float32),  # tip
+            jnp.full((n_lines, n_porch), video_lo, jnp.float32),  # porch
+            video_lo + (1.0 - video_lo) * luma,
+        ],
+        axis=-1,
+    )
+    return comp.reshape(-1)
+
+
+def atv_modulate(
+    state: ATVModState, video: jnp.ndarray, cfg: ATVModConfig
+) -> tuple[ATVModState, jnp.ndarray]:
+    """Composite video (T,) in [0,1] -> complex baseband at channel rate.
+    AM: envelope = video (positive modulation); FM: phase integral of the
+    deviation-scaled video (atvmod.cpp modulation branches)."""
+    if cfg.modulation == "am":
+        y = (video * cfg.amplitude).astype(jnp.float32).astype(jnp.complex64)
+        new_phase = state.phase
+    else:
+        dphi = (
+            2.0 * np.pi * cfg.fm_deviation / cfg.channel_rate
+        ) * (video - 0.5)
+        phase = state.phase[..., None] + jnp.cumsum(dphi, axis=-1)
+        y = cfg.amplitude * jnp.exp(1j * phase.astype(jnp.complex64))
+        new_phase = jnp.mod(phase[..., -1], 2.0 * np.pi).astype(jnp.float32)
+    if cfg.input_offset:
+        n = jnp.arange(video.shape[-1])
+        rot = jnp.exp(
+            1j * (2.0 * np.pi * cfg.input_offset / cfg.channel_rate)
+            * n.astype(jnp.complex64)
+        )
+        y = y * rot
+    return ATVModState(new_phase), y

@@ -50,7 +50,8 @@ _PIPELINE_FIELDS = {"channel_rate", "input_offset", "block_in", "block_af"}
 #: (offset → channel plan; audioFile/audioUdp/audioRtp → audio egress;
 #: toneFrequency → Tx AF source)
 SESSION_KEYS = {
-    "inputFrequencyOffset", "audioFile", "audioUdp", "audioRtp", "toneFrequency",
+    "inputFrequencyOffset", "audioFile", "audioUdp", "audioRtp",
+    "toneFrequency", "afUdp",
 }
 
 #: uri -> config dataclass for schema purposes; Rx kinds land here via

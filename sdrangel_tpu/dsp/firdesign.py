@@ -72,16 +72,18 @@ def fir_apply(
 ) -> tuple[FirState, jnp.ndarray]:
     """Stride-1 FIR over a real or complex block with carried tail.
 
-    Long filters (≥64 taps) run as FFT fast convolution: XLA's direct TPU
-    conv at non-power-of-two block lengths compiles pathologically (a
-    301-tap conv over 6144 samples measured 410 s of compile vs seconds
-    for the identical FFT form), and the FFT is also the cheaper runtime at
-    these sizes. Short filters keep the exact direct conv.
+    Long filters (≥64 taps) over non-power-of-two blocks run as FFT fast
+    convolution: XLA's direct TPU conv at those lengths compiles
+    pathologically (a 301-tap conv over 6144 samples measured 410 s of
+    compile vs seconds for the identical FFT form). Power-of-two blocks
+    keep the direct conv — it compiles fine there and benches faster at
+    the bank's 2^17-sample audio blocks.
     """
     ext = jnp.concatenate([state.tail, x], axis=-1)
     is_complex = jnp.iscomplexobj(x)
     l_taps = taps.shape[-1]
-    if l_taps >= 64:
+    pow2_block = x.shape[-1] & (x.shape[-1] - 1) == 0
+    if l_taps >= 64 and not pow2_block:
         n_fft = 1 << int(np.ceil(np.log2(ext.shape[-1] + l_taps - 1)))
         # valid correlation == linear convolution with reversed taps,
         # sliced at the L-1 offset

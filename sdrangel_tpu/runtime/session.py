@@ -398,6 +398,7 @@ class TxDeviceSet:
         self.running = False
 
     def _work(self) -> None:
+        udp_srcs: dict[int, Any] = {}
         try:
             device = TxDeviceConfig(
                 sample_rate=self.sink.sample_rate,
@@ -406,13 +407,27 @@ class TxDeviceSet:
             )
             specs = []
             tones = []
-            for ch in self.channels:
+            for i, ch in enumerate(self.channels):
                 settings = dict(ch.settings)
                 tones.append(float(settings.pop("toneFrequency", 1000.0)))
+                # UDP AF ingest (the reference's udpsink Tx channel,
+                # plugins/channeltx/udpsink): mono16 datagrams become the
+                # channel's audio source instead of the tone
+                addr = settings.pop("afUdp", None)
+                if addr:
+                    from ..io.udp import UdpSource
+
+                    host, port = addr.rsplit(":", 1)
+                    udp_srcs[i] = UdpSource(host, int(port), "mono16", timeout=2.0)
                 specs.append(TxChannelSpec(ch.uri, ch.frequency_offset, settings))
             pipe = TxPipeline(device, specs, block_af=4096)
 
             def af(b, c, count):
+                if c in udp_srcs:
+                    try:
+                        return udp_srcs[c].read(count).astype(np.float32)
+                    except Exception:
+                        return np.zeros(count, np.float32)  # underrun -> silence
                 t = (b * count + np.arange(count)) / 48000.0
                 return np.sin(2 * np.pi * tones[c] * t).astype(np.float32)
 
@@ -443,6 +458,11 @@ class TxDeviceSet:
         except Exception as e:
             self.error = f"{type(e).__name__}: {e}"
         finally:
+            for src in udp_srcs.values():
+                try:
+                    src.close()
+                except Exception:
+                    pass
             self.running = False
 
 

@@ -649,3 +649,66 @@ def test_profile_endpoint(api, tmp_path):
     for root, _dirs, files in os.walk(out):
         found += [f for f in files if f.endswith((".trace.json.gz", ".xplane.pb"))]
     assert found, f"no trace artifacts under {out}"
+
+
+def test_tx_udp_af_ingest(api, tmp_path):
+    """afUdp on a Tx channel sources the modulator AF from UDP mono16
+    datagrams (the reference's channeltx/udpsink ingest role): the recorded
+    capture demodulates back to the streamed tone."""
+    import socket
+
+    from sdrangel_tpu.channels import demod_nfm
+    from sdrangel_tpu.dsp import decimators as dec
+    from sdrangel_tpu.io import sdriq
+
+    base, _ = api
+    _req(base, "/sdrangel/devicesets", "POST", {"direction": "tx"})
+    out_path = str(tmp_path / "txudp.sdriq")
+    _req(base, "/sdrangel/deviceset/0/device/settings", "PATCH",
+         {"file_path": out_path, "sample_rate": 192000.0})
+    port = 47313
+    code, _ = _req(base, "/sdrangel/deviceset/0/channel", "POST",
+                   {"channelType": "sdrangel.channeltx.modnfm",
+                    "inputFrequencyOffset": 20000.0,
+                    "afUdp": f"127.0.0.1:{port}"})
+    assert code == 201
+    _req(base, "/sdrangel/deviceset/0/device/run", "POST")
+    # stream a 700 Hz tone as mono16 datagrams while the Tx worker runs
+    tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    n_sent = 0
+    deadline = time.time() + 90
+    while time.time() < deadline:
+        t = (n_sent + np.arange(480)) / 48000.0
+        pcm = np.clip(np.sin(2 * np.pi * 700.0 * t) * 24000, -32768, 32767).astype(np.int16)
+        tx.sendto(pcm.tobytes(), ("127.0.0.1", port))
+        n_sent += 480
+        time.sleep(0.002)
+        code, body = _req(base, "/sdrangel/deviceset/0")
+        if body["state"] == "idle":  # bounded Tx capture finished
+            break
+    tx.close()
+    _req(base, "/sdrangel/deviceset/0/device/run", "DELETE")
+
+    info, mm = sdriq.open_mmap(out_path)
+    assert info.sample_rate == 192000
+    x = sdriq.read_block(mm, 0, mm.shape[0], wrap=False)
+    xc = ((x[:, 0] + 1j * x[:, 1]) / 32768.0).astype(np.complex64)
+    # demodulate the +20 kHz channel back to audio
+    import jax.numpy as jnp
+
+    cfg = demod_nfm.NFMConfig(channel_rate=192000.0, input_offset=20000.0,
+                              block_in=(len(xc) // 512) * 512 if len(xc) < (1 << 16) else 1 << 16,
+                              squelch_db=-100.0, squelch_gate_ms=1.0)
+    st = demod_nfm.make_state(cfg)
+    n = (len(xc) // cfg.block_in) * cfg.block_in
+    audio = []
+    for b in range(n // cfg.block_in):
+        st, a = demod_nfm.process(st, jnp.asarray(xc[b * cfg.block_in:(b + 1) * cfg.block_in]), cfg)
+        audio.append(np.asarray(a))
+    a = np.concatenate(audio)
+    a = a[len(a) // 4 :] - a[len(a) // 4 :].mean()
+    spec = np.abs(np.fft.rfft(a * np.hanning(len(a)))) ** 2
+    freqs = np.fft.rfftfreq(len(a), 1.0 / 48000.0)
+    tone = np.abs(freqs - 700.0) < 8 * 48000.0 / len(a)
+    snr = 10 * np.log10(spec[tone].sum() / max(spec[~tone].sum(), 1e-30))
+    assert snr > 8.0, snr
