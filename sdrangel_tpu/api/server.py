@@ -39,6 +39,8 @@ _DEVICE_SETTINGS = re.compile(r"^/sdrangel/deviceset/(\d+)/device/settings$")
 _DEVICE_RUN = re.compile(r"^/sdrangel/deviceset/(\d+)/device/run$")
 _DEVICE_REPORT = re.compile(r"^/sdrangel/deviceset/(\d+)/device/report$")
 _SPECTRUM = re.compile(r"^/sdrangel/deviceset/(\d+)/spectrum$")
+_WATERFALL = re.compile(r"^/sdrangel/deviceset/(\d+)/spectrum/waterfall$")
+_HISTOGRAM = re.compile(r"^/sdrangel/deviceset/(\d+)/spectrum/histogram$")
 _SCOPE = re.compile(r"^/sdrangel/deviceset/(\d+)/scope$")
 _CHANNEL = re.compile(r"^/sdrangel/deviceset/(\d+)/channel$")
 _COMMAND_RUN = re.compile(r"^/sdrangel/command/([\w-]+)/run$")
@@ -130,6 +132,29 @@ class ApiHandler(BaseHTTPRequestHandler):
                          "imag": [round(float(v), 5) for v in tr[1]],
                          "magdb": [round(float(v), 2) for v in tr[2]],
                      }},
+                )
+            if m := _WATERFALL.match(p):
+                # scrolling waterfall rows (GLSpectrum texture role)
+                ds = s.device_sets[int(m.group(1))]
+                wf = list(getattr(ds, "waterfall", []))
+                if not wf:
+                    return self._error(404, "no spectra yet (device not running)")
+                return self._json(
+                    200,
+                    {"rows": len(wf), "fftSize": len(wf[0]),
+                     "waterfall": [[round(float(v), 1) for v in row] for row in wf]},
+                )
+            if m := _HISTOGRAM.match(p):
+                # histogram-with-decay intensity grid (glspectrum.h:135-174)
+                ds = s.device_sets[int(m.group(1))]
+                h = getattr(ds, "histogram", None)
+                if h is None:
+                    return self._error(404, "no histogram yet (device not running)")
+                return self._json(
+                    200,
+                    {"powerBins": h.shape[0], "fftSize": h.shape[1],
+                     "dbRange": [-100.0, 0.0],
+                     "histogram": h.tolist()},
                 )
             if m := _SPECTRUM.match(p):
                 ds = s.device_sets[int(m.group(1))]
@@ -229,6 +254,8 @@ class ApiHandler(BaseHTTPRequestHandler):
                     "/sdrangel/deviceset/{i}/device/run": {
                         "post": {"summary": "start"}, "delete": {"summary": "stop"}},
                     "/sdrangel/deviceset/{i}/spectrum": {"get": {}},
+                    "/sdrangel/deviceset/{i}/spectrum/waterfall": {"get": {}},
+                    "/sdrangel/deviceset/{i}/spectrum/histogram": {"get": {}},
                     "/sdrangel/deviceset/{i}/scope": {"get": {}},
                     "/sdrangel/deviceset/{i}/channel": {
                         "post": {"summary": "add channel (body: {channelType,...})"}},

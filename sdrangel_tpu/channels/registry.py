@@ -51,7 +51,7 @@ _PIPELINE_FIELDS = {"channel_rate", "input_offset", "block_in", "block_af"}
 #: toneFrequency → Tx AF source)
 SESSION_KEYS = {
     "inputFrequencyOffset", "audioFile", "audioUdp", "audioRtp",
-    "toneFrequency", "afUdp",
+    "toneFrequency", "afUdp", "datvContinuous",
 }
 
 #: uri -> config dataclass for schema purposes; Rx kinds land here via

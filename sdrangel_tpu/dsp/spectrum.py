@@ -106,3 +106,27 @@ def power_spectrum(
     else:
         v = jnp.concatenate([v[..., half:], v[..., :half]], axis=-1)
     return new_state, v.astype(jnp.float32)
+
+
+def histogram_decay(
+    hist: jnp.ndarray,
+    spectrum_db: jnp.ndarray,
+    lo_db: float = -100.0,
+    hi_db: float = 0.0,
+    decay: int = 1,
+    stroke: int = 30,
+) -> jnp.ndarray:
+    """GLSpectrum histogram semantics, headless (sdrgui/gui/glspectrum.h:
+    135-174 m_histogram update): hist is (n_bins_power, fft_size) uint8
+    intensity; each new spectrum strokes the cell its dB value falls into
+    and every cell decays toward zero. Vectorized: one scatter-add via
+    one-hot compare per column (fft_size × n_bins is display-sized)."""
+    n_bins = hist.shape[0]
+    idx = (spectrum_db - lo_db) * (n_bins / (hi_db - lo_db))
+    in_range = spectrum_db >= lo_db  # below-floor bins don't stroke
+    idx = jnp.clip(idx.astype(jnp.int32), 0, n_bins - 1)
+    one_hot = (
+        (jnp.arange(n_bins)[:, None] == idx[None, :]) & in_range[None, :]
+    ).astype(jnp.int32)
+    h = hist.astype(jnp.int32) - decay + one_hot * stroke
+    return jnp.clip(h, 0, 255).astype(jnp.uint8)

@@ -89,6 +89,11 @@ class DeviceSet:
         self.realtime_factor = 0.0
         self.spectrum: np.ndarray | None = None  # latest baseband spectrum
         self.scope: np.ndarray | None = None  # latest scope traces (3, 1024)
+        # display-history taps (GLSpectrum waterfall + histogram-with-decay
+        # semantics, headless — glspectrum.h:135-174)
+        self.waterfall: list[np.ndarray] = []  # ring of recent spectra (dB)
+        self.waterfall_keep = 64
+        self.histogram: np.ndarray | None = None  # (100, fft) uint8 intensity
 
     # -- configuration -----------------------------------------------------
 
@@ -243,6 +248,16 @@ class DeviceSet:
                 with self._lock:
                     self.spectrum = np.asarray(outs["spectrum"])
                     self.scope = np.asarray(outs["scope"])
+                    self.waterfall.append(self.spectrum)
+                    del self.waterfall[: -self.waterfall_keep]
+                    if self.histogram is None:
+                        self.histogram = np.zeros((100, len(self.spectrum)), np.uint8)
+                    in_range = self.spectrum >= -100.0  # below-floor bins don't stroke
+                    idx = np.clip((self.spectrum + 100.0).astype(np.int32), 0, 99)
+                    h = self.histogram.astype(np.int32) - 1  # decay
+                    cols = np.arange(len(idx))[in_range]
+                    h[idx[in_range], cols] += 30  # stroke
+                    self.histogram = np.clip(h, 0, 255).astype(np.uint8)
                     for i, out in enumerate(outs["channels"]):
                         power = float(out["power"])
                         ch = self.channels[i]
@@ -307,11 +322,17 @@ class DeviceSet:
 
     def _datv_host_decode(self, idx: int, ch: ChannelState) -> None:
         """Accumulate a demoddatv channel's soft symbols; once enough are
-        buffered run the host FEC chain + TS demux once and publish the
+        buffered run the host FEC chain + TS demux and publish the
         programme map in the channel report (the leansdr graph +
         ffmpeg-demux role of the reference's DATV plugin, datvdemod.cpp).
-        """
-        if getattr(ch, "_datv_done", False):
+
+        Default: one decode pass when the buffer first fills. With the
+        channel setting `datvContinuous: true` the decode re-runs over a
+        bounded sliding window whenever another buffer's worth arrives
+        (scrambler-group alignment is preserved because the window always
+        starts at the stream head kept by the symbol buffer)."""
+        continuous = bool(ch.settings.get("datvContinuous", False))
+        if getattr(ch, "_datv_done", False) and not continuous:
             return
         acc = getattr(ch, "_datv_acc", None)
         if acc is None:
@@ -320,19 +341,34 @@ class DeviceSet:
         acc[0].append(ch.latest_data["soft_i"].reshape(-1))
         acc[1].append(ch.latest_data["soft_q"].reshape(-1))
         total_bits = 2 * sum(a.shape[-1] for a in acc[0])
-        if total_bits < self._DATV_DECODE_BITS:
-            return
+        cap = 8 * self._DATV_DECODE_BITS  # bounds the re-decode cost
+        if total_bits >= cap:
+            if getattr(ch, "_datv_final", False):
+                return
+            ch._datv_final = True  # one last pass over the capped buffer
+        else:
+            need = self._DATV_DECODE_BITS * (
+                1 + getattr(ch, "_datv_rounds", 0) if continuous else 1
+            )
+            if total_bits < need:
+                return
         ch._datv_done = True
+        ch._datv_rounds = getattr(ch, "_datv_rounds", 0) + 1
         from ..channels import demod_datv, tsdemux
 
         cfg_rate = ch.settings.get("fec_rate", "1/2")
         ts, stats = demod_datv.recover_ts(
-            np.concatenate(acc[0]), np.concatenate(acc[1]), fec_rate=cfg_rate
+            np.concatenate(acc[0]), np.concatenate(acc[1]),
+            fec_rate=cfg_rate, max_packets=2048,
         )
+        # the decode always restarts at the stream head (kept in the buffer)
+        # so scrambler-group alignment holds; the demux re-parses from scratch
         demux = tsdemux.TsDemux()
         demux.feed(ts)
-        ch.host_report = {"datv": {**stats, "ts": demux.summary()}}
-        ch._datv_acc = None
+        ch.host_report = {"datv": {**stats, "rounds": ch._datv_rounds,
+                                   "ts": demux.summary()}}
+        if not continuous:
+            ch._datv_acc = None
 
 
 @dataclasses.dataclass

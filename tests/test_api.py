@@ -712,3 +712,83 @@ def test_tx_udp_af_ingest(api, tmp_path):
     tone = np.abs(freqs - 700.0) < 8 * 48000.0 / len(a)
     snr = 10 * np.log10(spec[tone].sum() / max(spec[~tone].sum(), 1e-30))
     assert snr > 8.0, snr
+
+
+def test_waterfall_and_histogram(api):
+    """Spectrum history endpoints: waterfall rows accumulate and the decayed
+    histogram has its hot cells at the carrier bin (GLSpectrum semantics)."""
+    base, _ = api
+    _req(base, "/sdrangel/devicesets", "POST")
+    _req(base, "/sdrangel/deviceset/0/device/settings", "PATCH",
+         {"kind": "testsource", "sample_rate": 192000.0, "modulation": "none",
+          "carrier_freq": 24000.0})
+    _req(base, "/sdrangel/deviceset/0/channel", "POST",
+         {"channelType": "sdrangel.channel.nfmdemod",
+          "inputFrequencyOffset": 24000.0})
+    _req(base, "/sdrangel/deviceset/0/device/run", "POST")
+    wf = None
+    deadline = time.time() + 60
+    try:
+        while time.time() < deadline:
+            code, wf = _req(base, "/sdrangel/deviceset/0/spectrum/waterfall")
+            if code == 200 and wf["rows"] >= 3:
+                break
+            time.sleep(0.3)
+        code, hist = _req(base, "/sdrangel/deviceset/0/spectrum/histogram")
+    finally:
+        _req(base, "/sdrangel/deviceset/0/device/run", "DELETE")
+    assert wf and wf["rows"] >= 3 and len(wf["waterfall"][0]) == wf["fftSize"]
+    assert code == 200
+    h = np.asarray(hist["histogram"], np.int32)
+    assert h.shape == (hist["powerBins"], hist["fftSize"])
+    # hottest column should be the +24 kHz carrier bin (fft ordered
+    # negative-first: bin = fft/2 + 24k/192k * fft)
+    col = h.max(axis=0)
+    expect = hist["fftSize"] // 2 + int(24000.0 / 192000.0 * hist["fftSize"])
+    # several columns in the carrier skirt saturate; the expected bin must
+    # be among the hottest and far columns must be cold
+    assert col[expect] == col.max(), (int(col[expect]), int(col.max()))
+    assert col[expect - 100] < col.max() / 2
+
+
+def test_two_device_sets_concurrently(api):
+    """Device parallelism (SURVEY §2.6 #1): two Rx device sets acquire at
+    the same time, each with its own worker/pipeline, without interference."""
+    base, _ = api
+    for i, (cf, tone) in enumerate(((15000.0, 700.0), (-30000.0, 1100.0))):
+        _req(base, "/sdrangel/devicesets", "POST")
+        _req(base, f"/sdrangel/deviceset/{i}/device/settings", "PATCH",
+             {"kind": "testsource", "sample_rate": 192000.0, "modulation": "fm",
+              "carrier_freq": cf, "tone_freq": tone})
+        _req(base, f"/sdrangel/deviceset/{i}/channel", "POST",
+             {"channelType": "sdrangel.channel.nfmdemod",
+              "inputFrequencyOffset": cf, "squelch_db": -60.0})
+        _req(base, f"/sdrangel/deviceset/{i}/device/run", "POST")
+    try:
+        deadline = time.time() + 90
+        done = [False, False]
+        while time.time() < deadline and not all(done):
+            for i in range(2):
+                _, rep = _req(base, f"/sdrangel/deviceset/{i}/channel/0/report")
+                done[i] = rep.get("audioSamples", 0) > 48000
+            time.sleep(0.5)
+        assert all(done), done
+        tones = (700.0, 1100.0)
+        for i in range(2):
+            import io as _io
+            import urllib.request as _rq
+            import wave as _wave
+
+            with _rq.urlopen(base + f"/sdrangel/deviceset/{i}/channel/0/audio") as r:
+                buf = _io.BytesIO(r.read())
+            with _wave.open(buf) as w:
+                pcm = np.frombuffer(w.readframes(w.getnframes()), np.int16) / 32768.0
+            a = pcm[len(pcm) // 2 :] - pcm[len(pcm) // 2 :].mean()
+            spec = np.abs(np.fft.rfft(a * np.hanning(len(a)))) ** 2
+            freqs = np.fft.rfftfreq(len(a), 1.0 / 48000.0)
+            sel = np.abs(freqs - tones[i]) < 8 * 48000.0 / len(a)
+            snr = 10 * np.log10(spec[sel].sum() / max(spec[~sel].sum(), 1e-30))
+            assert snr > 10.0, (i, snr)
+    finally:
+        for i in range(2):
+            _req(base, f"/sdrangel/deviceset/{i}/device/run", "DELETE")

@@ -150,7 +150,7 @@ def test_datv_through_session_rest(tmp_path):
         {"kind": "filesource", "file_path": path, "throttle": False})
     code, _ = req("/sdrangel/deviceset/0/channel", "POST",
                   {"channelType": "sdrangel.channel.demoddatv",
-                   "symbol_rate": 250_000.0})
+                   "symbol_rate": 250_000.0, "datvContinuous": True})
     assert code == 201
     req("/sdrangel/deviceset/0/device/run", "POST")
     rep = None
@@ -166,6 +166,7 @@ def test_datv_through_session_rest(tmp_path):
         srv.shutdown()
     assert rep and rep.get("datv"), rep
     datv = rep["datv"]
+    assert datv["rounds"] >= 1
     assert datv["packets"] > 20 and datv["rsFailed"] <= datv["packets"] // 4, datv
     progs = {p["program"]: p for p in datv["ts"]["programs"]}
     assert 7 in progs, datv["ts"]
