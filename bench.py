@@ -102,20 +102,23 @@ def main() -> int:
     casc, dstate, audio = step(casc, dstate, raw)
     audio.block_until_ready()
 
-    # best of 3 passes — the remote-execution tunnel adds run-to-run
-    # variance unrelated to the program (observed 27-43 GS/s on identical
-    # code); the max is the honest device capability
+    # median of 5 passes — the remote-execution tunnel adds large
+    # run-to-run variance unrelated to the program, in BOTH directions
+    # (a max-of-passes policy once reported 270 GS/s, above the chip's
+    # HBM speed-of-light for this 4 B/sample workload; synchronized
+    # per-step timing puts the true sustained rate near ~110 GS/s).
+    # The median is robust to both glitch directions.
     iters = 30
-    best = 0.0
-    for _ in range(3):
+    rates = []
+    for _ in range(5):
         t0 = time.perf_counter()
         for _ in range(iters):
             casc, dstate, audio = step(casc, dstate, raw)
         audio.block_until_ready()
         elapsed = time.perf_counter() - t0
-        best = max(best, block * iters / elapsed / 1e6)
+        rates.append(block * iters / elapsed / 1e6)
 
-    msps = best
+    msps = float(np.median(rates))
     vs = msps * 1e3 / baseline_ksps
     print(
         json.dumps(

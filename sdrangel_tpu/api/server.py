@@ -275,6 +275,8 @@ class ApiHandler(BaseHTTPRequestHandler):
                         "put": {"summary": "import preset from file"},
                         "post": {"summary": "export preset to file"}},
                     "/sdrangel/logging": {"get": {}, "put": {}},
+                    "/sdrangel/audio": {"get": {"summary": "audio egress list"}},
+                    "/sdrangel/location": {"get": {}, "put": {}},
                     "/sdrangel/profile": {
                         "post": {"summary": "capture a JAX profiler trace "
                                             "(body: {seconds, path})"}},
@@ -312,6 +314,26 @@ class ApiHandler(BaseHTTPRequestHandler):
                          for uri, k in sorted(REGISTRY.items())
                      ]},
                 )
+            if p == "/sdrangel/audio":
+                # instanceAudioGet role: audio egress landscape (no sound
+                # card on a TPU host — the "devices" are the configured
+                # per-channel sinks: WAV files, UDP and RTP destinations)
+                sinks = []
+                for ds in s.device_sets:
+                    for j, ch in enumerate(ds.channels):
+                        for key, kind in (("audioFile", "wav"),
+                                          ("audioUdp", "udp"),
+                                          ("audioRtp", "rtp")):
+                            if ch.settings.get(key):
+                                sinks.append({"deviceSet": ds.index, "channel": j,
+                                              "kind": kind,
+                                              "destination": ch.settings[key]})
+                return self._json(
+                    200, {"nbOutputDevices": len(sinks), "outputs": sinks}
+                )
+            if p == "/sdrangel/location":
+                return self._json(200, dict(getattr(s, "location", None)
+                                            or {"latitude": 0.0, "longitude": 0.0}))
             if p == "/sdrangel/commands":
                 return self._json(200, {"commands": sorted(self.session.commands)})
             if p == "/sdrangel/presets":
@@ -429,6 +451,14 @@ class ApiHandler(BaseHTTPRequestHandler):
                 except FileNotFoundError as e:
                     return self._error(404, str(e))
                 return self._json(200, {"imported": key})
+            if p == "/sdrangel/location":
+                # instanceLocationPut role (station lat/long for az/el tools)
+                lat = float(body.get("latitude", 0.0))
+                lon = float(body.get("longitude", 0.0))
+                if not (-90.0 <= lat <= 90.0 and -180.0 <= lon <= 180.0):
+                    raise _BadRequest("latitude/longitude out of range")
+                s.location = {"latitude": lat, "longitude": lon}
+                return self._json(200, s.location)
             if p == "/sdrangel/logging":
                 # console level + optional log file (LoggerWithFile role,
                 # logging/loggerwithfile.h; REST-adjustable like

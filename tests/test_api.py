@@ -792,3 +792,23 @@ def test_two_device_sets_concurrently(api):
     finally:
         for i in range(2):
             _req(base, f"/sdrangel/deviceset/{i}/device/run", "DELETE")
+
+
+def test_audio_and_location_endpoints(api):
+    base, _ = api
+    code, body = _req(base, "/sdrangel/audio")
+    assert code == 200 and body["nbOutputDevices"] == 0
+    _req(base, "/sdrangel/devicesets", "POST")
+    _req(base, "/sdrangel/deviceset/0/channel", "POST",
+         {"channelType": "sdrangel.channel.nfmdemod",
+          "audioUdp": "127.0.0.1:9999", "audioFile": "/tmp/x.wav"})
+    code, body = _req(base, "/sdrangel/audio")
+    kinds = {o["kind"] for o in body["outputs"]}
+    assert code == 200 and kinds == {"udp", "wav"}
+    code, body = _req(base, "/sdrangel/location", "PUT",
+                      {"latitude": 48.86, "longitude": 2.35})
+    assert code == 200
+    code, body = _req(base, "/sdrangel/location")
+    assert body == {"latitude": 48.86, "longitude": 2.35}
+    code, _ = _req(base, "/sdrangel/location", "PUT", {"latitude": 123.0})
+    assert code == 400
