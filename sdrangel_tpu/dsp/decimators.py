@@ -345,3 +345,57 @@ def decimate_flat_any(
     yi = yi.reshape(*batch_shape, t_out)
     y = (yr + 1j * yi).astype(jnp.complex64)
     return FlatState(ext[..., xm.shape[-1] :]), y
+
+
+class FlatIqState(NamedTuple):
+    tail: jnp.ndarray  # (..., 2^k·(t_leg−1), 2) f32 carried raw I/Q
+
+
+def init_flat_iq_state(
+    log2_decim: int, batch_shape: Sequence[int] = (), order: int = DECIMATORS_ORDER
+) -> FlatIqState:
+    r = 1 << log2_decim
+    t_leg = flat_legs(log2_decim, order).shape[1]
+    return FlatIqState(
+        jnp.zeros((*batch_shape, r * (t_leg - 1), 2), dtype=jnp.float32)
+    )
+
+
+def decimate_flat_iq(
+    state: FlatIqState, x_iq: jnp.ndarray, log2_decim: int,
+    order: int = DECIMATORS_ORDER,
+) -> tuple[FlatIqState, jnp.ndarray]:
+    """Layout-native flat cen cascade: NO transposes anywhere.
+
+    x_iq: (..., T, 2) float32 — the natural memory order of interleaved
+    ADC samples. The polyphase planes ext[2^k·i + j] are exactly a reshape
+    of this layout to (W, 2^k·2) with channel index c = 2j + iq, so the
+    whole cascade is ONE NWC conv whose kernel routes even channels (I
+    legs) to output channel 0 and odd channels (Q legs) to channel 1.
+    The complex-lane variant (decimate_flat) stacks real/imag into planar
+    lanes — two hidden ~8 B/sample transposes of the full-rate stream;
+    this form reads the input in storage order.
+
+    Returns (state', y_iq (..., T/2^k, 2) float32).
+    """
+    if log2_decim == 0:
+        return state, x_iq
+    r = 1 << log2_decim
+    legs = flat_legs(log2_decim, order)  # (r, t_leg) np
+    t_leg = legs.shape[1]
+    rhs = np.zeros((t_leg, 2 * r, 2), np.float32)
+    rhs[:, 0::2, 0] = legs.T
+    rhs[:, 1::2, 1] = legs.T
+    ext = jnp.concatenate([state.tail, x_iq], axis=-2)
+    batch_shape = ext.shape[:-2]
+    w = ext.shape[-2] // r
+    lhs = ext.reshape(-1, w, 2 * r)  # (N, W, C) — a pure reshape
+    out = jax.lax.conv_general_dilated(
+        lhs,
+        jnp.asarray(rhs),
+        window_strides=(1,),
+        padding="VALID",
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )  # (N, T/2^k, 2)
+    y = out.reshape(*batch_shape, out.shape[-2], 2)
+    return FlatIqState(ext[..., x_iq.shape[-2] :, :]), y

@@ -183,3 +183,29 @@ def test_flat_rotated_matches_staged_inf_sup():
             assert np.abs(a).max() > 0.05
             np.testing.assert_allclose(c, a, atol=3e-3, rtol=0,
                                        err_msg=f"{fc_pos} /{1<<log2}")
+
+
+def test_flat_iq_matches_flat_complex():
+    """The layout-native NWC form equals the complex-lane flat cascade
+    across block seams."""
+    from sdrangel_tpu.dsp import decimators as dec
+
+    rng = np.random.default_rng(9)
+    for log2 in (1, 4, 6):
+        n = 4 << max(10, log2 + 6)
+        x = (rng.standard_normal((n, 2)) * 0.3).astype(np.float32)
+        xc = (x[:, 0] + 1j * x[:, 1]).astype(np.complex64)
+        sc = dec.init_flat_state(log2)
+        si = dec.init_flat_iq_state(log2)
+        block = n // 4
+        yc, yi = [], []
+        for b in range(4):
+            sc, a = dec.decimate_flat(sc, jnp.asarray(xc[b * block : (b + 1) * block]), log2)
+            si, c = dec.decimate_flat_iq(si, jnp.asarray(x[b * block : (b + 1) * block]), log2)
+            yc.append(np.asarray(a))
+            yi.append(np.asarray(c))
+        a = np.concatenate(yc)
+        c = np.concatenate(yi, axis=0)
+        np.testing.assert_allclose(c[:, 0], a.real, atol=1e-5, rtol=0)
+        np.testing.assert_allclose(c[:, 1], a.imag, atol=1e-5, rtol=0)
+        assert np.abs(a).max() > 0.05
