@@ -47,6 +47,22 @@ def _cpu_baseline_ksps() -> float:
 
 
 def main() -> int:
+    # CLI mirrors the reference's ParserBench flags (sdrbench/parserbench.cpp:
+    # 24-113: --test/--nb-samples/--repeat/--log2-factor); defaults reproduce
+    # the driver's headline chain unchanged.
+    import argparse
+
+    ap = argparse.ArgumentParser(description="sdrangel_tpu bench (sdrangelbench role)")
+    ap.add_argument("-t", "--test", default="chain",
+                    choices=["chain", "decimateii", "decimateinfii", "decimatesupii"],
+                    help="chain = decimate+channelize+NFM16; decimate* = "
+                         "cascade only at the given placement")
+    ap.add_argument("-n", "--nb-samples", type=int, default=0,
+                    help="device samples per step (default: 2^SDRANGEL_BENCH_LOG2BLOCK)")
+    ap.add_argument("-r", "--repeat", type=int, default=30, help="steps per pass")
+    ap.add_argument("-l", "--log2-factor", type=int, default=6, choices=range(1, 7))
+    args = ap.parse_args()
+
     baseline_ksps = _cpu_baseline_ksps()
 
     import jax
@@ -56,11 +72,15 @@ def main() -> int:
     from sdrangel_tpu.dsp import decimators as dec
 
     n_channels = 16
-    log2 = 6
+    log2 = args.log2_factor
     # device-rate samples per step (~91 µs fixed dispatch overhead per step
     # through the TPU tunnel — big blocks amortize it); SDRANGEL_BENCH_LOG2BLOCK
     # overrides for sweeps
-    block = 1 << int(os.environ.get("SDRANGEL_BENCH_LOG2BLOCK", "23"))
+    block = args.nb_samples or (1 << int(os.environ.get("SDRANGEL_BENCH_LOG2BLOCK", "23")))
+    assert block % (4 << log2) == 0, "nb-samples must be a multiple of 4*2^l"
+    fc_pos = {"decimateii": "cen", "decimateinfii": "inf",
+              "decimatesupii": "sup"}.get(args.test, "cen")
+    decim_only = args.test != "chain"
     device_rate = 12_288_000.0
     baseband_rate = device_rate / (1 << log2)  # 192 kHz
 
@@ -82,9 +102,11 @@ def main() -> int:
         x = raw.astype(jnp.float32) * (1.0 / 32768.0)
         x = (x[..., 0] + 1j * x[..., 1]).astype(jnp.complex64)
         if flat:
-            casc, bb = dec.decimate_flat(casc, x, log2)
+            casc, bb = dec.decimate_flat_any(casc, x, log2, fc_pos)
         else:
-            casc, bb = dec.decimate_cascade(casc, x, log2, "cen")
+            casc, bb = dec.decimate_cascade(casc, x, log2, fc_pos)
+        if decim_only:  # decimate* tests: cascade only, like sdrangelbench
+            return casc, dstate, jnp.stack([jnp.real(bb), jnp.imag(bb)])
         xb = jnp.broadcast_to(bb, (n_channels, bb.shape[-1]))
         dstate, audio = demod_nfm.process(dstate, xb, demod_cfg)
         return casc, dstate, audio
@@ -108,7 +130,7 @@ def main() -> int:
     # HBM speed-of-light for this 4 B/sample workload; synchronized
     # per-step timing puts the true sustained rate near ~110 GS/s).
     # The median is robust to both glitch directions.
-    iters = 30
+    iters = args.repeat
     rates = []
     for _ in range(5):
         t0 = time.perf_counter()
@@ -123,7 +145,11 @@ def main() -> int:
     print(
         json.dumps(
             {
-                "metric": "decimate64+channelize+NFM16 input throughput per chip",
+                "metric": (
+                    "decimate64+channelize+NFM16 input throughput per chip"
+                    if not decim_only else
+                    f"{args.test} /{1 << log2} input throughput per chip"
+                ),
                 "value": round(msps, 1),
                 "unit": "MS/s",
                 "vs_baseline": round(vs, 2),
