@@ -139,6 +139,18 @@ TMC_EVENTS = {
 }
 
 
+#: RadioText+ content types (subset of the RT+ spec's 64; raw id always kept)
+RTPLUS_CONTENT = {
+    1: "item.title", 4: "item.artist", 6: "item.band", 10: "item.comment",
+    11: "item.composer", 31: "info.news", 39: "info.weather",
+    12: "info.date_time", 57: "stationname.long",
+}
+
+#: ODA application ids (rdsparser's known AIDs)
+AID_RTPLUS = 0x4BD7
+AID_TMC = 0xCD46
+
+
 @dataclasses.dataclass
 class RDSStatus:
     pi: int | None = None
@@ -156,6 +168,7 @@ class RDSStatus:
     oda: dict = dataclasses.field(default_factory=dict)     # group -> AID (3A)
     eon: dict = dataclasses.field(default_factory=dict)     # other-net PI -> PS
     tmc_events: list = dataclasses.field(default_factory=list)  # 8A decodes
+    rtplus: dict = dataclasses.field(default_factory=dict)  # tag -> text (RT+)
     groups_ok: int = 0
     blocks_with_errors: int = 0
     blocks_corrected: int = 0
@@ -290,6 +303,23 @@ class RDSDecoder:
             self._af_lfmf_next = True
         # 205 = filler, 224..249 = "N AFs follow" counters, others unused
 
+    def _parse_rtplus(self, g: list[int]) -> None:
+        """RadioText+ tags (ODA AID 0x4BD7): two (content-type, start,
+        length) tuples referencing substrings of the current RadioText."""
+        st = self.status
+        ct1 = ((g[1] & 0x7) << 3) | (g[2] >> 13)
+        start1 = (g[2] >> 7) & 0x3F
+        len1 = (g[2] >> 1) & 0x3F
+        ct2 = ((g[2] & 1) << 5) | (g[3] >> 11)
+        start2 = (g[3] >> 5) & 0x3F
+        len2 = g[3] & 0x1F
+        for ct, s0, ln in ((ct1, start1, len1), (ct2, start2, len2)):
+            if ct == 0:
+                continue
+            text = st.radiotext[s0 : s0 + ln + 1].rstrip()
+            if text:
+                st.rtplus[RTPLUS_CONTENT.get(ct, f"type{ct}")] = text
+
     def parse_group(self, g: list[int]) -> None:
         st = self.status
         st.pi = g[0]
@@ -297,6 +327,9 @@ class RDSDecoder:
         version_b = (g[1] >> 11) & 1
         st.tp = bool((g[1] >> 10) & 1)
         st.pty = (g[1] >> 5) & 0x1F
+        gkey = f"{gtype}{'B' if version_b else 'A'}"
+        if st.oda.get(gkey) == AID_RTPLUS:
+            return self._parse_rtplus(g)
         if gtype == 0:
             st.ta = bool((g[1] >> 4) & 1)
             st.music = bool((g[1] >> 3) & 1)

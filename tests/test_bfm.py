@@ -276,3 +276,30 @@ def test_pilot_pll_vs_analytic_pilot_parity():
     xerr = a - b
     xsnr = 10 * np.log10(np.mean(ref**2) / max(np.mean(xerr**2), 1e-30))
     assert xsnr > 20.0, xsnr
+
+
+def test_rds_radiotext_plus():
+    """RT+ (ODA AID 0x4BD7): tags extract artist/title substrings of the
+    RadioText once the 3A announcement binds the carrier group."""
+    dec = rds.RDSDecoder()
+    # RadioText: "Now: Queen - Bohemian Rhapsody" via 2A segments
+    rt = "Now: Queen - Bohemian Rhapsody".ljust(64)
+    for seg in range(16):
+        chars = rt[4 * seg : 4 * seg + 4]
+        dec.parse_group([0x1234, (2 << 12) | seg,
+                         (ord(chars[0]) << 8) | ord(chars[1]),
+                         (ord(chars[2]) << 8) | ord(chars[3])])
+    assert dec.status.radiotext.startswith("Now: Queen")
+    # 3A: announce RT+ on group 11A
+    dec.parse_group([0x1234, (3 << 12) | (11 << 1), 0, rds.AID_RTPLUS])
+    assert dec.status.oda["11A"] == rds.AID_RTPLUS
+    # 11A RT+: tag1 = artist (ct 4) at "Queen" (start 5, len 4);
+    # tag2 = title (ct 1) at "Bohemian Rhapsody" (start 13, len 16)
+    ct1, s1, l1 = 4, 5, 4
+    ct2, s2, l2 = 1, 13, 16
+    b2 = (ct1 >> 3) & 0x7
+    b3 = ((ct1 & 0x7) << 13) | (s1 << 7) | (l1 << 1) | (ct2 >> 5)
+    b4 = ((ct2 & 0x1F) << 11) | (s2 << 5) | l2
+    dec.parse_group([0x1234, (11 << 12) | b2, b3, b4])
+    assert dec.status.rtplus["item.artist"] == "Queen"
+    assert dec.status.rtplus["item.title"] == "Bohemian Rhapsody"
