@@ -147,6 +147,12 @@ class DeviceSet:
             src.sample_rate = float(info.sample_rate)
             if info.center_frequency:
                 src.center_frequency = float(info.center_frequency)
+        input_format = "i16"
+        if src.kind == "filesource" and src.file_path:
+            # 24-bit captures (filerecord.h sampleSize=24) mmap as int32 and
+            # must keep the SDR_RX_SCALEF=2^23 scaling, not int16's 2^15
+            if sdriq.read_header(src.file_path).sample_size == 24:
+                input_format = "i24"
         device = DeviceConfig(
             sample_rate=src.sample_rate,
             center_frequency=src.center_frequency,
@@ -154,6 +160,7 @@ class DeviceSet:
             fc_pos=src.fc_pos,
             dc_correction=src.dc_correction,
             iq_correction=src.iq_correction,
+            input_format=input_format,
         )
         specs = []
         for ch in self.channels:

@@ -812,3 +812,55 @@ def test_audio_and_location_endpoints(api):
     assert body == {"latitude": 48.86, "longitude": 2.35}
     code, _ = _req(base, "/sdrangel/location", "PUT", {"latitude": 123.0})
     assert code == 400
+
+
+def test_24bit_capture_through_session(api, tmp_path):
+    """A 24-bit .sdriq capture demodulates with the correct 2^23 scaling
+    (SDR_RX_SCALEF policy, dsptypes.h:25-35) through the session."""
+    from sdrangel_tpu.io import sdriq, testsource
+
+    rate = 192000.0
+    src = testsource.TestSourceConfig(
+        sample_rate=rate, carrier_freq=20_000.0, modulation="fm",
+        tone_freq=1000.0, fm_deviation=5000.0, amplitude=0.4,
+    )
+    # exactly 3.0 s: the tone/carrier phases wrap continuously at the
+    # file-source EOF loop, so no FM clicks pollute the SNR
+    iq = testsource.generate(src, int(rate) * 3)
+    path = str(tmp_path / "cap24.sdriq")
+    sdriq.write(path, iq, sample_rate=int(rate), sample_size=24)
+    assert sdriq.read_header(path).sample_size == 24
+
+    base, _ = api
+    _req(base, "/sdrangel/devicesets", "POST")
+    _req(base, "/sdrangel/deviceset/0/device/settings", "PATCH",
+         {"kind": "filesource", "file_path": path})
+    _req(base, "/sdrangel/deviceset/0/channel", "POST",
+         {"channelType": "sdrangel.channel.nfmdemod",
+          "inputFrequencyOffset": 20_000.0, "squelch_db": -60.0})
+    _req(base, "/sdrangel/deviceset/0/device/run", "POST")
+    deadline = time.time() + 60
+    try:
+        while time.time() < deadline:
+            _, rep = _req(base, "/sdrangel/deviceset/0/channel/0/report")
+            if rep.get("audioSamples", 0) > 96000:
+                break
+            time.sleep(0.3)
+        # power must reflect the 0.4 amplitude (~-8 dB), not be 256x off
+        assert -20.0 < rep["channelPowerDB"] < 0.0, rep
+        import io as _io
+        import urllib.request as _rq
+        import wave as _wave
+
+        with _rq.urlopen(base + "/sdrangel/deviceset/0/channel/0/audio") as r:
+            buf = _io.BytesIO(r.read())
+        with _wave.open(buf) as w:
+            pcm = np.frombuffer(w.readframes(w.getnframes()), np.int16) / 32768.0
+    finally:
+        _req(base, "/sdrangel/deviceset/0/device/run", "DELETE")
+    a = pcm[len(pcm) // 2 :] - pcm[len(pcm) // 2 :].mean()
+    spec = np.abs(np.fft.rfft(a * np.hanning(len(a)))) ** 2
+    freqs = np.fft.rfftfreq(len(a), 1.0 / 48000.0)
+    tone = np.abs(freqs - 1000.0) < 8 * 48000.0 / len(a)
+    snr = 10 * np.log10(spec[tone].sum() / max(spec[~tone].sum(), 1e-30))
+    assert snr > 15.0, snr
