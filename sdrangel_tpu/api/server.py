@@ -55,6 +55,12 @@ class _BadRequest(Exception):
     """Client error in the request body (mapped to HTTP 400)."""
 
 
+#: only one profiler trace may run at a time (jax.profiler is global state)
+import threading as _threading
+
+_PROFILE_LOCK = _threading.Lock()
+
+
 class ApiHandler(BaseHTTPRequestHandler):
     session: Session  # injected by make_server
 
@@ -383,11 +389,18 @@ class ApiHandler(BaseHTTPRequestHandler):
                 path = body.get("path", "/tmp/sdrangel_tpu_trace")
                 seconds = float(body.get("seconds", 2.0))
                 seconds = max(0.1, min(seconds, 30.0))
-                _jax.profiler.start_trace(path)
-                import time as _time
+                if not _PROFILE_LOCK.acquire(blocking=False):
+                    return self._error(409, "a profiler trace is already running")
+                try:
+                    _jax.profiler.start_trace(path)
+                    import time as _time
 
-                _time.sleep(seconds)
-                _jax.profiler.stop_trace()
+                    _time.sleep(seconds)
+                    _jax.profiler.stop_trace()
+                except RuntimeError as e:  # nested/unstoppable trace states
+                    return self._error(500, f"profiler: {e}")
+                finally:
+                    _PROFILE_LOCK.release()
                 return self._json(200, {"trace": path, "seconds": seconds})
             if p == "/sdrangel/preset":
                 key = body.get("groupName", "default"), body.get("name", "preset")

@@ -117,7 +117,11 @@ def resolve_rotation(soft_i: np.ndarray, soft_q: np.ndarray, n_probe_packets: in
         soft = qpsk_to_soft_bits(np.real(sr), np.imag(sr))
         bits = dvbs.viterbi_decode(soft)
         byts = np.packbits(bits)
-        score = int((byts == dvbs.SYNC_BYTE).sum() + (byts == 0xB8).sum())
+        # score on 0x47 ONLY: the rate-1/2 code is transparent to a 180°
+        # rotation (both generators have odd weight), so the inverted
+        # stream decodes to INVERTED bytes whose syncs read 0xB8 — counting
+        # 0xB8 too made the 180°-rotated candidate tie the correct one
+        score = int((byts == dvbs.SYNC_BYTE).sum())
         if score > best[2]:
             best = (ri, soft, score)
     return best[0], best[1]
@@ -136,17 +140,9 @@ def recover_ts(
     leansdr graph (plugins/channelrx/demoddatv/datvdemod.cpp); here it is a
     one-shot NumPy pass the session applies to a channel's buffered symbols.
     """
-    probe = dvbs.RS_PACKET * 8 * 2 * 6  # 6 RS codewords of soft bits
-    rot, _ = resolve_rotation(soft_i[: probe // 2], soft_q[: probe // 2])
-    s = (soft_i + 1j * soft_q) * _ROTATIONS[rot]
-    soft = qpsk_to_soft_bits(np.real(s), np.imag(s))
-    if fec_rate != "1/2":
-        soft = dvbs.depuncture(soft, fec_rate)
-    # the Forney deinterleaver's pipeline swallows ~11 packets at the tail
-    # (INTERLEAVER_DELAY bytes) — don't count them as decodable
-    n_packets = min(max_packets, len(soft) // (dvbs.RS_PACKET * 8 * 2) - 12)
-    if n_packets <= 0:
-        return b"", {"rotation": rot, "packets": 0, "rsCorrected": 0, "rsFailed": 0}
+    # probe must survive the Forney pipeline: the deinterleaver swallows
+    # INTERLEAVER_DELAY (= 2244) bytes before the first valid RS codeword
+    probe = (dvbs.INTERLEAVER_DELAY + 4 * dvbs.RS_PACKET) * 8 * 2
 
     def _chain(bits_soft, n_cw):
         bits = dvbs.viterbi_decode(bits_soft)
@@ -161,18 +157,66 @@ def recover_ts(
                 corrected += n
         return data, ok, corrected
 
-    # bit alignment: probe a short prefix, score by RS decode success
-    best_off, best_ok = 0, -1
-    for bit_off in range(0, 64, 2):
-        _, ok, _ = _chain(soft[bit_off : bit_off + probe], 3)
-        if ok > best_ok:
-            best_ok, best_off = ok, bit_off
-        if ok == 3:
+    # Joint ambiguity search: QPSK rotation (4) × puncture-pattern phase
+    # (kept-bits-per-period offsets). Viterbi-level sync counting alone
+    # aliases — punctured streams admit rotations whose decode shows sync
+    # bytes but fails RS (and the code is transparent to 180°, so 0xB8
+    # inverted syncs must not count) — so candidates are pre-ranked by
+    # 0x47 count and then VERIFIED by RS decode over the probe prefix.
+    px, py = dvbs.PUNCTURE[fec_rate]
+    kpp = sum(px) + sum(py)
+    sc = soft_i + 1j * soft_q
+    candidates = []
+    for ri, rotv in enumerate(_ROTATIONS):
+        sr = sc[: probe] * rotv
+        sb_raw = qpsk_to_soft_bits(np.real(sr), np.imag(sr))
+        for pre in range(kpp if fec_rate != "1/2" else 1):
+            sb = sb_raw[pre:]
+            if fec_rate != "1/2":
+                sb = dvbs.depuncture(sb, fec_rate)
+            byts = np.packbits(dvbs.viterbi_decode(sb[: probe]))
+            sync47 = int((byts == dvbs.SYNC_BYTE).sum())
+            candidates.append((sync47, ri, pre))
+    candidates.sort(reverse=True)
+
+    best = None  # (rs_ok, bit_off, rot, pre, soft_full)
+    for sync47, ri, pre in candidates[:6]:
+        if sync47 < 2:
             break
+        s_full = sc * _ROTATIONS[ri]
+        soft_full = qpsk_to_soft_bits(np.real(s_full), np.imag(s_full))[pre:]
+        if fec_rate != "1/2":
+            soft_full = dvbs.depuncture(soft_full, fec_rate)
+        for bit_off in range(0, 64, 2):
+            _, ok, _ = _chain(soft_full[bit_off : bit_off + probe], 3)
+            if best is None or ok > best[0]:
+                best = (ok, bit_off, ri, pre, soft_full)
+            if ok == 3:
+                break
+        if best and best[0] == 3:
+            break
+    if best is None:
+        return b"", {"rotation": 0, "packets": 0, "rsCorrected": 0, "rsFailed": 0}
+    _, best_off, rot, _pre, soft = best
+
+    # the Forney deinterleaver's pipeline swallows ~11 packets at the tail
+    # (INTERLEAVER_DELAY bytes) — don't count them as decodable
+    n_packets = min(max_packets, len(soft) // (dvbs.RS_PACKET * 8 * 2) - 12)
+    if n_packets <= 0:
+        return b"", {"rotation": rot, "packets": 0, "rsCorrected": 0, "rsFailed": 0}
     data, ok, corrected = _chain(soft[best_off:], n_packets)
     if not data:
         return b"", {"rotation": rot, "packets": 0, "rsCorrected": 0, "rsFailed": 0}
-    recovered = dvbs.fix_sync(dvbs.descramble(np.concatenate(data)))
-    stats = {"rotation": rot, "packets": len(data), "rsCorrected": corrected,
-             "rsFailed": len(data) - ok}
+    pk = np.concatenate(data).reshape(-1, dvbs.TS_PACKET)
+    # scrambler-group realignment: the energy-dispersal PRBS resets every 8
+    # packets with the group head's sync byte inverted to 0xB8 — locate it
+    # so windows that do not start at the stream head still descramble
+    # correctly (decodes of buffered segments / future mid-stream joins)
+    heads = np.nonzero(pk[:8, 0] == 0xB8)[0] if len(pk) >= 8 else []
+    i0 = int(heads[0]) if len(heads) else 0
+    dropped = i0
+    recovered = dvbs.fix_sync(dvbs.descramble(pk[i0:].reshape(-1)))
+    stats = {"rotation": rot, "packets": len(pk) - dropped,
+             "rsCorrected": corrected, "rsFailed": len(data) - ok,
+             "headDropped": dropped}
     return recovered.tobytes(), stats

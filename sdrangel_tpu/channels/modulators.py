@@ -253,11 +253,12 @@ class ATVModConfig:
 
 
 class ATVModState(NamedTuple):
-    phase: jnp.ndarray  # (...,) FM integrator / carrier phase
+    phase: jnp.ndarray  # (...,) FM integrator phase
+    off_nco: nco.NCOState  # carried offset-carrier phase (block-seam safe)
 
 
 def make_atv_state(cfg: ATVModConfig, batch_shape=()) -> ATVModState:
-    return ATVModState(jnp.zeros(batch_shape, jnp.float32))
+    return ATVModState(jnp.zeros(batch_shape, jnp.float32), nco.make_nco(batch_shape))
 
 
 def atv_composite(cfg: ATVModConfig, frame: jnp.ndarray) -> jnp.ndarray:
@@ -302,11 +303,11 @@ def atv_modulate(
         phase = state.phase[..., None] + jnp.cumsum(dphi, axis=-1)
         y = cfg.amplitude * jnp.exp(1j * phase.astype(jnp.complex64))
         new_phase = jnp.mod(phase[..., -1], 2.0 * np.pi).astype(jnp.float32)
+    off_state = state.off_nco
     if cfg.input_offset:
-        n = jnp.arange(video.shape[-1])
-        rot = jnp.exp(
-            1j * (2.0 * np.pi * cfg.input_offset / cfg.channel_rate)
-            * n.astype(jnp.complex64)
-        )
-        y = y * rot
-    return ATVModState(new_phase), y
+        # carried NCO phase — a per-block arange restarts at 0 each block,
+        # jumping the carrier phase at every seam (the other modulators all
+        # carry nco state for the same reason)
+        inc = jnp.asarray(nco.freq_to_increment(cfg.input_offset, cfg.channel_rate))
+        off_state, y = nco.mix_block(state.off_nco, y, inc)
+    return ATVModState(new_phase, off_state), y

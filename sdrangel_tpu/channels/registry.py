@@ -23,8 +23,9 @@ class ChannelKind:
     process: Callable[..., Any]
     direction: str = "rx"
     needs_fft_hop: bool = False  # demod uses fftfilt -> block must divide its hop
-    block_factor: Callable[[float], int] | None = None  # extra divisibility
-    # requirement of the channel-rate block (beyond the generic audio ratio)
+    block_factor: Callable[[float, dict], int] | None = None  # extra
+    # divisibility requirement of the channel-rate block, given the
+    # channel rate AND the user's settings (beyond the generic audio ratio)
     output: str = "audio"  # "audio" (48 kHz demod) | "data" (symbols/video/iq)
     needs_audio_ratio: bool = True  # block must make the 48 kHz ratio integral
     adapter: Callable[[Any], dict] | None = None  # data kinds: Outputs
@@ -96,6 +97,10 @@ def requested_rate(uri: str, settings: dict) -> float:
         return 2.0 * float(settings.get("bandwidth", 125_000.0))
     if uri == "sdrangel.channel.chanalyzer":
         return max(48_000.0, 2.5 * float(settings.get("bandwidth", 5000.0)))
+    if uri == "sdrangel.channel.bfm":
+        # the full MPX (pilot/stereo/RDS up to 57 kHz + FM deviation) must
+        # survive channelization (bfmdemod.cpp rfBandwidth default 180k)
+        return float(settings.get("rf_bandwidth", 180_000.0))
     return 48_000.0
 
 
@@ -128,7 +133,7 @@ def _bfm_process_engine(state, x, cfg, offset_hz=None):
     return state, outs.audio
 
 
-def _bfm_block_factor(channel_rate: float) -> int:
+def _bfm_block_factor(channel_rate: float, settings: dict) -> int:
     """BFM's internal resamplers need the block divisible by the mono AND
     RDS (9500 Hz) rational numerators (demod_bfm.BFMConfig.mono_plan)."""
     import math
@@ -183,13 +188,17 @@ def _datv_adapter(outs) -> dict:
     return {"soft_i": outs.soft_i, "soft_q": outs.soft_q}
 
 
-def _lora_block_factor(channel_rate: float) -> int:
+def _lora_block_factor(channel_rate: float, settings: dict) -> int:
     from . import demod_lora
 
-    return demod_lora.LoRaConfig(channel_rate=channel_rate).block_factor()
+    return demod_lora.LoRaConfig(
+        channel_rate=channel_rate,
+        bandwidth=float(settings.get("bandwidth", 125_000.0)),
+        spread_factor=int(settings.get("spread_factor", 7)),
+    ).block_factor()
 
 
-def _dsd_block_factor(channel_rate: float) -> int:
+def _dsd_block_factor(channel_rate: float, settings: dict) -> int:
     # audio-rate stream must split into whole symbols (sps = 48000/4800)
     import math
     from fractions import Fraction
@@ -200,17 +209,24 @@ def _dsd_block_factor(channel_rate: float) -> int:
     return 10 * p // math.gcd(frac.denominator, 10)
 
 
-def _atv_block_factor(channel_rate: float) -> int:
+def _atv_block_factor(channel_rate: float, settings: dict) -> int:
     # whole lines per block keep the line grid block-aligned (PAL 15625 Hz)
     from . import demod_atv
 
-    return demod_atv.ATVConfig(channel_rate=channel_rate).samples_per_line
+    return demod_atv.ATVConfig(
+        channel_rate=channel_rate,
+        lines=int(settings.get("lines", 625)),
+        fps=float(settings.get("fps", 25.0)),
+    ).samples_per_line
 
 
-def _datv_block_factor(channel_rate: float) -> int:
+def _datv_block_factor(channel_rate: float, settings: dict) -> int:
     from . import demod_datv
 
-    return demod_datv.DATVConfig(channel_rate=channel_rate).sps
+    return demod_datv.DATVConfig(
+        channel_rate=channel_rate,
+        symbol_rate=float(settings.get("symbol_rate", 250_000.0)),
+    ).sps
 
 
 def _register_data_kinds() -> None:

@@ -143,24 +143,38 @@ class TsDemux:
     def _section(self, pid: int, payload: bytes, pusi: bool) -> None:
         if pusi:
             ptr = payload[0]
+            if pid in self._section_buf and ptr:
+                # the bytes before the pointer complete the previous section
+                self._section_buf[pid] += payload[1 : 1 + ptr]
+                self._drain_sections(pid)
             self._section_buf[pid] = bytearray(payload[1 + ptr :])
         elif pid in self._section_buf:
             self._section_buf[pid] += payload
+        self._drain_sections(pid)
+
+    def _drain_sections(self, pid: int) -> None:
+        """Parse every complete section in the pid's buffer (several short
+        sections may share one packet; 0xFF is stuffing)."""
         buf = self._section_buf.get(pid)
-        if not buf:
-            return
-        if len(buf) < 3:
-            return
-        section_len = ((buf[1] & 0x0F) << 8) | buf[2]
-        total = 3 + section_len
-        if len(buf) < total:
-            return
-        sec = bytes(buf[:total])
-        del self._section_buf[pid]
-        if pid == 0:
-            self._parse_pat(sec)
-        else:
-            self._parse_pmt(self._pmt_pids[pid], sec)
+        while buf:
+            if buf[0] == 0xFF:  # stuffing: nothing further in this unit
+                del self._section_buf[pid]
+                return
+            if len(buf) < 3:
+                return
+            section_len = ((buf[1] & 0x0F) << 8) | buf[2]
+            total = 3 + section_len
+            if len(buf) < total:
+                return
+            sec = bytes(buf[:total])
+            del buf[:total]
+            if not buf:
+                del self._section_buf[pid]
+                buf = None
+            if pid == 0:
+                self._parse_pat(sec)
+            else:
+                self._parse_pmt(self._pmt_pids[pid], sec)
 
     def _parse_pat(self, sec: bytes) -> None:
         if sec[0] != 0x00:

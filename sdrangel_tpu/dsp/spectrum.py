@@ -109,24 +109,26 @@ def power_spectrum(
 
 
 def histogram_decay(
-    hist: jnp.ndarray,
-    spectrum_db: jnp.ndarray,
+    hist: np.ndarray,
+    spectrum_db: np.ndarray,
     lo_db: float = -100.0,
     hi_db: float = 0.0,
     decay: int = 1,
     stroke: int = 30,
-) -> jnp.ndarray:
+) -> np.ndarray:
     """GLSpectrum histogram semantics, headless (sdrgui/gui/glspectrum.h:
     135-174 m_histogram update): hist is (n_bins_power, fft_size) uint8
     intensity; each new spectrum strokes the cell its dB value falls into
-    and every cell decays toward zero. Vectorized: one scatter-add via
-    one-hot compare per column (fft_size × n_bins is display-sized)."""
+    and every cell decays toward zero; below-floor bins don't stroke.
+    Host-side NumPy — it runs per display update on display-sized data (the
+    session's engine thread calls it once per block)."""
     n_bins = hist.shape[0]
-    idx = (spectrum_db - lo_db) * (n_bins / (hi_db - lo_db))
-    in_range = spectrum_db >= lo_db  # below-floor bins don't stroke
-    idx = jnp.clip(idx.astype(jnp.int32), 0, n_bins - 1)
-    one_hot = (
-        (jnp.arange(n_bins)[:, None] == idx[None, :]) & in_range[None, :]
-    ).astype(jnp.int32)
-    h = hist.astype(jnp.int32) - decay + one_hot * stroke
-    return jnp.clip(h, 0, 255).astype(jnp.uint8)
+    in_range = spectrum_db >= lo_db
+    idx = np.clip(
+        ((spectrum_db - lo_db) * (n_bins / (hi_db - lo_db))).astype(np.int32),
+        0, n_bins - 1,
+    )
+    h = hist.astype(np.int32) - decay
+    cols = np.arange(len(idx))[in_range]
+    h[idx[in_range], cols] += stroke
+    return np.clip(h, 0, 255).astype(np.uint8)

@@ -125,7 +125,9 @@ class RxPipeline:
                     audio_need = p * hop // math.gcd(frac.denominator, hop)
                     need = math.lcm(need, audio_need << k)
             if kind.block_factor is not None:
-                need = math.lcm(need, kind.block_factor(plan.channel_rate) << k)
+                need = math.lcm(
+                    need, kind.block_factor(plan.channel_rate, spec.settings) << k
+                )
         block = need
         target = requested or (1 << 17)
         while block < target:

@@ -140,18 +140,16 @@ class DeviceSet:
 
     def _build_pipeline(self) -> tuple[RxPipeline, Any]:
         src = self.source
+        input_format = "i16"
         if src.kind == "filesource" and src.file_path:
-            # the capture header is authoritative for rate/centre (the
+            # the capture header is authoritative for rate/centre/width (the
             # reference reads it in filesourcethread.cpp and reconfigures)
             info = sdriq.read_header(src.file_path)
             src.sample_rate = float(info.sample_rate)
             if info.center_frequency:
                 src.center_frequency = float(info.center_frequency)
-        input_format = "i16"
-        if src.kind == "filesource" and src.file_path:
-            # 24-bit captures (filerecord.h sampleSize=24) mmap as int32 and
-            # must keep the SDR_RX_SCALEF=2^23 scaling, not int16's 2^15
-            if sdriq.read_header(src.file_path).sample_size == 24:
+            if info.sample_size == 24:
+                # 24-bit mmaps as int32: keep SDR_RX_SCALEF=2^23, not 2^15
                 input_format = "i24"
         device = DeviceConfig(
             sample_rate=src.sample_rate,
@@ -221,7 +219,9 @@ class DeviceSet:
 
                 for i, ch in enumerate(self.channels):
                     path = ch.settings.get("audioFile")
-                    if path:
+                    # data channels (chanalyzer/LoRa/...) produce no audio —
+                    # opening a writer would leave an empty WAV silently
+                    if path and REGISTRY[ch.uri].output == "audio":
                         w = _wave.open(path, "wb")
                         w.setnchannels(1)
                         w.setsampwidth(2)
@@ -259,12 +259,9 @@ class DeviceSet:
                     del self.waterfall[: -self.waterfall_keep]
                     if self.histogram is None:
                         self.histogram = np.zeros((100, len(self.spectrum)), np.uint8)
-                    in_range = self.spectrum >= -100.0  # below-floor bins don't stroke
-                    idx = np.clip((self.spectrum + 100.0).astype(np.int32), 0, 99)
-                    h = self.histogram.astype(np.int32) - 1  # decay
-                    cols = np.arange(len(idx))[in_range]
-                    h[idx[in_range], cols] += 30  # stroke
-                    self.histogram = np.clip(h, 0, 255).astype(np.uint8)
+                    from ..dsp.spectrum import histogram_decay
+
+                    self.histogram = histogram_decay(self.histogram, self.spectrum)
                     for i, out in enumerate(outs["channels"]):
                         power = float(out["power"])
                         ch = self.channels[i]
@@ -348,12 +345,8 @@ class DeviceSet:
         acc[0].append(ch.latest_data["soft_i"].reshape(-1))
         acc[1].append(ch.latest_data["soft_q"].reshape(-1))
         total_bits = 2 * sum(a.shape[-1] for a in acc[0])
-        cap = 8 * self._DATV_DECODE_BITS  # bounds the re-decode cost
-        if total_bits >= cap:
-            if getattr(ch, "_datv_final", False):
-                return
-            ch._datv_final = True  # one last pass over the capped buffer
-        else:
+        cap = 8 * self._DATV_DECODE_BITS  # bounds each window's decode cost
+        if total_bits < cap:
             need = self._DATV_DECODE_BITS * (
                 1 + getattr(ch, "_datv_rounds", 0) if continuous else 1
             )
@@ -368,14 +361,20 @@ class DeviceSet:
             np.concatenate(acc[0]), np.concatenate(acc[1]),
             fec_rate=cfg_rate, max_packets=2048,
         )
-        # the decode always restarts at the stream head (kept in the buffer)
-        # so scrambler-group alignment holds; the demux re-parses from scratch
+        # each window is decoded self-contained (per-window rotation/bit
+        # alignment; scrambler groups re-found from the inverted sync byte,
+        # recover_ts "headDropped"), so the demux re-parses from scratch
         demux = tsdemux.TsDemux()
         demux.feed(ts)
         ch.host_report = {"datv": {**stats, "rounds": ch._datv_rounds,
                                    "ts": demux.summary()}}
         if not continuous:
-            ch._datv_acc = None
+            ch._datv_acc = None  # one-shot: free the buffer, keep the report
+        elif total_bits >= cap:
+            # continuous: start the next window fresh — bounded memory,
+            # decodes keep updating (the previous "final pass" froze both)
+            ch._datv_acc = ([], [])
+            ch._datv_rounds = 0
 
 
 @dataclasses.dataclass

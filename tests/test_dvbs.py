@@ -95,3 +95,32 @@ def test_punctured_viterbi(rate):
     decoded = dvbs.viterbi_decode(soft)
     n = min(len(decoded), len(bits)) - 8  # tail truncation from puncture period
     assert (decoded[:n] == bits[:n]).mean() > 0.999
+
+
+def test_recover_ts_rates_and_rotations():
+    """recover_ts resolves the joint (QPSK rotation x puncture phase x bit
+    alignment) ambiguity at every DVB-S FEC rate — verified by RS, because
+    sync counting alone aliases (the conv code is transparent to 180°
+    rotation, and punctured streams admit false sync-rich rotations)."""
+    from sdrangel_tpu.channels import demod_datv
+
+    rng = np.random.default_rng(0)
+    pk = rng.integers(0, 256, size=(40, dvbs.TS_PACKET), dtype=np.uint8)
+    pk[:, 0] = dvbs.SYNC_BYTE
+    for rate in ("1/2", "2/3", "7/8"):
+        chan = dvbs.encode_transport(pk.reshape(-1))
+        if rate != "1/2":
+            chan = dvbs.puncture(chan, rate)
+        sym = demod_datv.bits_to_qpsk(chan)
+        for r in (1j, -1):  # the two ambiguities that used to alias
+            s = sym * r
+            ts, stats = demod_datv.recover_ts(
+                np.real(s).astype(np.float32), np.imag(s).astype(np.float32),
+                fec_rate=rate)
+            got = np.frombuffer(ts, np.uint8).reshape(-1, dvbs.TS_PACKET)
+            assert stats["rsFailed"] == 0, (rate, r, stats)
+            match = sum(
+                any(np.array_equal(g[1:], pk[j, 1:]) for j in range(len(pk)))
+                for g in got
+            )
+            assert match == len(got) > 10, (rate, r, match, len(got))

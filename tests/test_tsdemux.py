@@ -75,3 +75,33 @@ def test_demux_after_dvbs_fec_chain():
     assert d.programs[1].streams == {0x200: 0x02, 0x201: 0x04}
     assert d.drain_pes(0x200) == video
     assert d.drain_pes(0x201) == audio
+
+
+def test_section_spanning_with_pointer():
+    """A long PMT whose tail shares a packet with the next section via the
+    pointer field: both sections parse (the pre-pointer bytes complete the
+    spanning section instead of being discarded)."""
+    pat = tsdemux.make_pat({9: 0x150})
+    # PMT with 36 streams -> section > 184 bytes, spans two TS packets
+    streams = {0x300 + i: 0x1B for i in range(36)}
+    pmt = tsdemux.make_pmt(9, 0x300, streams)
+    assert len(pmt) > 184
+
+    pkts = tsdemux._section_packetize(0, pat, 0)
+    # hand-pack the PMT: packet 1 = PUSI ptr 0 + first 184 bytes (incl. the
+    # pointer byte); packet 2 = PUSI with ptr = remaining PMT bytes, then a
+    # REPEAT of the PMT section starting right after (shared packet)
+    first = pmt[:183]
+    rest = pmt[183:]
+    p1 = bytes([tsdemux.SYNC, 0x40 | (0x150 >> 8), 0x150 & 0xFF, 0x10]) + b"\x00" + first
+    assert len(p1) == 188
+    after = rest + pmt  # finish section 1, then section 2 (repeat) begins
+    body = after[: 188 - 5]
+    p2 = (bytes([tsdemux.SYNC, 0x40 | (0x150 >> 8), 0x150 & 0xFF, 0x11])
+          + bytes([len(rest)]) + body)
+    p2 = p2 + b"\xff" * (188 - len(p2))
+    d = tsdemux.TsDemux()
+    d.feed(b"".join(pkts) + p1 + p2)
+    info = d.programs[9]
+    assert len(info.streams) == 36, len(info.streams)
+    assert info.pcr_pid == 0x300
