@@ -67,6 +67,7 @@ class RxPipeline:
         device: DeviceConfig,
         channels: list[ChannelSpec],
         block_size: int | None = None,
+        spectrum_cfg: "dsp_spectrum.SpectrumConfig | None" = None,
     ):
         self.device = device
         self.channel_specs = channels
@@ -96,8 +97,9 @@ class RxPipeline:
             cfg = kind.config_cls(**kwargs)
             self.demod_cfgs.append(cfg)
 
-        # device-level spectrum tap (the SpectrumVis direct-sink role)
-        self.spectrum_cfg = dsp_spectrum.SpectrumConfig(
+        # device-level spectrum tap (the SpectrumVis direct-sink role);
+        # configurable like SpectrumVis's fft size / averaging mode
+        self.spectrum_cfg = spectrum_cfg or dsp_spectrum.SpectrumConfig(
             fft_size=1024, averaging_mode="moving", averaging_n=8
         )
         self._step = jax.jit(self._step_impl)

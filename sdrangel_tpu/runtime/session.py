@@ -62,6 +62,10 @@ class SourceSettings:
     carrier_freq: float = 0.0
     tone_freq: float = 1000.0
     amplitude: float = 0.5
+    # spectrum display tap (SpectrumVis config: spectrumvis.cpp:77-200)
+    spectrum_fft_size: int = 1024
+    spectrum_averaging: str = "moving"  # none | moving | fixed
+    spectrum_averaging_n: int = 8
 
 
 class DeviceSet:
@@ -169,7 +173,16 @@ class DeviceSet:
                 ch.uri, ch.frequency_offset, st,
                 requested_rate=registry.requested_rate(ch.uri, st),
             ))
-        pipe = RxPipeline(device, specs, block_size=1 << 16)
+        from ..dsp import spectrum as dsp_spectrum
+
+        pipe = RxPipeline(
+            device, specs, block_size=1 << 16,
+            spectrum_cfg=dsp_spectrum.SpectrumConfig(
+                fft_size=int(src.spectrum_fft_size),
+                averaging_mode=src.spectrum_averaging,
+                averaging_n=int(src.spectrum_averaging_n),
+            ),
+        )
         if src.kind == "daemonsource":
             from ..io.daemon import DaemonReceiver
 
@@ -257,8 +270,11 @@ class DeviceSet:
                     self.scope = np.asarray(outs["scope"])
                     self.waterfall.append(self.spectrum)
                     del self.waterfall[: -self.waterfall_keep]
-                    if self.histogram is None:
+                    if (self.histogram is None
+                            or self.histogram.shape[1] != len(self.spectrum)):
+                        # (re)size with the spectrum tap's fft size
                         self.histogram = np.zeros((100, len(self.spectrum)), np.uint8)
+                        self.waterfall.clear()
                     from ..dsp.spectrum import histogram_decay
 
                     self.histogram = histogram_decay(self.histogram, self.spectrum)

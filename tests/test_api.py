@@ -864,3 +864,33 @@ def test_24bit_capture_through_session(api, tmp_path):
     tone = np.abs(freqs - 1000.0) < 8 * 48000.0 / len(a)
     snr = 10 * np.log10(spec[tone].sum() / max(spec[~tone].sum(), 1e-30))
     assert snr > 15.0, snr
+
+
+def test_spectrum_settings(api):
+    """Device settings control the spectrum tap's FFT size and averaging
+    (the SpectrumVis config surface)."""
+    base, _ = api
+    _req(base, "/sdrangel/devicesets", "POST")
+    code, body = _req(base, "/sdrangel/deviceset/0/device/settings", "PATCH",
+                      {"kind": "testsource", "sample_rate": 192000.0,
+                       "modulation": "none", "carrier_freq": 24000.0,
+                       "spectrum_fft_size": 512, "spectrum_averaging": "none"})
+    assert code == 200 and body["spectrum_fft_size"] == 512
+    _req(base, "/sdrangel/deviceset/0/channel", "POST",
+         {"channelType": "sdrangel.channel.nfmdemod",
+          "inputFrequencyOffset": 24000.0})
+    _req(base, "/sdrangel/deviceset/0/device/run", "POST")
+    spec = None
+    deadline = time.time() + 60
+    try:
+        while time.time() < deadline:
+            code, spec = _req(base, "/sdrangel/deviceset/0/spectrum")
+            if code == 200:
+                break
+            time.sleep(0.3)
+    finally:
+        _req(base, "/sdrangel/deviceset/0/device/run", "DELETE")
+    assert spec and spec["fftSize"] == 512
+    arr = np.asarray(spec["spectrum"])
+    peak = int(np.argmax(arr))
+    assert abs(peak - (256 + 64)) <= 2  # +24 kHz of 192 kHz in 512 bins
