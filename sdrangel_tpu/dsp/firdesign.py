@@ -72,18 +72,16 @@ def fir_apply(
 ) -> tuple[FirState, jnp.ndarray]:
     """Stride-1 FIR over a real or complex block with carried tail.
 
-    Long filters (≥64 taps) over non-power-of-two blocks run as FFT fast
-    convolution: XLA's direct TPU conv at those lengths compiles
-    pathologically (a 301-tap conv over 6144 samples measured 410 s of
-    compile vs seconds for the identical FFT form). Power-of-two blocks
-    keep the direct conv — it compiles fine there and benches faster at
-    the bank's 2^17-sample audio blocks.
+    Long filters (≥64 taps) run as FFT fast convolution: XLA's direct TPU
+    conv compiles pathologically for long kernels — 410 s for 301 taps over
+    6144 samples, and >15 min over 2^17 samples (power-of-two doesn't save
+    it; an earlier pow2 exemption was based on a bench delta that turned
+    out to be tunnel noise — FFT and direct measured equal at runtime).
     """
     ext = jnp.concatenate([state.tail, x], axis=-1)
     is_complex = jnp.iscomplexobj(x)
     l_taps = taps.shape[-1]
-    pow2_block = x.shape[-1] & (x.shape[-1] - 1) == 0
-    if l_taps >= 64 and not pow2_block:
+    if l_taps >= 64:
         n_fft = 1 << int(np.ceil(np.log2(ext.shape[-1] + l_taps - 1)))
         # valid correlation == linear convolution with reversed taps,
         # sliced at the L-1 offset
