@@ -437,11 +437,12 @@ class ApiHandler(BaseHTTPRequestHandler):
         try:
             body = self._body()
             if m := _DEVICE_SETTINGS.match(p):
+                # typed validation/coercion — wrong types are a 400 here
+                # instead of a deferred engine-thread error (the reference's
+                # SWG DTOs reject malformed settings at parse time)
                 ds = s.device_sets[int(m.group(1))]
+                ds.update_source(body)
                 target = ds.sink if ds.direction == "tx" else ds.source
-                for k, v in body.items():
-                    if hasattr(target, k):
-                        setattr(target, k, v)
                 return self._json(200, dataclasses.asdict(target))
             if m := _CHANNEL_SETTINGS.match(p):
                 ds = s.device_sets[int(m.group(1))]

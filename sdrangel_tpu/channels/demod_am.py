@@ -80,15 +80,19 @@ def make_state(cfg: AMConfig, batch_shape=()) -> AMState:
     )
 
 
-def process(state: AMState, x: jnp.ndarray, cfg: AMConfig) -> tuple[AMState, jnp.ndarray]:
+def process(state: AMState, x: jnp.ndarray, cfg: AMConfig, offset_hz=None,
+            squelch_db=None, volume=None) -> tuple[AMState, jnp.ndarray]:
     plan = cfg.resampler_plan
-    inc = nco.freq_to_increment(-cfg.input_offset, cfg.channel_rate)
-    nco_state, xm = nco.mix_block(state.nco, x, jnp.asarray(inc))
+    if offset_hz is None:
+        inc = jnp.asarray(nco.freq_to_increment(-cfg.input_offset, cfg.channel_rate))
+    else:  # traced live-retune override (applySettings-on-running semantics)
+        inc = nco.freq_to_increment_traced(-offset_hz, cfg.channel_rate)
+    nco_state, xm = nco.mix_block(state.nco, x, inc)
     resamp_state, ci = resampler.resample_block(state.resamp, xm, plan)
 
     magsq = (jnp.real(ci) ** 2 + jnp.imag(ci) ** 2).astype(jnp.float32)
     mavg_state, avg = movingavg.moving_average(state.mavg, magsq)
-    level = 10.0 ** (cfg.squelch_db / 10.0)
+    level = 10.0 ** ((cfg.squelch_db if squelch_db is None else squelch_db) / 10.0)
     open_cond = avg >= level
 
     pll_state, fft_state, agc_state = state.pll, state.fft, state.agc
@@ -119,10 +123,15 @@ def process(state: AMState, x: jnp.ndarray, cfg: AMConfig) -> tuple[AMState, jnp
         bp_state = state.bandpass
         audio = gated - jnp.mean(gated, axis=-1, keepdims=True)
 
-    audio = audio * (0.0 if cfg.audio_mute else cfg.volume)
+    vol = cfg.volume if volume is None else volume
+    audio = audio * (0.0 if cfg.audio_mute else vol)
     new_state = AMState(
         nco=nco_state, resamp=resamp_state, mavg=mavg_state,
         squelch=squelch_state, bandpass=bp_state,
         pll=pll_state, fft=fft_state, agc=agc_state,
     )
     return new_state, audio.astype(jnp.float32)
+
+
+def meters(state: AMState, cfg: AMConfig, dyn: dict) -> dict:
+    return {"squelch": state.squelch.count > _SQUELCH_GATE}

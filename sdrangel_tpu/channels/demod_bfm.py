@@ -166,13 +166,17 @@ class BFMOutputs(NamedTuple):
     pilot_level: jnp.ndarray  # (...,) mean pilot magnitude (lock indicator)
 
 
-def process(state: BFMState, x: jnp.ndarray, cfg: BFMConfig) -> tuple[BFMState, BFMOutputs]:
-    inc = jnp.asarray(nco.freq_to_increment(-cfg.input_offset, cfg.channel_rate))
+def process(state: BFMState, x: jnp.ndarray, cfg: BFMConfig, offset_hz=None,
+            squelch_db=None, volume=None) -> tuple[BFMState, BFMOutputs]:
+    if offset_hz is None:
+        inc = jnp.asarray(nco.freq_to_increment(-cfg.input_offset, cfg.channel_rate))
+    else:  # traced live-retune override (applySettings-on-running semantics)
+        inc = nco.freq_to_increment_traced(-offset_hz, cfg.channel_rate)
     nco_state, xm = nco.mix_block(state.nco, x, inc)
     fft_state, rf = fftfilt.run_filt(state.fft, xm, jnp.asarray(cfg.rf_filter))
 
     magsq = (jnp.real(rf) ** 2 + jnp.imag(rf) ** 2).astype(jnp.float32)
-    level = 10.0 ** (cfg.squelch_db / 10.0)
+    level = 10.0 ** ((cfg.squelch_db if squelch_db is None else squelch_db) / 10.0)
     attack = cfg.rf_bandwidth / 10.0  # bfmdemod.cpp:148 squelch attack
     deltas = jnp.where(magsq >= level, 1.0, -1.0)
     counts = saturating_counter(deltas, 0.0, attack, state.squelch_count)
@@ -218,7 +222,9 @@ def process(state: BFMState, x: jnp.ndarray, cfg: BFMConfig) -> tuple[BFMState, 
         left = right = mono
     dl_state, left = iir.rc_lowpass(state.deemph_l, left, tau)
     dr_state, right = iir.rc_lowpass(state.deemph_r, right, tau)
-    audio = jnp.stack([left, right], axis=-1) * cfg.volume
+    audio = jnp.stack([left, right], axis=-1) * (
+        cfg.volume if volume is None else volume
+    )
 
     # RDS baseband: coherent 57 kHz downmix, ±2.4 kHz lowpass, decimate to
     # 8 samples/symbol
@@ -240,3 +246,7 @@ def process(state: BFMState, x: jnp.ndarray, cfg: BFMConfig) -> tuple[BFMState, 
     return new_state, BFMOutputs(
         audio.astype(jnp.float32), rds_out, pilot_level.astype(jnp.float32)
     )
+
+
+def meters(state: BFMState, cfg: BFMConfig, dyn: dict) -> dict:
+    return {"squelch": state.squelch_count > cfg.rf_bandwidth / 20.0}

@@ -107,14 +107,19 @@ def _ctcss_lowpass_taps(audio_rate: float) -> np.ndarray:
 
 
 def process(
-    state: NFMState, x: jnp.ndarray, cfg: NFMConfig, offset_hz=None
+    state: NFMState, x: jnp.ndarray, cfg: NFMConfig, offset_hz=None,
+    squelch_db=None, volume=None,
 ) -> tuple[NFMState, jnp.ndarray]:
     """(state, iq (..., block_in)) -> (state', audio (..., block_out) f32).
 
-    offset_hz: optional per-channel offset array overriding cfg.input_offset
-    (channel banks pass their offsets as data so one config serves the bank).
+    offset_hz / squelch_db / volume: optional traced overrides of the
+    matching cfg fields. The session threads live setting values through
+    these so a PATCH takes effect without recompiling (the reference's
+    applySettings-on-a-running-channel semantics, nfmdemod.cpp
+    handleMessage); channel banks pass per-channel arrays.
     """
     plan = cfg.resampler_plan
+    squelch_db = cfg.squelch_db if squelch_db is None else squelch_db
     if offset_hz is None:
         inc = jnp.asarray(nco.freq_to_increment(-cfg.input_offset, cfg.channel_rate))
     else:
@@ -137,7 +142,7 @@ def process(
             state.af_squelch,
             frames,
             cfg.audio_rate,
-            threshold=10.0 ** (cfg.squelch_db / 10.0),
+            threshold=10.0 ** (squelch_db / 10.0),
             samples_attack=2,
             samples_decay=4,
         )
@@ -150,7 +155,7 @@ def process(
             )
     else:
         af_state = state.af_squelch
-        level = 10.0 ** (cfg.squelch_db / 10.0)
+        level = 10.0 ** (squelch_db / 10.0)
         open_cond = avg_magsq >= level
 
     squelch_state, gated, is_open = squelch.gate_block(
@@ -174,7 +179,8 @@ def process(
     bp_state, audio = firdesign.fir_apply(
         state.bandpass, gated, jnp.asarray(cfg.bandpass_taps)
     )
-    audio = audio * (0.0 if cfg.audio_mute else cfg.volume)
+    vol = cfg.volume if volume is None else volume
+    audio = audio * (0.0 if cfg.audio_mute else vol)
 
     new_state = NFMState(
         nco=nco_state,
@@ -187,3 +193,9 @@ def process(
         ctcss_lp=lp_state,
     )
     return new_state, audio.astype(jnp.float32)
+
+
+def meters(state: NFMState, cfg: NFMConfig, dyn: dict) -> dict:
+    """Report meters from the kernel's actual gate state (nfmdemod.h:153-170
+    getSquelchOpen role) — not an amplitude proxy on the audio."""
+    return {"squelch": state.squelch.count > cfg.squelch_gate_samples}

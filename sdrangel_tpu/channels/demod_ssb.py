@@ -85,11 +85,15 @@ def make_state(cfg: SSBConfig, batch_shape=()) -> SSBState:
     )
 
 
-def process(state: SSBState, x: jnp.ndarray, cfg: SSBConfig) -> tuple[SSBState, jnp.ndarray]:
+def process(state: SSBState, x: jnp.ndarray, cfg: SSBConfig, offset_hz=None,
+            volume=None) -> tuple[SSBState, jnp.ndarray]:
     """Returns (state', audio). Mono: (..., T); binaural: (..., T, 2)."""
     plan = cfg.resampler_plan
-    inc = nco.freq_to_increment(-cfg.input_offset, cfg.channel_rate)
-    nco_state, xm = nco.mix_block(state.nco, x, jnp.asarray(inc))
+    if offset_hz is None:
+        inc = jnp.asarray(nco.freq_to_increment(-cfg.input_offset, cfg.channel_rate))
+    else:  # traced live-retune override (applySettings-on-running semantics)
+        inc = nco.freq_to_increment_traced(-offset_hz, cfg.channel_rate)
+    nco_state, xm = nco.mix_block(state.nco, x, inc)
     resamp_state, ci = resampler.resample_block(state.resamp, xm, plan)
 
     if cfg.dsb:
@@ -104,7 +108,7 @@ def process(state: SSBState, x: jnp.ndarray, cfg: SSBConfig) -> tuple[SSBState, 
     else:  # AGC off bypasses gain entirely (ssbdemod.cpp m_agcActive branch)
         agc_state, leveled = state.agc, filt
 
-    vol = 0.0 if cfg.audio_mute else cfg.volume
+    vol = 0.0 if cfg.audio_mute else (cfg.volume if volume is None else volume)
     if cfg.audio_binaural:
         l = jnp.real(leveled)
         r = jnp.imag(leveled)

@@ -73,25 +73,38 @@ def make_state(cfg: WFMConfig, batch_shape=()) -> WFMState:
     )
 
 
-def process(state: WFMState, x: jnp.ndarray, cfg: WFMConfig) -> tuple[WFMState, jnp.ndarray]:
-    inc = nco.freq_to_increment(-cfg.input_offset, cfg.channel_rate)
-    nco_state, xm = nco.mix_block(state.nco, x, jnp.asarray(inc))
+def process(state: WFMState, x: jnp.ndarray, cfg: WFMConfig, offset_hz=None,
+            squelch_db=None, volume=None) -> tuple[WFMState, jnp.ndarray]:
+    if offset_hz is None:
+        inc = jnp.asarray(nco.freq_to_increment(-cfg.input_offset, cfg.channel_rate))
+    else:  # traced live-retune override (applySettings-on-running semantics)
+        inc = nco.freq_to_increment_traced(-offset_hz, cfg.channel_rate)
+    nco_state, xm = nco.mix_block(state.nco, x, inc)
     fft_state, rf = fftfilt.run_filt(state.fft, xm, jnp.asarray(cfg.rf_filter))
 
     discri_state, demod, magsq = phasediscri.discriminator_delta(
         state.discri, rf, cfg.fm_scaling
     )
     mavg_state, avg = movingavg.moving_average(state.mavg, magsq)
-    level = 10.0 ** (cfg.squelch_db / 10.0)
+    level = 10.0 ** ((cfg.squelch_db if squelch_db is None else squelch_db) / 10.0)
     demod = jnp.where(avg >= level, demod, 0.0)
 
     resamp_state, audio_c = resampler.resample_block(
         state.resamp, demod.astype(jnp.complex64), cfg.resampler_plan
     )
-    audio = jnp.real(audio_c) * (0.0 if cfg.audio_mute else cfg.volume)
+    vol = cfg.volume if volume is None else volume
+    audio = jnp.real(audio_c) * (0.0 if cfg.audio_mute else vol)
 
     return (
         WFMState(nco=nco_state, fft=fft_state, mavg=mavg_state,
                  discri=discri_state, resamp=resamp_state),
         audio.astype(jnp.float32),
     )
+
+
+def meters(state: WFMState, cfg: WFMConfig, dyn: dict) -> dict:
+    """Squelch state from the kernel's own moving average (the same window
+    the gate uses), against the live threshold when one is threaded."""
+    sq = dyn.get("squelch_db", cfg.squelch_db)
+    avg = jnp.mean(state.mavg.window, axis=-1)
+    return {"squelch": avg >= 10.0 ** (sq / 10.0)}

@@ -31,6 +31,13 @@ class ChannelKind:
     adapter: Callable[[Any], dict] | None = None  # data kinds: Outputs
     # NamedTuple -> {name: real-valued jnp array} (complex split on device so
     # transfers stay float — see .claude/skills/verify/SKILL.md)
+    dynamic_fields: frozenset = frozenset()  # process kwargs threadable as
+    # traced args ("offset_hz"/"squelch_db"/"volume"): live settings changes
+    # to the matching knobs apply without recompiling (the reference's
+    # applySettings-on-a-running-channel path, nfmdemod.cpp handleMessage)
+    meters: Callable[[Any, Any, dict], dict] | None = None  # (new_state,
+    # cfg, dyn) -> report meters computed from the kernel's own state (e.g.
+    # the squelch gate, nfmdemod.h:153-170 getters)
 
 
 REGISTRY: dict[str, ChannelKind] = {}
@@ -118,18 +125,24 @@ def validate_settings(uri: str, settings: dict) -> None:
         )
 
 
+_FULL_DYN = frozenset({"offset_hz", "squelch_db", "volume"})
+
 register(ChannelKind("sdrangel.channel.nfmdemod", demod_nfm.NFMConfig,
-                     demod_nfm.make_state, demod_nfm.process))
+                     demod_nfm.make_state, demod_nfm.process,
+                     dynamic_fields=_FULL_DYN, meters=demod_nfm.meters))
 register(ChannelKind("sdrangel.channel.amdemod", demod_am.AMConfig,
-                     demod_am.make_state, demod_am.process))
+                     demod_am.make_state, demod_am.process,
+                     dynamic_fields=_FULL_DYN, meters=demod_am.meters))
 register(ChannelKind("sdrangel.channel.ssbdemod", demod_ssb.SSBConfig,
-                     demod_ssb.make_state, demod_ssb.process, needs_fft_hop=True))
+                     demod_ssb.make_state, demod_ssb.process, needs_fft_hop=True,
+                     dynamic_fields=frozenset({"offset_hz", "volume"})))
 register(ChannelKind("sdrangel.channel.wfmdemod", demod_wfm.WFMConfig,
-                     demod_wfm.make_state, demod_wfm.process, needs_fft_hop=True))
-def _bfm_process_engine(state, x, cfg, offset_hz=None):
+                     demod_wfm.make_state, demod_wfm.process, needs_fft_hop=True,
+                     dynamic_fields=_FULL_DYN, meters=demod_wfm.meters))
+def _bfm_process_engine(state, x, cfg, **dyn):
     """Engine adapter: BFM emits rich outputs; the engine consumes audio.
     (RDS consumers use demod_bfm.process directly for the full outputs.)"""
-    state, outs = demod_bfm.process(state, x, cfg)
+    state, outs = demod_bfm.process(state, x, cfg, **dyn)
     return state, outs.audio
 
 
@@ -148,7 +161,8 @@ def _bfm_block_factor(channel_rate: float, settings: dict) -> int:
 
 register(ChannelKind("sdrangel.channel.bfm", demod_bfm.BFMConfig,
                      demod_bfm.make_state, _bfm_process_engine,
-                     needs_fft_hop=True, block_factor=_bfm_block_factor))
+                     needs_fft_hop=True, block_factor=_bfm_block_factor,
+                     dynamic_fields=_FULL_DYN, meters=demod_bfm.meters))
 
 
 # -- data channels (non-audio outputs; reference plugins chanalyzer,

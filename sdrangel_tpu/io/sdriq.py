@@ -104,3 +104,46 @@ def write(
     with open(path, "wb") as f:
         f.write(header.tobytes())
         f.write(ints.tobytes())
+
+
+class SdriqWriter:
+    """Streaming .sdriq recorder — header first, payload appended per block
+    (the FileRecord direct-sink role: filerecord.cpp:51-68 writes the header
+    on startRecording then feeds samples as they arrive)."""
+
+    def __init__(
+        self,
+        path: str,
+        sample_rate: int,
+        center_frequency: int = 0,
+        sample_size: int = 16,
+        timestamp: int | None = None,
+    ):
+        self.sample_size = sample_size
+        header = np.zeros(1, dtype=HEADER_DTYPE)
+        header["sample_rate"] = sample_rate
+        header["center_frequency"] = center_frequency
+        header["start_timestamp"] = int(time.time()) if timestamp is None else timestamp
+        header["sample_size"] = sample_size
+        self._f = open(path, "wb")
+        self._f.write(header.tobytes())
+        self.samples_written = 0
+
+    def write(self, iq: np.ndarray) -> None:
+        """iq: (N, 2) int16/int32 raw samples, or complex64 in [-1, 1)."""
+        if np.iscomplexobj(iq):
+            scale = 32768.0 if self.sample_size == 16 else 8388608.0
+            ints = np.empty(
+                (len(iq), 2), dtype=np.int16 if self.sample_size == 16 else np.int32
+            )
+            ints[:, 0] = np.clip(np.round(iq.real * scale), -scale, scale - 1)
+            ints[:, 1] = np.clip(np.round(iq.imag * scale), -scale, scale - 1)
+        else:
+            ints = np.ascontiguousarray(iq)
+        self._f.write(ints.tobytes())
+        self.samples_written += len(ints)
+
+    def close(self) -> None:
+        if not self._f.closed:
+            self._f.flush()
+            self._f.close()

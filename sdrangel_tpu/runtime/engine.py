@@ -168,8 +168,28 @@ class RxPipeline:
         }
         return state
 
-    def _step_impl(self, state: dict, raw_iq: jnp.ndarray):
-        """raw_iq: (T_dev, 2) raw ADC samples at device rate. Returns
+    def default_dyn(self) -> list[dict]:
+        """Per-channel dynamic-parameter dicts initialized from the bound
+        configs. The session recomputes these every block from the live
+        settings and passes them as traced args, so PATCHing a dynamic knob
+        (offset/squelch/volume) takes effect without recompiling — the
+        applySettings-on-running-channel semantics (nfmdemod.cpp
+        handleMessage → applySettings)."""
+        dyn = []
+        for kind, cfg in zip(self.kinds, self.demod_cfgs):
+            d = {}
+            if "offset_hz" in kind.dynamic_fields:
+                d["offset_hz"] = float(cfg.input_offset)
+            if "squelch_db" in kind.dynamic_fields:
+                d["squelch_db"] = float(cfg.squelch_db)
+            if "volume" in kind.dynamic_fields:
+                d["volume"] = float(cfg.volume)
+            dyn.append(d)
+        return dyn
+
+    def _step_impl(self, state: dict, raw_iq: jnp.ndarray, dyn=None):
+        """raw_iq: (T_dev, 2) raw ADC samples at device rate. dyn: optional
+        per-channel dict list of traced overrides (see default_dyn). Returns
         (state', outs) where outs maps channel index -> audio + meters."""
         from ..dsp.types import iq_raw_to_complex64
 
@@ -196,17 +216,21 @@ class RxPipeline:
             zip(self.plans, self.kinds, self.demod_cfgs)
         ):
             cstate, y = chan.channelize(state["chan"][i], bb, plan)
-            dstate, result = kind.process(state["demod"][i], y, cfg)
+            d = dict(dyn[i]) if dyn is not None else {}
+            dstate, result = kind.process(state["demod"][i], y, cfg, **d)
             # channel power meter (the report's channelPowerDB source —
             # magsq average as in nfmdemod.h:153-170 getters)
             power = jnp.mean(jnp.real(y) ** 2 + jnp.imag(y) ** 2)
             chan_states.append(cstate)
             demod_states.append(dstate)
             if kind.output == "audio":
-                outs.append({"audio": result, "power": power.astype(jnp.float32)})
+                entry = {"audio": result, "power": power.astype(jnp.float32)}
             else:
-                outs.append({"data": kind.adapter(result),
-                             "power": power.astype(jnp.float32)})
+                entry = {"data": kind.adapter(result),
+                         "power": power.astype(jnp.float32)}
+            if kind.meters is not None:
+                entry.update(kind.meters(dstate, cfg, d))
+            outs.append(entry)
 
         spec_state, bb_spectrum = dsp_spectrum.power_spectrum(
             state["spectrum"], bb, self.spectrum_cfg

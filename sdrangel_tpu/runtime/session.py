@@ -3,11 +3,18 @@
 Reference: sdrsrv/maincore.{h,cpp} — owns DeviceSets, adds/removes devices
 and channels, loads/saves presets, start/stops acquisition; driven by the
 REST API (sdrsrv/webapi/webapiadaptersrv.cpp). Here a DeviceSet wraps an
-RxPipeline rebuilt on configuration changes; acquisition runs in a worker
-thread streaming file/synthetic blocks through the jitted step (the
-DSPDeviceSourceEngine thread role) and publishing per-channel reports and
-audio sinks. Settings apply between blocks — the same boundary semantics as
-the reference's mutex-held applySettings.
+RxPipeline; acquisition runs in a worker thread streaming file/synthetic
+blocks through the jitted step (the DSPDeviceSourceEngine thread role) and
+publishing per-channel reports and audio sinks.
+
+Live reconfiguration (the reference's typed-message applySettings path,
+webapiadaptersrv.cpp:1637 → nfmdemod.cpp handleMessage, channelizer reconfig
+downchannelizer.cpp:111-189): settings apply to a RUNNING pipeline at block
+boundaries. Dynamic knobs (inputFrequencyOffset within the channel's
+passband, squelch_db, volume) thread through the jitted step as traced args
+every block — no recompilation. Static changes (bandwidths, rates, channel
+add/remove, device settings) bump a generation counter; the worker rebuilds
+and re-jits the pipeline between blocks, keeping the stream position.
 """
 
 from __future__ import annotations
@@ -66,6 +73,48 @@ class SourceSettings:
     spectrum_fft_size: int = 1024
     spectrum_averaging: str = "moving"  # none | moving | fixed
     spectrum_averaging_n: int = 8
+    # Rx IQ record: non-empty -> the running device stream is recorded to
+    # this .sdriq path (the FileRecord direct-sink role, filerecord.h:17-23)
+    record_file: str = ""
+
+
+_FIELD_TYPES = {"str": str, "float": float, "int": int, "bool": bool}
+
+
+def coerce_settings(target, settings: dict) -> dict:
+    """Type-check/coerce a JSON settings dict against a dataclass instance.
+
+    Returns {field: coerced_value}; raises ValueError on unknown fields or
+    wrong types (the API maps that to HTTP 400 — the reference's typed SWG
+    DTOs reject these at parse time)."""
+    fields = {f.name: f for f in dataclasses.fields(target)}
+    out = {}
+    for k, v in settings.items():
+        f = fields.get(k)
+        if f is None:
+            raise ValueError(
+                f"unknown device setting {k!r}; allowed: {sorted(fields)}"
+            )
+        want = _FIELD_TYPES.get(f.type if isinstance(f.type, str) else f.type.__name__)
+        if want is None:
+            out[k] = v
+        elif want is bool:
+            if not isinstance(v, bool):
+                raise ValueError(f"{k} must be a boolean, got {v!r}")
+            out[k] = v
+        elif want is float:
+            if isinstance(v, bool) or not isinstance(v, (int, float)):
+                raise ValueError(f"{k} must be a number, got {v!r}")
+            out[k] = float(v)
+        elif want is int:
+            if isinstance(v, bool) or not isinstance(v, int):
+                raise ValueError(f"{k} must be an integer, got {v!r}")
+            out[k] = v
+        else:  # str
+            if not isinstance(v, str):
+                raise ValueError(f"{k} must be a string, got {v!r}")
+            out[k] = v
+    return out
 
 
 class DeviceSet:
@@ -88,6 +137,10 @@ class DeviceSet:
         self.audio_keep_blocks = 64
         self.blocks_processed = 0
         self.error: str = ""
+        # settings generation: bumped by static config changes; the worker
+        # rebuilds/re-jits the pipeline between blocks when it moves
+        # (dynamic knobs bypass this — they thread through as traced args)
+        self._gen = 0
         # tracing/observability: wall-clock vs sample-clock (SURVEY §5 —
         # the framework's per-block "real-time factor" metric)
         self.realtime_factor = 0.0
@@ -110,20 +163,56 @@ class DeviceSet:
         with self._lock:
             self.channels.append(ChannelState(uri, offset, settings))
             self._audio_buffers.append([])
+            self._gen += 1
             return len(self.channels) - 1
 
     def remove_channel(self, index: int) -> None:
         with self._lock:
             del self.channels[index]
             del self._audio_buffers[index]
+            self._gen += 1
+
+    #: settings names whose live changes thread through as traced args
+    #: (paired with the matching process kwarg in ChannelKind.dynamic_fields)
+    _DYN_SETTINGS = {"squelch_db": "squelch_db", "volume": "volume"}
 
     def update_channel(self, index: int, settings: dict) -> None:
+        """Apply channel settings; takes effect on a RUNNING pipeline at the
+        next block boundary (webapiadaptersrv.cpp:1637 →
+        nfmdemod.cpp handleMessage/applySettings semantics)."""
         with self._lock:
             ch = self.channels[index]
             registry.validate_settings(ch.uri, settings)
+            dyn_fields = REGISTRY[ch.uri].dynamic_fields
+            static_change = False
             if "inputFrequencyOffset" in settings:
-                ch.frequency_offset = float(settings.pop("inputFrequencyOffset"))
+                new_off = float(settings.pop("inputFrequencyOffset"))
+                if new_off != ch.frequency_offset and "offset_hz" not in dyn_fields:
+                    static_change = True
+                ch.frequency_offset = new_off
+                # in-passband retunes ride the NCO (traced); the worker bumps
+                # the generation itself when the offset leaves the passband
+            for k, v in settings.items():
+                if ch.settings.get(k) == v:
+                    continue
+                if not (self._DYN_SETTINGS.get(k) in dyn_fields):
+                    static_change = True
             ch.settings.update(settings)
+            if static_change:
+                self._gen += 1
+
+    def update_source(self, settings: dict) -> None:
+        """Typed device-settings update (400-on-wrong-type at the API)."""
+        target = self.sink if self.direction == "tx" else self.source
+        coerced = coerce_settings(target, settings)
+        with self._lock:
+            changed = False
+            for k, v in coerced.items():
+                if getattr(target, k) != v:
+                    setattr(target, k, v)
+                    changed = True
+            if changed:
+                self._gen += 1
 
     # -- acquisition -------------------------------------------------------
 
@@ -186,11 +275,13 @@ class DeviceSet:
         if src.kind == "daemonsource":
             from ..io.daemon import DaemonReceiver
 
-            rx = DaemonReceiver(src.daemon_address, src.daemon_port, timeout=5.0)
-            self._daemon_rx = rx
+            rx = getattr(self, "_daemon_rx", None)
+            if rx is None:  # reuse the socket across pipeline rebuilds
+                rx = DaemonReceiver(src.daemon_address, src.daemon_port, timeout=5.0)
+                self._daemon_rx = rx
             pending = [np.zeros((0, 2), np.int16)]
 
-            def reader(b, count):
+            def reader(pos, count):  # network stream — position-independent
                 buf = pending[0]
                 while buf.shape[0] < count:
                     iq, _meta = rx.recv_frame()
@@ -200,8 +291,8 @@ class DeviceSet:
         elif src.kind == "filesource":
             info, mm = sdriq.open_mmap(src.file_path)
 
-            def reader(b, count):
-                return sdriq.read_block(mm, b * count, count)
+            def reader(pos, count):  # pos: absolute device-rate sample index
+                return sdriq.read_block(mm, pos, count)
         else:
             cfg = testsource.TestSourceConfig(
                 sample_rate=src.sample_rate,
@@ -211,8 +302,8 @@ class DeviceSet:
                 amplitude=src.amplitude,
             )
 
-            def reader(b, count):
-                c = testsource.generate(cfg, count, start_sample=b * count)
+            def reader(pos, count):
+                c = testsource.generate(cfg, count, start_sample=pos)
                 out = np.empty((count, 2), dtype=np.int16)
                 out[:, 0] = np.clip(c.real * 32768.0, -32768, 32767)
                 out[:, 1] = np.clip(c.imag * 32768.0, -32768, 32767)
@@ -220,114 +311,204 @@ class DeviceSet:
 
         return pipe, reader
 
-    def _work(self) -> None:
-        """Engine thread: gotoRunning → block loop → gotoIdle
-        (dspdevicesourceengine.cpp:325-408 work loop)."""
-        wav_writers = {}
-        net_sinks = {}  # channel idx -> list of objects with .write(audio f32)
-        try:
-            with self._lock:
-                pipe, reader = self._build_pipeline()
-                import wave as _wave
+    def _sync_sinks(self, wav_writers: dict, net_sinks: dict) -> None:
+        """Reconcile per-channel egress objects with the current settings
+        (called between generations; keyed by ChannelState identity so an
+        unrelated settings change never truncates a live WAV)."""
+        import wave as _wave
 
-                for i, ch in enumerate(self.channels):
-                    path = ch.settings.get("audioFile")
-                    # data channels (chanalyzer/LoRa/...) produce no audio —
-                    # opening a writer would leave an empty WAV silently
-                    if path and REGISTRY[ch.uri].output == "audio":
-                        w = _wave.open(path, "wb")
-                        w.setnchannels(1)
-                        w.setsampwidth(2)
-                        w.setframerate(48000)
-                        wav_writers[i] = w
-                    # network audio egress (AudioNetSink role, audionetsink.h:
-                    # 29-63 — raw UDP or RTP L16): settings "audioUdp" /
-                    # "audioRtp" take "host:port"
-                    sinks = []
-                    if ch.settings.get("audioUdp"):
-                        from ..io.udp import UdpSink
-
-                        host, port = ch.settings["audioUdp"].rsplit(":", 1)
-                        sinks.append(UdpSink(host, int(port), "mono16"))
-                    if ch.settings.get("audioRtp"):
-                        from ..io.rtp import RtpAudioSender
-
-                        host, port = ch.settings["audioRtp"].rsplit(":", 1)
-                        sinks.append(RtpAudioSender(host, int(port)))
-                    if sinks:
-                        net_sinks[i] = sinks
-            state = pipe.init_state()
-            block_seconds = pipe.device_block / pipe.device.sample_rate
-            b = 0
-            import jax.numpy as jnp
-
-            while not self._stop.is_set():
-                t0 = time.perf_counter()
-                raw = reader(b, pipe.device_block)
-                state, outs = pipe._step(state, jnp.asarray(raw))
-                with self._lock:
-                    self.spectrum = np.asarray(outs["spectrum"])
-                    self.scope = np.asarray(outs["scope"])
-                    self.waterfall.append(self.spectrum)
-                    del self.waterfall[: -self.waterfall_keep]
-                    if (self.histogram is None
-                            or self.histogram.shape[1] != len(self.spectrum)):
-                        # (re)size with the spectrum tap's fft size
-                        self.histogram = np.zeros((100, len(self.spectrum)), np.uint8)
-                        self.waterfall.clear()
-                    from ..dsp.spectrum import histogram_decay
-
-                    self.histogram = histogram_decay(self.histogram, self.spectrum)
-                    for i, out in enumerate(outs["channels"]):
-                        power = float(out["power"])
-                        ch = self.channels[i]
-                        ch.channel_power_db = float(
-                            10.0 * np.log10(max(power, 1e-12))
-                        )
-                        if "data" in out:
-                            ch.latest_data = {
-                                k: np.asarray(v) for k, v in out["data"].items()
-                            }
-                            ch.data_blocks += 1
-                            if ch.uri == "sdrangel.channel.demoddatv":
-                                self._datv_host_decode(i, ch)
-                            continue
-                        audio = np.asarray(out["audio"])
-                        ch.squelch = bool(np.abs(audio).max() > 1e-4)
-                        # audio is (T,) mono or (T,2) stereo — count frames
-                        ch.audio_samples += audio.shape[0]
-                        buf = self._audio_buffers[i]
-                        buf.append(audio)
-                        if len(buf) > self.audio_keep_blocks:
-                            buf.pop(0)
-                        if i in wav_writers:
-                            mono = audio if audio.ndim == 1 else audio[:, 0]
-                            pcm = np.clip(mono * 32768.0, -32768, 32767).astype(np.int16)
-                            wav_writers[i].writeframes(pcm.tobytes())
-                        for sink in net_sinks.get(i, ()):
-                            mono = audio if audio.ndim == 1 else audio[:, 0]
-                            sink.write(mono)
-                    self.blocks_processed += 1
-                dt = time.perf_counter() - t0
-                self.realtime_factor = block_seconds / max(dt, 1e-9)
-                b += 1
-                if self.source.throttle and dt < block_seconds:
-                    time.sleep(block_seconds - dt)
-        except Exception as e:  # StError state (dspdevicesourceengine.h:28)
-            self.error = f"{type(e).__name__}: {e}"
-        finally:
-            for w in wav_writers.values():
+        live = {id(ch): ch for ch in self.channels}
+        for cid in list(wav_writers):
+            path, w = wav_writers[cid]
+            ch = live.get(cid)
+            if ch is None or ch.settings.get("audioFile") != path:
                 try:
                     w.close()
                 except Exception:
                     pass
-            for sinks in net_sinks.values():
+                del wav_writers[cid]
+        for ch in self.channels:
+            path = ch.settings.get("audioFile")
+            # data channels (chanalyzer/LoRa/...) produce no audio —
+            # opening a writer would leave an empty WAV silently
+            if path and REGISTRY[ch.uri].output == "audio" and id(ch) not in wav_writers:
+                w = _wave.open(path, "wb")
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(48000)
+                wav_writers[id(ch)] = (path, w)
+        # network audio egress (AudioNetSink role, audionetsink.h:29-63 —
+        # raw UDP or RTP L16): settings "audioUdp"/"audioRtp" take "host:port"
+        for cid in list(net_sinks):
+            key, sinks = net_sinks[cid]
+            ch = live.get(cid)
+            now = (ch.settings.get("audioUdp"), ch.settings.get("audioRtp")) if ch else None
+            if now != key:
                 for s in sinks:
                     try:
                         s.close()
                     except Exception:
                         pass
+                del net_sinks[cid]
+        for ch in self.channels:
+            key = (ch.settings.get("audioUdp"), ch.settings.get("audioRtp"))
+            if key == (None, None) or id(ch) in net_sinks:
+                continue
+            sinks = []
+            if key[0]:
+                from ..io.udp import UdpSink
+
+                host, port = key[0].rsplit(":", 1)
+                sinks.append(UdpSink(host, int(port), "mono16"))
+            if key[1]:
+                from ..io.rtp import RtpAudioSender
+
+                host, port = key[1].rsplit(":", 1)
+                sinks.append(RtpAudioSender(host, int(port)))
+            net_sinks[id(ch)] = (key, sinks)
+
+    def _live_dyn(self, pipe) -> tuple[list, bool]:
+        """Per-channel dynamic params from the live settings (caller holds
+        the lock). Returns (dyn, rebuild): rebuild is True when a retune
+        left the channelizer passband — the NCO can't absorb it, so the
+        plan must be recomputed (downchannelizer.cpp applyConfiguration)."""
+        dyn = []
+        rebuild = False
+        for i, ch in enumerate(self.channels):
+            kind = pipe.kinds[i]
+            cfg = pipe.demod_cfgs[i]
+            d = {}
+            if "offset_hz" in kind.dynamic_fields:
+                delta = ch.frequency_offset - pipe.channel_specs[i].frequency_offset
+                if abs(delta) > 0.25 * pipe.plans[i].channel_rate:
+                    rebuild = True
+                d["offset_hz"] = float(cfg.input_offset + delta)
+            if "squelch_db" in kind.dynamic_fields:
+                d["squelch_db"] = float(ch.settings.get("squelch_db", cfg.squelch_db))
+            if "volume" in kind.dynamic_fields:
+                d["volume"] = float(ch.settings.get("volume", cfg.volume))
+            dyn.append(d)
+        return dyn, rebuild
+
+    def _work(self) -> None:
+        """Engine thread: gotoRunning → block loop → gotoIdle
+        (dspdevicesourceengine.cpp:325-408 work loop). The outer loop is a
+        settings generation: static config changes break the inner block
+        loop, rebuild the pipeline and continue from the same stream
+        position; dynamic knobs flow through _live_dyn every block."""
+        wav_writers: dict = {}  # id(ch) -> (path, wave writer)
+        net_sinks: dict = {}  # id(ch) -> (settings key, [sinks])
+        recorder = None  # Rx IQ record (FileRecord role)
+        pos = 0  # absolute device-rate sample position (survives rebuilds)
+        import jax.numpy as jnp
+
+        try:
+            while not self._stop.is_set():
+                with self._lock:
+                    gen = self._gen
+                    pipe, reader = self._build_pipeline()
+                    self._sync_sinks(wav_writers, net_sinks)
+                    rec_cfg = (self.source.record_file,
+                               int(self.source.sample_rate),
+                               int(self.source.center_frequency))
+                if recorder is not None and rec_cfg != recorder[0]:
+                    recorder[1].close()
+                    recorder = None
+                if recorder is None and rec_cfg[0]:
+                    recorder = (rec_cfg, sdriq.SdriqWriter(
+                        rec_cfg[0], sample_rate=rec_cfg[1],
+                        center_frequency=rec_cfg[2],
+                        sample_size=24 if pipe.device.input_format == "i24" else 16,
+                    ))
+                state = pipe.init_state()
+                block_seconds = pipe.device_block / pipe.device.sample_rate
+                while not self._stop.is_set():
+                    with self._lock:
+                        if self._gen != gen:
+                            break  # static change → rebuild between blocks
+                        dyn, need_rebuild = self._live_dyn(pipe)
+                        if need_rebuild:
+                            self._gen += 1
+                            continue
+                    t0 = time.perf_counter()
+                    raw = reader(pos, pipe.device_block)
+                    if recorder is not None:
+                        recorder[1].write(np.asarray(raw))
+                    state, outs = pipe._step(state, jnp.asarray(raw), dyn)
+                    self._publish_block(outs, wav_writers, net_sinks)
+                    dt = time.perf_counter() - t0
+                    self.realtime_factor = block_seconds / max(dt, 1e-9)
+                    pos += pipe.device_block
+                    if self.source.throttle and dt < block_seconds:
+                        time.sleep(block_seconds - dt)
+        except Exception as e:  # StError state (dspdevicesourceengine.h:28)
+            self.error = f"{type(e).__name__}: {e}"
+        finally:
+            for _, w in wav_writers.values():
+                try:
+                    w.close()
+                except Exception:
+                    pass
+            for _, sinks in net_sinks.values():
+                for s in sinks:
+                    try:
+                        s.close()
+                    except Exception:
+                        pass
+            if recorder is not None:
+                recorder[1].close()
             self.running = False
+
+    def _publish_block(self, outs, wav_writers: dict, net_sinks: dict) -> None:
+        """Drain one block's device outputs into reports/buffers/sinks."""
+        with self._lock:
+            self.spectrum = np.asarray(outs["spectrum"])
+            self.scope = np.asarray(outs["scope"])
+            self.waterfall.append(self.spectrum)
+            del self.waterfall[: -self.waterfall_keep]
+            if (self.histogram is None
+                    or self.histogram.shape[1] != len(self.spectrum)):
+                # (re)size with the spectrum tap's fft size
+                self.histogram = np.zeros((100, len(self.spectrum)), np.uint8)
+                self.waterfall.clear()
+            from ..dsp.spectrum import histogram_decay
+
+            self.histogram = histogram_decay(self.histogram, self.spectrum)
+            for i, out in enumerate(outs["channels"]):
+                power = float(out["power"])
+                ch = self.channels[i]
+                ch.channel_power_db = float(
+                    10.0 * np.log10(max(power, 1e-12))
+                )
+                if "data" in out:
+                    ch.latest_data = {
+                        k: np.asarray(v) for k, v in out["data"].items()
+                    }
+                    ch.data_blocks += 1
+                    if ch.uri == "sdrangel.channel.demoddatv":
+                        self._datv_host_decode(i, ch)
+                    continue
+                audio = np.asarray(out["audio"])
+                if "squelch" in out:
+                    # the kernel's actual gate state (nfmdemod.h getters)
+                    ch.squelch = bool(out["squelch"])
+                else:
+                    ch.squelch = bool(np.abs(audio).max() > 1e-4)
+                # audio is (T,) mono or (T,2) stereo — count frames
+                ch.audio_samples += audio.shape[0]
+                buf = self._audio_buffers[i]
+                buf.append(audio)
+                if len(buf) > self.audio_keep_blocks:
+                    buf.pop(0)
+                entry = wav_writers.get(id(ch))
+                if entry is not None:
+                    mono = audio if audio.ndim == 1 else audio[:, 0]
+                    pcm = np.clip(mono * 32768.0, -32768, 32767).astype(np.int16)
+                    entry[1].writeframes(pcm.tobytes())
+                for sink in net_sinks.get(id(ch), ((), ()))[1]:
+                    mono = audio if audio.ndim == 1 else audio[:, 0]
+                    sink.write(mono)
+            self.blocks_processed += 1
 
     def drain_audio(self, channel: int) -> np.ndarray:
         with self._lock:
@@ -439,6 +620,11 @@ class TxDeviceSet:
         if "inputFrequencyOffset" in settings:
             ch.frequency_offset = float(settings.pop("inputFrequencyOffset"))
         ch.settings.update(settings)
+
+    def update_source(self, settings: dict) -> None:
+        """Typed sink-settings update (Tx applies at the next start)."""
+        for k, v in coerce_settings(self.sink, settings).items():
+            setattr(self.sink, k, v)
 
     def start(self) -> None:
         if self.running:
