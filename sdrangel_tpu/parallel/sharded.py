@@ -8,6 +8,13 @@ SURVEY §5 long-context analog) is sharded over the mesh "time" axis with the
 filter-history overlap exchanged between neighbor shards via lax.ppermute —
 structurally ring-attention's halo exchange.
 
+The demod bank is heterogeneous (the per-channel heterogeneity of
+threadedbasebandsamplesink.h:24-77): the bank is a sequence of BankGroups,
+each (channel kind × count × settings); every registry audio kind that
+threads offset_hz as a traced arg (NFM/AM/SSB/WFM/BFM) can run sharded.
+SPMD holds because every device in the channel axis runs the same per-group
+programs on its local slice of each group.
+
 Streaming correctness across blocks: the ppermute ring hands each shard the
 tail of its left neighbor; the wrap-around tail received by shard 0 is the
 block's global tail, which the host feeds back as the carry for the next
@@ -25,17 +32,20 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..channels import demod_nfm
+from ..channels.registry import REGISTRY
 from ..dsp import channelizer as chan
 from ..dsp import decimators as dec
 from ..dsp.hbfilter import DECIMATORS_ORDER
 
+NFM_URI = "sdrangel.channel.nfmdemod"
+
 
 def make_mesh(n_time: int, n_channel: int, devices=None) -> Mesh:
     devices = np.asarray(devices if devices is not None else jax.devices())
-    assert devices.size >= n_time * n_channel, (
-        f"need {n_time * n_channel} devices, have {devices.size}"
-    )
+    if devices.size < n_time * n_channel:
+        raise ValueError(
+            f"need {n_time * n_channel} devices, have {devices.size}"
+        )
     grid = devices[: n_time * n_channel].reshape(n_time, n_channel)
     return Mesh(grid, ("time", "channel"))
 
@@ -57,57 +67,123 @@ def _cascade_with_halo(x_ext: jnp.ndarray, log2: int, fc_pos: str, halo: int) ->
     the remaining outputs equal the streaming cascade's. Uses the flat
     composed-filter form (one HBM pass — the same kernel the single-chip
     engine defaults to); valid because every output at index ≥ halo/2^k
-    reads only real samples (the flat history r·(t_leg−1) ≤ halo)."""
+    reads only real samples (the flat history r·(t_leg−1) ≤ halo).
+
+    Cross-shard phase correctness of the inf/sup rotation patterns requires
+    the extended local length to be a multiple of 4·2^k (the halo is aligned
+    by construction; the local shard length must be too)."""
+    if x_ext.shape[-1] % (4 << log2):
+        raise ValueError(
+            f"local shard length {x_ext.shape[-1] - halo} (+halo {halo}) must "
+            f"be a multiple of {4 << log2} (=4·2^log2_decim) for rotation "
+            f"phase alignment across shards"
+        )
     state = dec.init_flat_state(log2, batch_shape=x_ext.shape[:-1])
-    assert state.tail.shape[-1] <= halo, (state.tail.shape, halo)
+    if state.tail.shape[-1] > halo:
+        raise ValueError(f"halo {halo} shorter than flat tail {state.tail.shape}")
     _, y = dec.decimate_flat_any(state, x_ext, log2, fc_pos)
     return y[..., halo >> log2 :]
 
 
 @dataclasses.dataclass(frozen=True, eq=False)
+class BankGroup:
+    """One homogeneous slice of the sharded demod bank."""
+
+    uri: str
+    count: int  # channels of this kind (multiple of the mesh channel axis)
+    settings: dict = dataclasses.field(default_factory=dict)
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
 class ShardedPipelineConfig:
-    """Time×channel sharded NFM bank — the flagship multi-chip configuration
-    ("64-channel sharded channelizer bank", BASELINE.json configs[4])."""
+    """Time×channel sharded demod bank — the flagship multi-chip
+    configuration ("64-channel sharded channelizer bank",
+    BASELINE.json configs[4]). Default bank: n_channels NFM demods."""
 
     n_time: int
     n_channel: int
     device_rate: float = 12_288_000.0  # /64 -> 192 kHz baseband (integer ratio to 48k audio)
     log2_decim: int = 6
     fc_pos: str = "cen"
-    n_channels: int = 64  # total demod channels (multiple of n_channel)
+    n_channels: int = 64  # default-bank size (multiple of n_channel)
     chan_stages: int = 0  # extra per-channel ÷2 stages after device cascade
     block: int = 1 << 20  # device-rate samples per step (global)
+    bank: tuple[BankGroup, ...] | None = None  # heterogeneous bank override
 
     @property
     def baseband_rate(self) -> float:
         return self.device_rate / (1 << self.log2_decim)
 
     @functools.cached_property
-    def demod_cfg(self) -> demod_nfm.NFMConfig:
-        return demod_nfm.NFMConfig(
-            channel_rate=self.baseband_rate / (1 << self.chan_stages),
-            input_offset=0.0,
-            block_in=(self.block >> self.log2_decim) >> self.chan_stages,
-            squelch_db=-100.0,  # bench config: squelch open
-            squelch_gate_ms=1.0,  # minimal attack so short runs produce audio
-        )
+    def groups(self) -> tuple[BankGroup, ...]:
+        if self.bank is not None:
+            return tuple(self.bank)
+        # bench default: squelch open, minimal attack so short runs
+        # produce audio
+        return (BankGroup(NFM_URI, self.n_channels,
+                          {"squelch_db": -100.0, "squelch_gate_ms": 1.0}),)
+
+    @functools.cached_property
+    def demod_cfgs(self) -> tuple:
+        """Per-group demod configs bound to the post-channelizer rate."""
+        rate = self.baseband_rate / (1 << self.chan_stages)
+        block_in = (self.block >> self.log2_decim) >> self.chan_stages
+        cfgs = []
+        for g in self.groups:
+            kind = REGISTRY[g.uri]
+            kwargs = dict(channel_rate=rate, input_offset=0.0, **g.settings)
+            if any(f.name == "block_in"
+                   for f in dataclasses.fields(kind.config_cls)):
+                kwargs["block_in"] = block_in
+            cfgs.append(kind.config_cls(**kwargs))
+        return tuple(cfgs)
+
+    @functools.cached_property
+    def demod_cfg(self):
+        """Single-group convenience accessor (the homogeneous-bank case)."""
+        (cfg,) = self.demod_cfgs
+        return cfg
+
+
+def _validate_bank(cfg: ShardedPipelineConfig) -> None:
+    for g in cfg.groups:
+        kind = REGISTRY.get(g.uri)
+        if kind is None:
+            raise ValueError(f"unknown channel kind {g.uri!r}")
+        if kind.output != "audio":
+            raise ValueError(f"sharded bank supports audio kinds; {g.uri} is data")
+        if "offset_hz" not in kind.dynamic_fields:
+            raise ValueError(
+                f"{g.uri} does not thread offset_hz as a traced arg"
+            )
+        if g.count % cfg.n_channel:
+            raise ValueError(
+                f"group {g.uri} count {g.count} must be a multiple of the "
+                f"channel mesh axis {cfg.n_channel}"
+            )
 
 
 def build_sharded_step(cfg: ShardedPipelineConfig, mesh: Mesh):
     """Returns (step, init_fn). step(state, x, carry, offsets) -> (state',
-    audio (C, A) f32, new_carry); everything is shard_map'ed over the mesh.
+    audio, new_carry); everything is shard_map'ed over the mesh.
 
-    x: (T,) int16×2 — sharded over 'time'. offsets: (C,) f32 per-channel
-    frequency offsets — sharded over 'channel'. carry: (H,) complex as 2×f32
-    — the previous block's tail for shard 0's halo.
+    x: (T, 2) int16 — sharded over 'time'. carry: (2, H) f32 — the previous
+    block's tail for shard 0's halo. offsets: per-channel frequency offsets,
+    sharded over 'channel'. For a single-group bank, offsets is one (C,)
+    array and audio one (C, A) array; for a heterogeneous bank both are
+    tuples with one entry per BankGroup.
     """
+    _validate_bank(cfg)
     halo = halo_samples(cfg.log2_decim)
     n_time = cfg.n_time
-    c_local = cfg.n_channels // cfg.n_channel
-    demod_cfg = cfg.demod_cfg
+    kinds = [REGISTRY[g.uri] for g in cfg.groups]
+    counts = [g.count for g in cfg.groups]
+    demod_cfgs = cfg.demod_cfgs
+    single = len(cfg.groups) == 1
 
-    def local_step(state, x_local, carry, offsets_local):
-        # x_local: (T/n_time, 2) int16; carry: (2, H) f32; offsets: (C/nc,)
+    def local_step(state, x_local, carry, offsets):
+        # x_local: (T/n_time, 2) int16; carry: (2, H) f32;
+        # state/offsets: per-group tuples, local channel slices
         xc = (x_local.astype(jnp.float32) / 32768.0)
         xc = (xc[..., 0] + 1j * xc[..., 1]).astype(jnp.complex64)
 
@@ -133,37 +209,52 @@ def build_sharded_step(cfg: ShardedPipelineConfig, mesh: Mesh):
         # axis swap: gather full baseband time series (small after ÷2^k)
         bb = jax.lax.all_gather(bb_local, "time", tiled=True)  # (T/2^k,)
 
-        # local channel subset: broadcast baseband per channel, demod bank
-        xb = jnp.broadcast_to(bb, (c_local, bb.shape[-1]))
-        if cfg.chan_stages:
-            cstate = chan.init_state(cfg.chan_stages, batch_shape=(c_local,))
-            signs = np.zeros((c_local, cfg.chan_stages), int)
-            _, xb = chan.channelize_bank(cstate, xb, signs)
-        dstate, audio = demod_nfm.process(state, xb, demod_cfg, offset_hz=offsets_local)
-        return dstate, audio, new_carry
+        new_states, audios = [], []
+        for g, (kind, gcfg) in enumerate(zip(kinds, demod_cfgs)):
+            cstate, dstate = state[g]
+            cg = counts[g] // cfg.n_channel  # local channels of this group
+            xb = jnp.broadcast_to(bb, (cg, bb.shape[-1]))
+            if cfg.chan_stages:
+                signs = np.zeros((cg, cfg.chan_stages), int)
+                cstate, xb = chan.channelize_bank(cstate, xb, signs)
+            dstate, audio = kind.process(dstate, xb, gcfg, offset_hz=offsets[g])
+            new_states.append((cstate, dstate))
+            audios.append(audio)
+        return tuple(new_states), tuple(audios), new_carry
 
     state_specs = jax.tree.map(lambda _: P("channel"), _state_structure(cfg))
-    step = jax.jit(
+    group_specs = tuple(P("channel") for _ in cfg.groups)
+    jit_step = jax.jit(
         jax.shard_map(
             local_step,
             mesh=mesh,
-            in_specs=(state_specs, P("time"), P(), P("channel")),
-            out_specs=(state_specs, P("channel"), P()),
+            in_specs=(state_specs, P("time"), P(), group_specs),
+            out_specs=(state_specs, group_specs, P()),
             # outputs ARE replicated over 'time' (they derive from the
             # all_gathered baseband); the VMA inference can't prove it.
             check_vma=False,
         )
     )
 
+    def step(state, x, carry, offsets):
+        if single and not isinstance(offsets, (tuple, list)):
+            offsets = (offsets,)
+        state, audio, carry = jit_step(state, x, carry, tuple(offsets))
+        return state, (audio[0] if single else audio), carry
+
     def init_fn():
         def impl():
-            state = demod_nfm.make_state(demod_cfg, batch_shape=(cfg.n_channels,))
-            carry = jnp.zeros((2, max(halo, 1)), dtype=jnp.float32)
-            return state, carry
+            return _state_structure(cfg), jnp.zeros((2, max(halo, 1)), jnp.float32)
         return jax.jit(impl)()  # eager complex creation unsupported on some runtimes
 
     return step, init_fn
 
 
 def _state_structure(cfg: ShardedPipelineConfig):
-    return demod_nfm.make_state(cfg.demod_cfg, batch_shape=(cfg.n_channels,))
+    """Per-group (channelizer state, demod state), global channel dims."""
+    out = []
+    for g, gcfg in zip(cfg.groups, cfg.demod_cfgs):
+        kind = REGISTRY[g.uri]
+        cstate = chan.init_state(cfg.chan_stages, batch_shape=(g.count,))
+        out.append((cstate, kind.make_state(gcfg, batch_shape=(g.count,))))
+    return tuple(out)

@@ -156,3 +156,168 @@ def test_sharded_sdriq_feeder(tmp_path, devices):
     np.testing.assert_allclose(
         np.concatenate(fed, axis=-1), np.concatenate(ref, axis=-1), atol=1e-6
     )
+
+
+_KIND_SRC = {
+    # kind uri -> (bank settings, testsource config kwargs)
+    "sdrangel.channel.amdemod": (
+        {"squelch_db": -100.0},
+        dict(modulation="am", tone_freq=1000.0, am_depth=0.8),
+    ),
+    "sdrangel.channel.ssbdemod": (
+        # fft_len 512 -> hop 256 divides the 256-sample audio block
+        {"agc_enable": False, "fft_len": 512},
+        dict(modulation="none", carrier_freq=31_000.0),  # 1 kHz above offset
+    ),
+    "sdrangel.channel.wfmdemod": (
+        {"squelch_db": -100.0},
+        dict(modulation="fm", tone_freq=1000.0, fm_deviation=15_000.0),
+    ),
+}
+
+
+@pytest.mark.parametrize("uri", sorted(_KIND_SRC))
+def test_sharded_bank_other_kinds(devices, uri):
+    """The sharded bank runs every registry audio kind (not just NFM) and
+    matches the single-device streaming oracle across a block seam
+    (VERDICT r1 #2: per-channel heterogeneity of
+    threadedbasebandsamplesink.h:24-77)."""
+    settings, srckw = _KIND_SRC[uri]
+    cfg = sharded.ShardedPipelineConfig(
+        n_time=4, n_channel=2, log2_decim=4, block=1 << 16,
+        bank=(sharded.BankGroup(uri, 8, settings),),
+    )
+    mesh = sharded.make_mesh(4, 2, devices)
+    step, init_fn = sharded.build_sharded_step(cfg, mesh)
+    state, carry = init_fn()
+
+    src = testsource.TestSourceConfig(
+        sample_rate=cfg.device_rate, amplitude=0.4,
+        **{"carrier_freq": 30_000.0, **srckw},
+    )
+    n_blocks = 4  # AM's audio bandpass needs a few blocks to ring up
+    iq = testsource.generate(src, cfg.block * n_blocks)
+    offsets = jnp.full(8, 30_000.0, jnp.float32)
+
+    blocks = []
+    for b in range(n_blocks):
+        raw = _to_int16(iq[b * cfg.block : (b + 1) * cfg.block])
+        state, audio, carry = step(state, jnp.asarray(raw), carry, offsets)
+        blocks.append(np.asarray(audio))
+    sharded_audio = np.concatenate(blocks, axis=-1)
+
+    # single-device oracle: same chain, streaming
+    from sdrangel_tpu.channels.registry import REGISTRY
+
+    kind = REGISTRY[uri]
+    dcfg = cfg.demod_cfgs[0]
+    dstate = kind.make_state(dcfg)
+    casc = dec.init_state(cfg.log2_decim)
+    ref_audio = []
+    for b in range(n_blocks):
+        x = jnp.asarray(
+            (_to_int16(iq[b * cfg.block : (b + 1) * cfg.block])
+             .astype(np.float32) / 32768.0).view(np.complex64)[:, 0]
+        )
+        casc, bb = dec.decimate_cascade(casc, x, cfg.log2_decim, cfg.fc_pos)
+        dstate, a = kind.process(dstate, bb, dcfg,
+                                 offset_hz=jnp.float32(30_000.0))
+        ref_audio.append(np.asarray(a))
+    ref = np.concatenate(ref_audio, axis=-1)
+
+    assert np.abs(ref[..., ref.shape[-1] // 2 :]).max() > 0.01, (
+        f"{uri} oracle produced no audio"
+    )
+    for c in range(8):
+        np.testing.assert_allclose(sharded_audio[c], ref, atol=3e-3)
+
+
+def test_sharded_heterogeneous_bank(devices):
+    """A mixed NFM+AM+WFM+SSB bank in one shard_map step: per-group audio
+    tuples, every group non-vacuous and seam-consistent."""
+    bank = (
+        sharded.BankGroup("sdrangel.channel.nfmdemod", 4,
+                          {"squelch_db": -100.0, "squelch_gate_ms": 1.0}),
+        sharded.BankGroup("sdrangel.channel.amdemod", 2, {"squelch_db": -100.0}),
+        sharded.BankGroup("sdrangel.channel.wfmdemod", 2, {"squelch_db": -100.0}),
+        sharded.BankGroup("sdrangel.channel.ssbdemod", 2,
+                          {"agc_enable": False, "fft_len": 512}),
+    )
+    cfg = sharded.ShardedPipelineConfig(
+        n_time=4, n_channel=2, log2_decim=4, block=1 << 16, bank=bank,
+    )
+    mesh = sharded.make_mesh(4, 2, devices)
+    step, init_fn = sharded.build_sharded_step(cfg, mesh)
+    state, carry = init_fn()
+
+    src = testsource.TestSourceConfig(
+        sample_rate=cfg.device_rate, carrier_freq=30_000.0, modulation="fm",
+        tone_freq=1000.0, fm_deviation=5000.0, amplitude=0.4,
+    )
+    iq = testsource.generate(src, cfg.block * 2)
+    offsets = tuple(jnp.full(g.count, 30_000.0, jnp.float32) for g in bank)
+
+    outs = []
+    for b in range(2):
+        raw = _to_int16(iq[b * cfg.block : (b + 1) * cfg.block])
+        state, audio, carry = step(state, jnp.asarray(raw), carry, offsets)
+        outs.append([np.asarray(a) for a in audio])
+    for g, grp in enumerate(bank):
+        a = np.concatenate([o[g] for o in outs], axis=-1)
+        assert a.shape[0] == grp.count
+        # FM carrier: NFM/WFM hear the tone; AM hears ~constant envelope;
+        # SSB passes the shifted carrier — all non-NaN, NFM audible
+        assert np.isfinite(a).all(), grp.uri
+    nfm = np.concatenate([o[0] for o in outs], axis=-1)
+    assert np.abs(nfm).max() > 0.05
+
+
+@pytest.mark.parametrize("fc_pos", ["inf", "sup"])
+def test_halo_cascade_inf_sup(devices, fc_pos):
+    """inf/sup placements through the halo'd flat cascade match the
+    streaming oracle across shard and block seams (ADVICE r1: the rotated
+    paths' cross-shard phase correctness was untested)."""
+    cfg = sharded.ShardedPipelineConfig(
+        n_time=4, n_channel=2, log2_decim=3, block=1 << 15, n_channels=8,
+        fc_pos=fc_pos,
+    )
+    mesh = sharded.make_mesh(4, 2, devices)
+    step, init_fn = sharded.build_sharded_step(cfg, mesh)
+    state, carry = init_fn()
+
+    # FM carrier at the rotated placement centre: -fs/4 for inf, +fs/4 for sup
+    centre = (-0.25 if fc_pos == "inf" else 0.25) * cfg.device_rate
+    src = testsource.TestSourceConfig(
+        sample_rate=cfg.device_rate, carrier_freq=centre + 2000.0,
+        modulation="fm", tone_freq=800.0, fm_deviation=4000.0, amplitude=0.4,
+    )
+    iq = testsource.generate(src, cfg.block * 2)
+    offsets = jnp.full(cfg.n_channels, 2000.0, jnp.float32)
+
+    blocks = []
+    for b in range(2):
+        raw = _to_int16(iq[b * cfg.block : (b + 1) * cfg.block])
+        state, audio, carry = step(state, jnp.asarray(raw), carry, offsets)
+        blocks.append(np.asarray(audio))
+    sharded_audio = np.concatenate(blocks, axis=-1)
+
+    from sdrangel_tpu.channels import demod_nfm
+
+    dcfg = cfg.demod_cfg
+    dstate = demod_nfm.make_state(dcfg)
+    casc = dec.init_state(cfg.log2_decim)
+    ref_audio = []
+    for b in range(2):
+        x = jnp.asarray(
+            (_to_int16(iq[b * cfg.block : (b + 1) * cfg.block])
+             .astype(np.float32) / 32768.0).view(np.complex64)[:, 0]
+        )
+        casc, bb = dec.decimate_cascade(casc, x, cfg.log2_decim, fc_pos)
+        dstate, a = demod_nfm.process(dstate, bb, dcfg,
+                                      offset_hz=jnp.float32(2000.0))
+        ref_audio.append(np.asarray(a))
+    ref = np.concatenate(ref_audio)
+
+    assert np.abs(ref).max() > 0.01
+    for c in range(cfg.n_channels):
+        np.testing.assert_allclose(sharded_audio[c], ref, atol=3e-3)
