@@ -54,9 +54,12 @@ def main() -> int:
 
     ap = argparse.ArgumentParser(description="sdrangel_tpu bench (sdrangelbench role)")
     ap.add_argument("-t", "--test", default="chain",
-                    choices=["chain", "decimateii", "decimateinfii", "decimatesupii"],
-                    help="chain = decimate+channelize+NFM16; decimate* = "
-                         "cascade only at the given placement")
+                    choices=["chain", "decimateii", "decimateinfii", "decimatesupii",
+                             "decimateif", "decimatefi", "decimateff"],
+                    help="chain = decimate + per-channel channelizer + NFM16; "
+                         "decimate* = cascade only: ii/infii/supii are the "
+                         "int16->int16 placements, if/fi/ff the float-path "
+                         "dtype matrix (mainbench.cpp:112-191)")
     ap.add_argument("-n", "--nb-samples", type=int, default=0,
                     help="device samples per step (default: 2^SDRANGEL_BENCH_LOG2BLOCK)")
     ap.add_argument("-r", "--repeat", type=int, default=30, help="steps per pass")
@@ -69,6 +72,7 @@ def main() -> int:
     import jax.numpy as jnp
 
     from sdrangel_tpu.channels import demod_nfm
+    from sdrangel_tpu.dsp import channelizer as chanmod
     from sdrangel_tpu.dsp import decimators as dec
 
     n_channels = 16
@@ -78,15 +82,39 @@ def main() -> int:
     # overrides for sweeps
     block = args.nb_samples or (1 << int(os.environ.get("SDRANGEL_BENCH_LOG2BLOCK", "23")))
     assert block % (4 << log2) == 0, "nb-samples must be a multiple of 4*2^l"
-    fc_pos = {"decimateii": "cen", "decimateinfii": "inf",
-              "decimatesupii": "sup"}.get(args.test, "cen")
+    fc_pos = {"decimateinfii": "inf", "decimatesupii": "sup"}.get(args.test, "cen")
     decim_only = args.test != "chain"
+    float_in = args.test in ("decimatefi", "decimateff")
+    float_out = args.test in ("decimateif", "decimateff")
     device_rate = 12_288_000.0
-    baseband_rate = device_rate / (1 << log2)  # 192 kHz
+    baseband_rate = device_rate / (1 << log2)  # 192 kHz at /64
+
+    # The benched chain IS the labeled chain (VERDICT r1): after the device
+    # cascade, each of the 16 channels runs its own DownChannelizer stage
+    # plan (order-48 HB tree, downchannelizer.cpp:250-287) selecting a
+    # DISTINCT offset in the baseband, then NFM demod at the channel rate
+    # with the residual offset on the NCO.
+    # 16 distinct offsets: 4 depth-2 leaf centres (±bb/8, ±3bb/8) × 4
+    # in-leaf jitters; a 32 kHz requested band keeps every plan at uniform
+    # depth 2 (channel rate bb/4) so the bank stays one vmapped program,
+    # while the NCO absorbs the distinct residuals.
+    req_band = baseband_rate / 6.0
+    leaf = baseband_rate / 8.0
+    offsets = np.array([
+        c + j
+        for c in (-3 * leaf, -leaf, leaf, 3 * leaf)
+        for j in (-0.18 * leaf, -0.06 * leaf, 0.06 * leaf, 0.18 * leaf)
+    ])
+    plans = [chanmod.plan_channel(baseband_rate, req_band, o) for o in offsets]
+    n_stages = len(plans[0].signs)
+    assert all(len(p.signs) == n_stages for p in plans), [p.signs for p in plans]
+    signs = np.array([p.signs for p in plans])  # (C, n_stages)
+    residual = jnp.asarray([p.residual_offset for p in plans], jnp.float32)
+    chan_rate = plans[0].channel_rate
 
     demod_cfg = demod_nfm.NFMConfig(
-        channel_rate=baseband_rate,
-        block_in=block >> log2,
+        channel_rate=chan_rate,
+        block_in=(block >> log2) >> n_stages,
         squelch_db=-100.0,
         squelch_gate_ms=1.0,
     )
@@ -98,30 +126,48 @@ def main() -> int:
     # staged cascade for A/B.
     flat = bool(int(os.environ.get("SDRANGEL_BENCH_FLAT", "1")))
 
-    def step(casc, dstate, raw):
-        x = raw.astype(jnp.float32) * (1.0 / 32768.0)
-        x = (x[..., 0] + 1j * x[..., 1]).astype(jnp.complex64)
+    def step(casc, cstate, dstate, raw):
+        if float_in:  # decimatefi/ff: float cascade input (mainbench.cpp:140+)
+            x = (raw[..., 0] + 1j * raw[..., 1]).astype(jnp.complex64)
+        else:
+            x = raw.astype(jnp.float32) * (1.0 / 32768.0)
+            x = (x[..., 0] + 1j * x[..., 1]).astype(jnp.complex64)
         if flat:
             casc, bb = dec.decimate_flat_any(casc, x, log2, fc_pos)
         else:
             casc, bb = dec.decimate_cascade(casc, x, log2, fc_pos)
         if decim_only:  # decimate* tests: cascade only, like sdrangelbench
-            return casc, dstate, jnp.stack([jnp.real(bb), jnp.imag(bb)])
-        xb = jnp.broadcast_to(bb, (n_channels, bb.shape[-1]))
-        dstate, audio = demod_nfm.process(dstate, xb, demod_cfg)
-        return casc, dstate, audio
+            y = jnp.stack([jnp.real(bb), jnp.imag(bb)])
+            if not float_out:  # ii/fi emit int16 Samples (decimators.h)
+                y = jnp.clip(jnp.round(y * 32768.0), -32768, 32767).astype(jnp.int16)
+            return casc, cstate, dstate, y
+        # dedup by stage path: identical sign paths share one cascade run
+        # (the reference's per-channel trees share every prefix)
+        cstate, y = chanmod.channelize_bank_unique(cstate, bb, signs)
+        dstate, audio = demod_nfm.process(dstate, y, demod_cfg, offset_hz=residual)
+        return casc, cstate, dstate, audio
 
     step = jax.jit(step)
 
     rng = np.random.default_rng(7)
-    raw = jnp.asarray(rng.integers(-2048, 2048, size=(block, 2), dtype=np.int16))
+    if float_in:
+        raw = jnp.asarray(
+            (rng.integers(-2048, 2048, size=(block, 2)) / 32768.0).astype(np.float32)
+        )
+    else:
+        raw = jnp.asarray(rng.integers(-2048, 2048, size=(block, 2), dtype=np.int16))
     # states built inside jit: eager complex64 creation is unimplemented on
     # some TPU runtimes (see .claude/skills/verify/SKILL.md)
     casc = jax.jit(lambda: dec.init_flat_state(log2) if flat else dec.init_state(log2))()
+    cstate = jax.jit(
+        lambda: chanmod.init_state(
+            n_stages, batch_shape=(chanmod.unique_paths(signs),)
+        )
+    )()
     dstate = jax.jit(lambda: demod_nfm.make_state(demod_cfg, batch_shape=(n_channels,)))()
 
     # compile + warmup
-    casc, dstate, audio = step(casc, dstate, raw)
+    casc, cstate, dstate, audio = step(casc, cstate, dstate, raw)
     audio.block_until_ready()
 
     # median of 5 passes — the remote-execution tunnel adds large
@@ -135,7 +181,7 @@ def main() -> int:
     for _ in range(5):
         t0 = time.perf_counter()
         for _ in range(iters):
-            casc, dstate, audio = step(casc, dstate, raw)
+            casc, cstate, dstate, audio = step(casc, cstate, dstate, raw)
         audio.block_until_ready()
         elapsed = time.perf_counter() - t0
         rates.append(block * iters / elapsed / 1e6)
@@ -146,7 +192,8 @@ def main() -> int:
         json.dumps(
             {
                 "metric": (
-                    "decimate64+channelize+NFM16 input throughput per chip"
+                    f"decimate64+channelizer({n_stages}HBx16ch,distinct offsets)"
+                    "+NFM16 input throughput per chip"
                     if not decim_only else
                     f"{args.test} /{1 << log2} input throughput per chip"
                 ),

@@ -146,3 +146,32 @@ def channelize(
             y = y * jnp.asarray(rot)
         tails[k], y = hb_decimate2(tails[k], y, taps)
     return CascadeState(tuple(tails)), y
+
+
+def channelize_bank_unique(
+    state: CascadeState,
+    bb: jnp.ndarray,
+    signs: np.ndarray,
+    order: int = DOWNCHANNELIZER_ORDER,
+) -> tuple[CascadeState, jnp.ndarray]:
+    """Channel bank over ONE shared stream, deduplicated by stage path.
+
+    A bank of C channels on the same baseband has at most 4^n_stages — and
+    typically only a handful of — distinct sign paths (the reference's
+    per-channel DownChannelizer trees share every prefix; running the bank
+    as C independent cascades re-filters identical data, which at device
+    rate dominates the whole pipeline). Runs the cascade once per DISTINCT
+    path and gathers outputs back to channel order at the decimated rate.
+
+    bb: (T,) complex64 — the shared stream; signs: (C, n_stages) int.
+    state: CascadeState with leading dim U = number of unique paths (use
+    `unique_paths(signs)` to size it). Returns (state', y (C, T/2^n)).
+    """
+    uniq, inverse = np.unique(np.asarray(signs), axis=0, return_inverse=True)
+    xb = jnp.broadcast_to(bb, (len(uniq), bb.shape[-1]))
+    state, y_u = channelize_bank(state, xb, uniq, order)
+    return state, y_u[np.asarray(inverse)]
+
+
+def unique_paths(signs: np.ndarray) -> int:
+    return len(np.unique(np.asarray(signs), axis=0))

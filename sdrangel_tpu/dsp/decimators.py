@@ -26,6 +26,7 @@ passband gain in float32.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Sequence
 
 import jax
@@ -33,6 +34,40 @@ import jax.numpy as jnp
 import numpy as np
 
 from .hbfilter import DECIMATORS_ORDER, hb_taps
+
+#: conv precision for the decimator/flat kernels. The TPU conv default is
+#: bf16 (8 mantissa bits) — BELOW the reference's int16 pipeline. "high"
+#: (bf16x3 passes, ~f32) exceeds int16 fidelity at ~13% cost over bf16
+#: (measured 1488 vs 1702 MS/s on the ÷64+channelizer+NFM16 chain);
+#: env override for A/B and for bitwise-f32 ("highest") parity runs.
+_CONV_PRECISION = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}[os.environ.get("SDRANGEL_TPU_CONV_PRECISION", "high")]
+
+
+def _feature_block(n_out: int, max_b: int = 128) -> int:
+    """Output positions per conv window: conv output FEATURES. A strided FIR
+    with one output feature uses 1 of the MXU's 128 lanes (measured 67% of
+    the whole ÷64 chain); grouping B positions into features via a banded
+    tap matrix fills the lanes for ~(1 + s·B/L)× redundant window reads."""
+    b = max_b
+    while b > 1 and n_out % b:
+        b >>= 1
+    return b
+
+
+def _banded_taps(taps: jnp.ndarray, b: int, stride: int) -> jnp.ndarray:
+    """(stride·B + L − stride, 1, B) HIO kernel K[stride·j + l, 0, j] = h[l]
+    — channels-last (TPU-native layout; channels-first forced a physical
+    transpose of the full-rate stream). Built with jnp ops so traced taps
+    work; constant-folds for host taps."""
+    rows = [
+        jnp.pad(taps.astype(jnp.float32), (stride * j, stride * (b - 1 - j)))
+        for j in range(b)
+    ]
+    return jnp.stack(rows, axis=-1)[:, None, :]
 
 
 class CascadeState(NamedTuple):
@@ -90,22 +125,30 @@ def _conv_stride2_valid(ext: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
 
     ext: (..., T_ext) complex64; taps: (L,) float32 (symmetric, so correlation
     equals convolution). Returns (..., (T_ext - L)//2 + 1) complex64.
+
+    MXU formulation: B consecutive output positions become conv output
+    features via the banded tap matrix (see _feature_block); identical
+    arithmetic, ~B× the MXU lane utilization.
     """
     batch_shape = ext.shape[:-1]
     t_ext = ext.shape[-1]
+    l_taps = taps.shape[-1]
+    n_out = (t_ext - l_taps) // 2 + 1
+    b = _feature_block(n_out)
     # complex -> two real lanes folded into the batch dimension
     lhs = jnp.stack([jnp.real(ext), jnp.imag(ext)], axis=0)
-    lhs = lhs.reshape(-1, 1, t_ext)  # (2*prod(batch), 1, T_ext)
-    rhs = taps.astype(jnp.float32).reshape(1, 1, -1)
+    lhs = lhs.reshape(-1, t_ext, 1)  # (2*prod(batch), T_ext, 1) NHC
+    rhs = _banded_taps(taps, b, 2)  # (S, 1, B) HIO
     out = jax.lax.conv_general_dilated(
         lhs,
         rhs,
-        window_strides=(2,),
+        window_strides=(2 * b,),
         padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-    )
-    t_out = out.shape[-1]
-    out = out.reshape(2, *batch_shape, t_out) if batch_shape else out.reshape(2, t_out)
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        precision=_CONV_PRECISION,
+    )  # (N, n_out/B, B): feature j = output position q·B + j
+    out = out.reshape(out.shape[0], n_out)
+    out = out.reshape(2, *batch_shape, n_out) if batch_shape else out.reshape(2, n_out)
     return (out[0] + 1j * out[1]).astype(jnp.complex64)
 
 
@@ -232,6 +275,54 @@ def init_flat_state(
     )
 
 
+# -- MXU formulation of the flat conv ---------------------------------------
+#
+# The naive polyphase conv has r input channels and ONE output feature, so
+# the TPU lowers it to matmuls that use 1 of the MXU's 128 output lanes
+# (measured 11 ms/step for the ÷64 chain at 2^23 — 67% of the whole
+# pipeline). Grouping B consecutive output positions into conv FEATURES
+# fills the lanes: kernel K[b, j, t'] = legs[j, t'-b] (a banded tap matrix),
+# stride B windows. Same arithmetic, same outputs, ~B× the lane utilization
+# for ~(1 + B/t_leg)× redundant reads of the window overlap.
+
+@functools.lru_cache(maxsize=64)
+def _banded_kernel(
+    log2_decim: int, fc_pos: str, part: str, b: int, order: int
+) -> np.ndarray:
+    """(B + t_leg - 1, r, B) HIO tap matrix K[t', j, b] = legs[j, t'-b]
+    (channels-last: the polyphase rows (w, r) are a PURE reshape of the
+    sample stream, so the conv needs no input transpose)."""
+    if fc_pos == "cen":
+        legs = flat_legs(log2_decim, order)
+    else:
+        legs_c, _ = flat_rotated(log2_decim, fc_pos, order)
+        legs = np.real(legs_c) if part == "re" else np.imag(legs_c)
+    r, t_leg = legs.shape
+    k = np.zeros((b + t_leg - 1, r, b), np.float32)
+    for j in range(b):
+        k[j : j + t_leg, :, j] = legs.T
+    return k
+
+
+def _leg_conv(
+    planes: jnp.ndarray, log2_decim: int, fc_pos: str, part: str, order: int
+) -> jnp.ndarray:
+    """planes: (N, w, r) f32 polyphase rows. Returns (N, w - t_leg + 1)."""
+    t_leg = flat_legs(log2_decim, order).shape[1]
+    n_out = planes.shape[-2] - t_leg + 1
+    b = _feature_block(n_out)
+    kern = _banded_kernel(log2_decim, fc_pos, part, b, order)
+    out = jax.lax.conv_general_dilated(
+        planes,
+        jnp.asarray(kern),
+        window_strides=(b,),
+        padding="VALID",
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        precision=_CONV_PRECISION,
+    )  # (N, n_out/B, B): feature b = output position q·B + b
+    return out.reshape(planes.shape[0], n_out)
+
+
 def decimate_flat(
     state: FlatState, x: jnp.ndarray, log2_decim: int, order: int = DECIMATORS_ORDER
 ) -> tuple[FlatState, jnp.ndarray]:
@@ -243,21 +334,12 @@ def decimate_flat(
     if log2_decim == 0:
         return state, x
     r = 1 << log2_decim
-    legs = jnp.asarray(flat_legs(log2_decim, order))  # (r, t_leg)
-    t_leg = legs.shape[1]
     ext = jnp.concatenate([state.tail, x], axis=-1)
     batch_shape = ext.shape[:-1]
     lanes = jnp.stack([jnp.real(ext), jnp.imag(ext)], axis=0)
     w = ext.shape[-1] // r
-    planes = lanes.reshape(-1, w, r)  # (2·prod(batch), w, 2^k)
-    planes = jnp.swapaxes(planes, -1, -2)  # (N, 2^k, w) — legs on channels
-    out = jax.lax.conv_general_dilated(
-        planes,
-        legs[None],  # (1, 2^k, t_leg) OIH
-        window_strides=(1,),
-        padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-    )  # (N, 1, w − t_leg + 1) = (N, 1, T/2^k)
+    planes = lanes.reshape(-1, w, r)  # (2·prod(batch), w, 2^k) — pure reshape
+    out = _leg_conv(planes, log2_decim, "cen", "re", order)  # (N, T/2^k)
     out = out.reshape(2, *batch_shape, out.shape[-1])
     y = (out[0] + 1j * out[1]).astype(jnp.complex64)
     return FlatState(ext[..., x.shape[-1] :]), y
@@ -328,18 +410,12 @@ def decimate_flat_any(
     lanes = jnp.stack([jnp.real(ext), jnp.imag(ext)], axis=0)
     w = ext.shape[-1] // r
     planes = lanes.reshape(2, -1, w, r) if batch_shape else lanes.reshape(2, 1, w, r)
-    planes = jnp.swapaxes(planes, -1, -2)  # (2, N, r, w)
-    kr = jnp.asarray(np.real(legs_c))[None]  # (1, r, t_leg)
-    ki = jnp.asarray(np.imag(legs_c))[None]
 
-    def conv1(pl, k):
-        return jax.lax.conv_general_dilated(
-            pl, k, window_strides=(1,), padding="VALID",
-            dimension_numbers=("NCH", "OIH", "NCH"),
-        )[:, 0]
+    def conv1(pl, part):
+        return _leg_conv(pl, log2_decim, fc_pos, part, order)
 
-    yr = conv1(planes[0], kr) - conv1(planes[1], ki)
-    yi = conv1(planes[0], ki) + conv1(planes[1], kr)
+    yr = conv1(planes[0], "re") - conv1(planes[1], "im")
+    yi = conv1(planes[0], "im") + conv1(planes[1], "re")
     t_out = yr.shape[-1]
     yr = yr.reshape(*batch_shape, t_out)
     yi = yi.reshape(*batch_shape, t_out)
