@@ -60,6 +60,8 @@ _PIPELINE_FIELDS = {"channel_rate", "input_offset", "block_in", "block_af"}
 SESSION_KEYS = {
     "inputFrequencyOffset", "audioFile", "audioUdp", "audioRtp",
     "toneFrequency", "afUdp", "datvContinuous",
+    # udpsrc egress: destination + wire format (io.udp FORMATS)
+    "udpAddress", "udpPort", "udpFormat",
 }
 
 #: uri -> config dataclass for schema purposes; Rx kinds land here via
@@ -270,6 +272,19 @@ def _register_data_kinds() -> None:
         demod_datv.make_state, demod_datv.process,
         block_factor=_datv_block_factor, needs_fft_hop=True,
         output="data", needs_audio_ratio=False, adapter=_datv_adapter))
+    from . import udpsrc as _udpsrc
+
+    register(ChannelKind(
+        "sdrangel.channel.udpsrc", _udpsrc.UdpSrcConfig,
+        _udpsrc.make_state, _udpsrc.process, needs_fft_hop=True,
+        output="data", needs_audio_ratio=True, adapter=_udpsrc_adapter,
+        dynamic_fields=frozenset({"offset_hz", "squelch_db"})))
+
+
+def _udpsrc_adapter(outs) -> dict:
+    iq = _split_complex(outs.iq)
+    return {"iq_real": iq["real"], "iq_imag": iq["imag"],
+            "scalar": outs.scalar, "squelch": outs.squelch_open}
 
 
 _register_data_kinds()

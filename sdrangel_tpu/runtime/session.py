@@ -135,6 +135,7 @@ class DeviceSet:
         self._lock = threading.Lock()
         self._audio_buffers: list[list[np.ndarray]] = []
         self.audio_keep_blocks = 64
+        self._data_sinks: dict = {}  # id(ch) -> ((addr, port, fmt), UdpSink)
         self.blocks_processed = 0
         self.error: str = ""
         # settings generation: bumped by static config changes; the worker
@@ -366,6 +367,41 @@ class DeviceSet:
                 host, port = key[1].rsplit(":", 1)
                 sinks.append(RtpAudioSender(host, int(port)))
             net_sinks[id(ch)] = (key, sinks)
+        # udpsrc data egress (udpsrc.cpp feed → UDPSink datagrams): settings
+        # udpAddress/udpPort/udpFormat on a udpsrc channel stream the
+        # channel's formatted output as raw datagrams
+        data_sinks = self._data_sinks
+        for cid in list(data_sinks):
+            key, sink = data_sinks[cid]
+            ch = live.get(cid)
+            now = self._udpsrc_key(ch) if ch is not None else None
+            if now != key:
+                try:
+                    sink.close()
+                except Exception:
+                    pass
+                del data_sinks[cid]
+        for ch in self.channels:
+            key = self._udpsrc_key(ch)
+            if key is None or id(ch) in data_sinks:
+                continue
+            from ..io.udp import UdpSink
+
+            addr, port, fmt = key
+            data_sinks[id(ch)] = (key, UdpSink(addr, port, fmt))
+
+    @staticmethod
+    def _udpsrc_key(ch) -> tuple | None:
+        if ch.uri != "sdrangel.channel.udpsrc":
+            return None
+        addr = ch.settings.get("udpAddress")
+        port = ch.settings.get("udpPort")
+        if not addr or not port:
+            return None
+        fmt = ch.settings.get(
+            "udpFormat", "iq16" if ch.settings.get("fmt", "iq") == "iq" else "mono16"
+        )
+        return (str(addr), int(port), str(fmt))
 
     def _live_dyn(self, pipe) -> tuple[list, bool]:
         """Per-channel dynamic params from the live settings (caller holds
@@ -455,6 +491,12 @@ class DeviceSet:
                         s.close()
                     except Exception:
                         pass
+            for _, sink in self._data_sinks.values():
+                try:
+                    sink.close()
+                except Exception:
+                    pass
+            self._data_sinks.clear()
             if recorder is not None:
                 recorder[1].close()
             self.running = False
@@ -487,6 +529,19 @@ class DeviceSet:
                     ch.data_blocks += 1
                     if ch.uri == "sdrangel.channel.demoddatv":
                         self._datv_host_decode(i, ch)
+                    entry = self._data_sinks.get(id(ch))
+                    if entry is not None:
+                        (_, _, fmt), sink = entry
+                        d = ch.latest_data
+                        if fmt in ("iq16", "iq24"):
+                            payload = (d["iq_real"] + 1j * d["iq_imag"]).astype(
+                                np.complex64
+                            )
+                        else:  # mono16 / float32 wire the scalar branch
+                            payload = d["scalar"]
+                        sink.write(payload)
+                        if "squelch" in d:
+                            ch.squelch = bool(d["squelch"])
                     continue
                 audio = np.asarray(out["audio"])
                 if "squelch" in out:
