@@ -16,8 +16,10 @@ with the same path layout (subset):
   DELETE        /sdrangel/deviceset/{i}/channel/{j}
   GET/PUT/PATCH /sdrangel/deviceset/{i}/channel/{j}/settings
   GET           /sdrangel/deviceset/{i}/channel/{j}/report
-  GET/POST/DELETE /sdrangel/presets  (+ /preset load/save)
-  GET/PUT       /sdrangel/logging
+  GET/POST/DELETE /sdrangel/presets  (+ /preset load/save/delete/file)
+  GET/PUT       /sdrangel/config                  whole-instance config
+  GET/PATCH     /sdrangel/audio                   egress list + prefs
+  GET/PUT       /sdrangel/logging                 level + rotated log file
 """
 
 from __future__ import annotations
@@ -44,6 +46,13 @@ _HISTOGRAM = re.compile(r"^/sdrangel/deviceset/(\d+)/spectrum/histogram$")
 _SCOPE = re.compile(r"^/sdrangel/deviceset/(\d+)/scope$")
 _CHANNEL = re.compile(r"^/sdrangel/deviceset/(\d+)/channel$")
 _COMMAND_RUN = re.compile(r"^/sdrangel/command/([\w-]+)/run$")
+_COMMAND_DETAILS = re.compile(r"^/sdrangel/command/([\w-]+)$")
+_PRESET_KEY = re.compile(r"^/sdrangel/preset/([\w-]+)/([\w-]+)$")
+
+#: instance audio preferences (AudioDeviceManager prefs role,
+#: audiodevicemanager.h:34-137 — headless: rate + default UDP copy target)
+_AUDIO_DEFAULTS = {"audioSampleRate": 48000, "udpAddress": "127.0.0.1",
+                   "udpPort": 9998}
 _CHANNEL_IDX = re.compile(r"^/sdrangel/deviceset/(\d+)/channel/(\d+)$")
 _CHANNEL_SETTINGS = re.compile(r"^/sdrangel/deviceset/(\d+)/channel/(\d+)/settings$")
 _CHANNEL_REPORT = re.compile(r"^/sdrangel/deviceset/(\d+)/channel/(\d+)/report$")
@@ -59,6 +68,9 @@ class _BadRequest(Exception):
 import threading as _threading
 
 _PROFILE_LOCK = _threading.Lock()
+
+#: singleton log-file handler (idempotent PUT /sdrangel/logging)
+_LOG_FILE: dict = {"handler": None, "name": None}
 
 
 class ApiHandler(BaseHTTPRequestHandler):
@@ -275,13 +287,21 @@ class ApiHandler(BaseHTTPRequestHandler):
                         "get": {"summary": "latest data-channel block "
                                            "(chanalyzer/LoRa/DSD/ATV/DATV)"}},
                     "/sdrangel/presets": {"get": {}},
-                    "/sdrangel/preset": {"post": {"summary": "save"}},
+                    "/sdrangel/preset": {"post": {"summary": "save"},
+                                         "delete": {}},
+                    "/sdrangel/preset/{group}/{name}": {"delete": {}},
                     "/sdrangel/preset/load": {"post": {}},
                     "/sdrangel/preset/file": {
                         "put": {"summary": "import preset from file"},
                         "post": {"summary": "export preset to file"}},
+                    "/sdrangel/config": {
+                        "get": {"summary": "whole-instance config"},
+                        "put": {"summary": "apply an instance config"}},
+                    "/sdrangel/command/{name}": {"get": {}, "delete": {}},
                     "/sdrangel/logging": {"get": {}, "put": {}},
-                    "/sdrangel/audio": {"get": {"summary": "audio egress list"}},
+                    "/sdrangel/audio": {
+                        "get": {"summary": "audio egress list + prefs"},
+                        "patch": {"summary": "set audio prefs"}},
                     "/sdrangel/location": {"get": {}, "put": {}},
                     "/sdrangel/profile": {
                         "post": {"summary": "capture a JAX profiler trace "
@@ -335,21 +355,33 @@ class ApiHandler(BaseHTTPRequestHandler):
                                               "kind": kind,
                                               "destination": ch.settings[key]})
                 return self._json(
-                    200, {"nbOutputDevices": len(sinks), "outputs": sinks}
+                    200, {"nbOutputDevices": len(sinks), "outputs": sinks,
+                          **getattr(s, "audio_prefs", _AUDIO_DEFAULTS)}
                 )
             if p == "/sdrangel/location":
                 return self._json(200, dict(getattr(s, "location", None)
                                             or {"latitude": 0.0, "longitude": 0.0}))
             if p == "/sdrangel/commands":
                 return self._json(200, {"commands": sorted(self.session.commands)})
+            if m := _COMMAND_DETAILS.match(p):
+                # command details (the reference returns the stored Command)
+                name = m.group(1)
+                return self._json(200, {"name": name, **s.commands[name]})
             if p == "/sdrangel/presets":
                 return self._json(
                     200, {"presets": sorted(self.session.presets.keys())}
                 )
+            if p == "/sdrangel/config":
+                # instanceConfigGet: the whole instance state as one document
+                return self._json(200, s.config_get())
             if p == "/sdrangel/logging":
-                return self._json(
-                    200, {"consoleLevel": logging.getLevelName(logging.getLogger().level)}
-                )
+                resp = {"consoleLevel": logging.getLevelName(logging.getLogger().level)}
+                if _LOG_FILE["handler"] is not None:
+                    resp["fileName"] = _LOG_FILE["name"]
+                    resp["fileLevel"] = logging.getLevelName(
+                        _LOG_FILE["handler"].level
+                    )
+                return self._json(200, resp)
             return self._error(404, f"unknown path {p}")
         except (IndexError, KeyError) as e:
             return self._error(404, f"not found: {e}")
@@ -473,18 +505,48 @@ class ApiHandler(BaseHTTPRequestHandler):
                     raise _BadRequest("latitude/longitude out of range")
                 s.location = {"latitude": lat, "longitude": lon}
                 return self._json(200, s.location)
+            if p == "/sdrangel/config":
+                # instanceConfigPutPatch: apply a whole-instance config
+                s.config_put(body)
+                return self._json(200, s.config_get())
+            if p == "/sdrangel/audio":
+                prefs = dict(getattr(s, "audio_prefs", _AUDIO_DEFAULTS))
+                unknown = set(body) - set(_AUDIO_DEFAULTS)
+                if unknown:
+                    raise _BadRequest(f"unknown audio prefs: {sorted(unknown)}")
+                prefs.update(body)
+                s.audio_prefs = prefs
+                return self._json(200, prefs)
             if p == "/sdrangel/logging":
-                # console level + optional log file (LoggerWithFile role,
-                # logging/loggerwithfile.h; REST-adjustable like
-                # /sdrangel/logging in swagger.yaml:124-167)
+                # console level + optional rotated log file (LoggerWithFile
+                # role, logging/loggerwithfile.h:37-44; REST-adjustable like
+                # /sdrangel/logging, swagger.yaml:124-167). Idempotent: the
+                # file handler is a singleton — repeated PUTs reconfigure it
+                # rather than stacking duplicates.
                 level = body.get("consoleLevel", "INFO")
+                if not isinstance(logging.getLevelName(level), int):
+                    raise _BadRequest(f"unknown log level {level!r}")
                 logging.getLogger().setLevel(level)
                 resp = {"consoleLevel": level}
-                if body.get("fileName"):
-                    fh = logging.FileHandler(body["fileName"])
-                    fh.setLevel(body.get("fileLevel", level))
-                    logging.getLogger().addHandler(fh)
-                    resp["fileName"] = body["fileName"]
+                with _PROFILE_LOCK:
+                    if "fileName" in body and _LOG_FILE["handler"] is not None:
+                        logging.getLogger().removeHandler(_LOG_FILE["handler"])
+                        _LOG_FILE["handler"].close()
+                        _LOG_FILE["handler"] = None
+                        _LOG_FILE["name"] = None
+                    if body.get("fileName"):
+                        from logging.handlers import RotatingFileHandler
+
+                        fh = RotatingFileHandler(
+                            body["fileName"],
+                            maxBytes=int(body.get("maxBytes", 10 << 20)),
+                            backupCount=int(body.get("backupCount", 3)),
+                        )
+                        fh.setLevel(body.get("fileLevel", level))
+                        logging.getLogger().addHandler(fh)
+                        _LOG_FILE["handler"] = fh
+                        _LOG_FILE["name"] = body["fileName"]
+                        resp["fileName"] = body["fileName"]
                 return self._json(200, resp)
             return self._error(404, f"unknown path {p}")
         except (_BadRequest, ValueError) as e:
@@ -507,6 +569,18 @@ class ApiHandler(BaseHTTPRequestHandler):
                 ds = s.device_sets[int(m.group(1))]
                 ds.remove_channel(int(m.group(2)))
                 return self._json(200, {"channelcount": len(ds.channels)})
+            if m := _PRESET_KEY.match(p):
+                # instancePresetDelete (webapiadapterinterface.h URL table)
+                s.delete_preset(m.group(1), m.group(2))
+                return self._json(200, {"presets": sorted(s.presets)})
+            if p == "/sdrangel/preset":
+                body = self._body()
+                s.delete_preset(body.get("groupName", "default"),
+                                body.get("name", "preset"))
+                return self._json(200, {"presets": sorted(s.presets)})
+            if m := _COMMAND_DETAILS.match(p):
+                s.delete_command(m.group(1))
+                return self._json(200, {"commands": sorted(s.commands)})
             return self._error(404, f"unknown path {p}")
         except (IndexError, KeyError) as e:
             return self._error(404, f"not found: {e}")

@@ -637,6 +637,7 @@ class SinkSettings:
     sample_rate: float = 384000.0
     center_frequency: float = 0.0
     log2_interp: int = 0
+    throttle: bool = False  # True = real-time pacing (a DAC-clock stand-in)
 
 
 class TxDeviceSet:
@@ -731,32 +732,39 @@ class TxDeviceSet:
                 return np.sin(2 * np.pi * tones[c] * t).astype(np.float32)
 
             block_seconds = pipe.device_block / self.sink.sample_rate
-            parts = []
             b = 0
             state = pipe.init_state()
             import jax.numpy as jnp
 
+            # continuous filesink: header first, payload appended per block
+            # (dspdevicesinkengine work() never stops on its own; the r1
+            # 64-block break is gone — the stream runs until stop())
+            writer = sdriq.SdriqWriter(
+                self.sink.file_path,
+                sample_rate=int(self.sink.sample_rate),
+                center_frequency=int(self.sink.center_frequency),
+            )
             while not self._stop.is_set():
                 t0 = time.perf_counter()
                 afs = [jnp.asarray(af(b, c, 4096)) for c in range(len(specs))]
                 state, out = pipe._step(state, afs)
-                parts.append(np.asarray(out))
+                writer.write(np.asarray(out))
                 for i, ch in enumerate(self.channels):
                     ch.audio_samples += 4096
                 self.blocks_processed += 1
                 dt = time.perf_counter() - t0
                 self.realtime_factor = block_seconds / max(dt, 1e-9)
                 b += 1
-                if len(parts) >= 64:  # bound memory; flush incrementally
-                    break
-            raw = np.concatenate(parts, axis=0) if parts else np.zeros((0, 2), np.int16)
-            sdriq.write(
-                self.sink.file_path, raw, sample_rate=int(self.sink.sample_rate),
-                center_frequency=int(self.sink.center_frequency),
-            )
+                if self.sink.throttle and dt < block_seconds:
+                    time.sleep(block_seconds - dt)
+            writer.close()
         except Exception as e:
             self.error = f"{type(e).__name__}: {e}"
         finally:
+            try:
+                writer.close()
+            except Exception:
+                pass
             for src in udp_srcs.values():
                 try:
                     src.close()
@@ -780,15 +788,23 @@ class Session:
     Presets persist to a JSON file (the reference stores Base64-TLV blobs in
     QSettings, mainsettings.cpp; JSON is the idiomatic equivalent here)."""
 
-    def __init__(self, preset_path: str | None = None):
+    def __init__(self, preset_path: str | None = None,
+                 preset_dir: str | None = None):
+        import os
+
         self.device_sets: list[DeviceSet] = []
         self.presets: dict[str, dict] = {}
         self.commands: dict[str, dict] = {}
         self.start_time = time.time()
         self.preset_path = preset_path
+        # preset file import/export confinement (see _preset_file_path)
+        self.preset_dir = preset_dir or os.environ.get(
+            "SDRANGEL_TPU_PRESET_DIR",
+            os.path.dirname(os.path.abspath(preset_path)) if preset_path
+            else os.path.join(os.path.expanduser("~"), ".sdrangel_tpu", "presets"),
+        )
         if preset_path:
             import json
-            import os
 
             if os.path.exists(preset_path):
                 with open(preset_path) as f:
@@ -817,6 +833,9 @@ class Session:
 
     def set_command(self, name: str, command: str, args: str = "") -> None:
         self.commands[name] = {"command": command, "args": args}
+
+    def delete_command(self, name: str) -> None:
+        del self.commands[name]
 
     def run_command(self, name: str, api_port: int = 8091) -> dict:
         """Run a stored command; %1 in args substitutes the API address
@@ -921,12 +940,39 @@ class Session:
                     {"inputFrequencyOffset": ch["inputFrequencyOffset"], **ch["settings"]},
                 )
 
+    def delete_preset(self, group: str, name: str) -> None:
+        """instancePresetDelete (webapiadapterinterface.h preset URL table)."""
+        del self.presets[f"{group}/{name}"]
+        self._persist_presets()
+
+    def _preset_file_path(self, path: str) -> str:
+        """Resolve a preset file path inside the presets directory.
+
+        The REST API is unauthenticated (like the reference's); unrestricted
+        server-side paths would allow JSON read/write anywhere the process
+        can touch. Paths are confined to `preset_dir` (default: alongside
+        the preset store; override with the SDRANGEL_TPU_PRESET_DIR env or
+        Session(preset_dir=...)). Absolute paths inside the dir are allowed.
+        """
+        import os
+
+        base = os.path.realpath(self.preset_dir)
+        os.makedirs(base, exist_ok=True)
+        resolved = os.path.realpath(
+            path if os.path.isabs(path) else os.path.join(base, path)
+        )
+        if resolved != base and not resolved.startswith(base + os.sep):
+            raise ValueError(
+                f"preset file path must stay inside the presets directory {base}"
+            )
+        return resolved
+
     def export_preset_file(self, group: str, name: str, path: str) -> None:
         """Server-side preset export (the reference's POST
         /sdrangel/preset/file, webapiadaptersrv.cpp instancePresetFilePost)."""
         import json
 
-        with open(path, "w") as f:
+        with open(self._preset_file_path(path), "w") as f:
             json.dump(self.presets[f"{group}/{name}"], f, indent=1)
 
     def import_preset_file(self, path: str) -> str:
@@ -934,7 +980,7 @@ class Session:
         holds one preset object as written by export."""
         import json
 
-        with open(path) as f:
+        with open(self._preset_file_path(path)) as f:
             preset = json.load(f)
         if not isinstance(preset, dict) or "deviceSets" not in preset:
             raise ValueError("not a preset file (missing deviceSets)")
@@ -942,3 +988,23 @@ class Session:
         self.presets[key] = preset
         self._persist_presets()
         return key
+
+    # -- instance config (GET/PUT /sdrangel/config: the whole instance state
+    # as one document — the reference's instanceConfigGet/Put) ---------------
+
+    def config_get(self) -> dict:
+        snap = self.save_preset("__config__", "current")
+        self.presets.pop("__config__/current", None)
+        self._persist_presets()
+        return {k: v for k, v in snap.items() if k not in ("group", "name")}
+
+    def config_put(self, config: dict) -> None:
+        if "deviceSets" not in config:
+            raise ValueError("config must contain deviceSets")
+        self.presets["__config__/incoming"] = {
+            "group": "__config__", "name": "incoming", **config
+        }
+        try:
+            self.load_preset("__config__", "incoming")
+        finally:
+            self.presets.pop("__config__/incoming", None)

@@ -577,10 +577,21 @@ def test_preset_file_roundtrip(api, tmp_path):
     code, _ = _req(base, "/sdrangel/preset", "POST",
                    {"groupName": "g", "name": "p1"})
     assert code == 200
+    session.preset_dir = str(tmp_path)  # confine file I/O to the test dir
     path = str(tmp_path / "p1.json")
     code, body = _req(base, "/sdrangel/preset/file", "POST",
                       {"groupName": "g", "name": "p1", "filePath": path})
     assert code == 200 and body["exported"] == path
+    # paths escaping the presets directory are rejected (ADVICE r1: the
+    # unauthenticated API must not write arbitrary server-side paths)
+    code, _ = _req(base, "/sdrangel/preset/file", "POST",
+                   {"groupName": "g", "name": "p1",
+                    "filePath": "/tmp/outside_preset_dir.json"})
+    assert code == 400
+    code, _ = _req(base, "/sdrangel/preset/file", "POST",
+                   {"groupName": "g", "name": "p1",
+                    "filePath": "../escape.json"})
+    assert code == 400
     session.presets.clear()
     code, body = _req(base, "/sdrangel/preset/file", "PUT", {"filePath": path})
     assert code == 200 and body["imported"] == "g/p1"
@@ -894,3 +905,93 @@ def test_spectrum_settings(api):
     arr = np.asarray(spec["spectrum"])
     peak = int(np.argmax(arr))
     assert abs(peak - (256 + 64)) <= 2  # +24 kHz of 192 kHz in 512 bins
+
+
+def test_preset_and_command_delete(api):
+    base, session = api
+    _req(base, "/sdrangel/preset", "POST", {"groupName": "g", "name": "del"})
+    code, body = _req(base, "/sdrangel/presets")
+    assert "g/del" in body["presets"]
+    code, body = _req(base, "/sdrangel/preset/g/del", "DELETE")
+    assert code == 200 and "g/del" not in body["presets"]
+    code, _ = _req(base, "/sdrangel/preset/g/del", "DELETE")
+    assert code == 404
+
+    _req(base, "/sdrangel/command", "POST",
+         {"name": "hello", "command": "echo", "args": "hi"})
+    code, body = _req(base, "/sdrangel/command/hello")
+    assert code == 200 and body["command"] == "echo"
+    code, body = _req(base, "/sdrangel/command/hello", "DELETE")
+    assert code == 200 and body["commands"] == []
+    code, _ = _req(base, "/sdrangel/command/hello")
+    assert code == 404
+
+
+def test_instance_config_roundtrip(api):
+    """GET /sdrangel/config captures the whole instance; PUT restores it
+    (instanceConfigGet/Put role)."""
+    base, session = api
+    _req(base, "/sdrangel/devicesets", "POST")
+    _req(base, "/sdrangel/deviceset/0/device/settings", "PATCH",
+         {"kind": "testsource", "sample_rate": 384000.0})
+    _req(base, "/sdrangel/deviceset/0/channel", "POST",
+         {"channelType": "sdrangel.channel.nfmdemod",
+          "inputFrequencyOffset": 10000.0})
+    code, config = _req(base, "/sdrangel/config")
+    assert code == 200 and len(config["deviceSets"]) == 1
+
+    # wipe, then restore from the captured config
+    _req(base, "/sdrangel/devicesets", "DELETE")
+    code, body = _req(base, "/sdrangel/devicesets")
+    assert body["devicesetcount"] == 0
+    code, restored = _req(base, "/sdrangel/config", "PUT", config)
+    assert code == 200
+    code, body = _req(base, "/sdrangel/deviceset/0/channel/0/settings")
+    assert code == 200 and body["channelType"] == "sdrangel.channel.nfmdemod"
+    code, _ = _req(base, "/sdrangel/config", "PUT", {"bogus": 1})
+    assert code == 400
+
+
+def test_audio_prefs(api):
+    base, _ = api
+    code, body = _req(base, "/sdrangel/audio")
+    assert code == 200 and body["audioSampleRate"] == 48000
+    assert "outputs" in body
+    code, body = _req(base, "/sdrangel/audio", "PATCH", {"udpPort": 7000})
+    assert code == 200 and body["udpPort"] == 7000
+    code, _ = _req(base, "/sdrangel/audio", "PATCH", {"nope": 1})
+    assert code == 400
+
+
+def test_logging_idempotent_and_rotating(api, tmp_path):
+    """Repeated PUT /sdrangel/logging reconfigures ONE file handler instead
+    of stacking duplicates (r1 bug: every PUT added a FileHandler), and the
+    handler rotates (loggerwithfile.h:37-44 semantics)."""
+    import logging as _logging
+
+    base, _ = api
+    f1 = str(tmp_path / "a.log")
+    f2 = str(tmp_path / "b.log")
+    root = _logging.getLogger()
+    before = len(root.handlers)
+    code, _ = _req(base, "/sdrangel/logging", "PUT",
+                   {"consoleLevel": "INFO", "fileName": f1})
+    assert code == 200
+    code, _ = _req(base, "/sdrangel/logging", "PUT",
+                   {"consoleLevel": "INFO", "fileName": f2})
+    assert code == 200
+    assert len(root.handlers) == before + 1  # singleton, not stacked
+    from logging.handlers import RotatingFileHandler
+
+    fh = [h for h in root.handlers if isinstance(h, RotatingFileHandler)]
+    assert len(fh) == 1 and fh[0].baseFilename == f2
+    code, body = _req(base, "/sdrangel/logging")
+    assert body.get("fileName") == f2
+    # close it out (and check unknown level is a 400)
+    code, _ = _req(base, "/sdrangel/logging", "PUT", {"consoleLevel": "NOPE"})
+    assert code == 400
+    code, _ = _req(base, "/sdrangel/logging", "PUT",
+                   {"consoleLevel": "INFO", "fileName": ""})
+    assert code == 200
+    assert len([h for h in root.handlers
+                if isinstance(h, RotatingFileHandler)]) == 0

@@ -100,3 +100,39 @@ def test_tx_two_channel_merge(tmp_path):
     noise = np.median(spec)
     assert power_near(60_000.0) > 50 * noise
     assert power_near(-90_000.0) > 50 * noise
+
+
+def test_tx_runs_continuously_past_64_blocks(tmp_path):
+    """The Tx worker streams to .sdriq incrementally and does NOT stop on
+    its own (r1 bug: a 64-block break silently finished a 'running' set;
+    the reference's DSPDeviceSinkEngine work loop runs until stopped)."""
+    import os
+    import time
+
+    from sdrangel_tpu.runtime.session import Session
+
+    s = Session()
+    ds = s.add_device_set("tx")
+    ds.sink.file_path = str(tmp_path / "cont.sdriq")
+    ds.add_channel("sdrangel.channeltx.modnfm", {"toneFrequency": 800.0})
+    ds.start()
+    deadline = time.time() + 120.0
+    size_at_64 = None
+    while time.time() < deadline:
+        if ds.blocks_processed >= 80:
+            break
+        if ds.blocks_processed >= 64 and size_at_64 is None:
+            size_at_64 = os.path.getsize(ds.sink.file_path)
+        if not ds.running:
+            raise AssertionError(f"tx stopped early: {ds.error}")
+        time.sleep(0.02)
+    assert ds.blocks_processed >= 80, "tx did not pass 64 blocks"
+    assert ds.running and not ds.error
+    ds.stop()
+    # the stream was flushed incrementally and is a valid capture
+    from sdrangel_tpu.io import sdriq
+
+    info, mm = sdriq.open_mmap(ds.sink.file_path)
+    assert info.n_samples > 0
+    final = os.path.getsize(ds.sink.file_path)
+    assert size_at_64 is None or final > size_at_64
