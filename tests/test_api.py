@@ -662,6 +662,7 @@ def test_profile_endpoint(api, tmp_path):
     assert found, f"no trace artifacts under {out}"
 
 
+@pytest.mark.slow
 def test_tx_udp_af_ingest(api, tmp_path):
     """afUdp on a Tx channel sources the modulator AF from UDP mono16
     datagrams (the reference's channeltx/udpsink ingest role): the recorded

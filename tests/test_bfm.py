@@ -4,6 +4,7 @@ multiplex — end-to-end through the BFM channel."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from sdrangel_tpu.channels import demod_bfm, rds
 
@@ -104,6 +105,7 @@ def test_rds_codec_roundtrip():
     assert dec.status.pty_name == "Education"
 
 
+@pytest.mark.slow
 def test_rds_through_bfm_channel():
     """Full chain: RDS bits -> 57 kHz subcarrier in the MPX -> FM -> BFM
     channel -> RDS baseband -> decoder recovers PI and PS name."""

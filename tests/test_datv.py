@@ -3,6 +3,7 @@ TPU front end (mix, RRC, symbol sync) -> host FEC chain -> TS packets."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from sdrangel_tpu.channels import demod_datv, dvbs
 
@@ -95,6 +96,7 @@ def _dvbs_waveform(ts_packets: np.ndarray, cfg) -> np.ndarray:
     return (x[0] + 1j * x[1]).astype(np.complex64) * 0.4
 
 
+@pytest.mark.slow
 def test_datv_through_session_rest(tmp_path):
     """Full DATV pipeline through the session + REST: a DVB-S capture file
     is demodulated on the device, FEC-decoded and TS-demuxed on the host,

@@ -2,10 +2,12 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from sdrangel_tpu.channels import demod_dsd
 
 
+@pytest.mark.slow
 def test_4fsk_dibit_recovery():
     cfg = demod_dsd.DSDConfig(channel_rate=48000.0, squelch_db=-90.0)
     sps = cfg.sps

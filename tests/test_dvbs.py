@@ -97,6 +97,7 @@ def test_punctured_viterbi(rate):
     assert (decoded[:n] == bits[:n]).mean() > 0.999
 
 
+@pytest.mark.slow
 def test_recover_ts_rates_and_rotations():
     """recover_ts resolves the joint (QPSK rotation x puncture phase x bit
     alignment) ambiguity at every DVB-S FEC rate — verified by RS, because

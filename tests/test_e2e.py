@@ -118,6 +118,7 @@ def test_two_channels_one_pass(tmp_path):
     assert snr_am > 20.0, f"AM {snr_am:.1f} dB"
 
 
+@pytest.mark.slow
 def test_cli_info_and_demod(tmp_path):
     """Drive the actual CLI surface."""
     path = str(tmp_path / "c.sdriq")

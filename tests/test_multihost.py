@@ -25,6 +25,7 @@ def _free_port() -> int:
     return port
 
 
+@pytest.mark.slow
 def test_two_process_mesh_matches_single(tmp_path):
     block, n_blocks = 1 << 15, 2
     rate = 768_000.0

@@ -5,6 +5,7 @@ Goertzel detectors, IIR filters."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from sdrangel_tpu.dsp import agc, goertzel, iir, movingavg, phasediscri, scanops, squelch
 from sdrangel_tpu.dsp.types import np_tone
@@ -67,6 +68,7 @@ def test_saturating_counter_matches_loop():
     np.testing.assert_allclose(np.asarray(out), oracle, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_ema_matches_loop():
     rng = np.random.default_rng(17)
     x = rng.standard_normal(200).astype(np.float32)
@@ -166,6 +168,7 @@ def test_squelch_block_continuity():
 
 # --- IIR -------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_biquad_matches_loop():
     b, a = iir.bandpass_biquad_coeffs(1000.0, 48000.0)
     rng = np.random.default_rng(31)

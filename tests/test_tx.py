@@ -102,6 +102,7 @@ def test_tx_two_channel_merge(tmp_path):
     assert power_near(-90_000.0) > 50 * noise
 
 
+@pytest.mark.slow
 def test_tx_runs_continuously_past_64_blocks(tmp_path):
     """The Tx worker streams to .sdriq incrementally and does NOT stop on
     its own (r1 bug: a 64-block break silently finished a 'running' set;
