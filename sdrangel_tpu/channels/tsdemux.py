@@ -72,6 +72,7 @@ class TsDemux:
         self.continuity_errors = 0
         self._last_cc: dict[int, int] = {}
         self._section_buf: dict[int, bytearray] = {}
+        self._pes_hdr: dict[int, bytearray] = {}  # PES headers spanning packets
         self.max_buffer = max_buffer
 
     # -- public ------------------------------------------------------------
@@ -83,9 +84,17 @@ class TsDemux:
         pos = 0
         while pos + TS_PACKET <= len(buf):
             if buf[pos] != SYNC:
-                # resync: scan for the next 0x47 with another one 188 later
+                # resync: scan for the next 0x47 that is CONFIRMED by another
+                # one 188 later (when enough bytes are buffered to check) —
+                # otherwise a 0x47 payload byte locks parsing onto garbage
                 nxt = buf.find(b"\x47", pos + 1)
                 self.sync_losses += 1
+                while (
+                    0 <= nxt
+                    and nxt + TS_PACKET < len(buf)
+                    and buf[nxt + TS_PACKET] != SYNC
+                ):
+                    nxt = buf.find(b"\x47", nxt + 1)
                 if nxt < 0:
                     pos = len(buf)
                     break
@@ -210,12 +219,23 @@ class TsDemux:
     def _pes(self, pid: int, payload: bytes, pusi: bool) -> None:
         if pid not in self.pes_payloads:
             return  # not an elementary stream we know about
-        buf = self.pes_payloads[pid]
-        if pusi and len(payload) >= 9 and payload[:3] == b"\x00\x00\x01":
-            header_len = payload[8]
-            flags = payload[7]
-            if (flags & 0x80) and len(payload) >= 14:  # PTS present
-                p = payload[9:14]
+        # A PES header (9 + header_len bytes) may span TS packets: buffer it
+        # per pid until complete, so trailing header bytes in continuation
+        # packets are skipped (not leaked into the ES) and a split PTS field
+        # is still decoded.
+        if pusi and len(payload) >= 3 and payload[:3] == b"\x00\x00\x01":
+            self._pes_hdr[pid] = bytearray(payload)
+            payload = b""
+        elif pid in self._pes_hdr:
+            self._pes_hdr[pid] += payload
+            payload = b""
+        if pid in self._pes_hdr:
+            hdr = self._pes_hdr[pid]
+            if len(hdr) < 9 or len(hdr) < 9 + hdr[8]:
+                return  # header still incomplete; wait for the next packet
+            flags = hdr[7]
+            if (flags & 0x80) and hdr[8] >= 5:  # PTS present
+                p = hdr[9:14]
                 pts = (
                     ((p[0] >> 1) & 0x7) << 30
                     | p[1] << 22
@@ -225,7 +245,9 @@ class TsDemux:
                 )
                 self.pts.setdefault(pid, []).append(pts)
                 del self.pts[pid][:-64]
-            payload = payload[9 + header_len :]
+            payload = bytes(hdr[9 + hdr[8] :])
+            del self._pes_hdr[pid]
+        buf = self.pes_payloads[pid]
         if len(buf) + len(payload) <= self.max_buffer:
             buf += payload
 

@@ -105,3 +105,53 @@ def test_section_spanning_with_pointer():
     info = d.programs[9]
     assert len(info.streams) == 36, len(info.streams)
     assert info.pcr_pid == 0x300
+
+
+def test_pes_header_spanning_packet_boundary():
+    """A PES header longer than the PUSI packet's payload (stuffed
+    header_len): its tail bytes arrive in the continuation packet and must
+    be skipped — not leaked into the elementary stream — and the PTS (split
+    across packets when header_len pushes it out) still decodes."""
+    pid = 0x200
+    pts = 1_234_567
+    p = bytes([
+        0x21 | (((pts >> 30) & 0x7) << 1),
+        (pts >> 22) & 0xFF,
+        0x01 | (((pts >> 15) & 0x7F) << 1),
+        (pts >> 7) & 0xFF,
+        0x01 | ((pts & 0x7F) << 1),
+    ])
+    header_len = 230  # 9 + 230 = 239 bytes of header > one 184-byte payload
+    es = bytes(range(64)) * 3
+    pes = (b"\x00\x00\x01\xe0\x00\x00" + bytes([0x80, 0x80, header_len])
+           + p + b"\xff" * (header_len - 5) + es)
+    pkts, cc, first = [], 0, True
+    data = pes
+    while data:
+        chunk, data = data[:184], data[184:]
+        hdr = bytes([tsdemux.SYNC, (0x40 if first else 0) | (pid >> 8),
+                     pid & 0xFF, 0x10 | (cc & 0xF)])
+        pkts.append(hdr + chunk + b"\xff" * (184 - len(chunk)))
+        cc += 1
+        first = False
+    # last packet's 0xff padding would leak into the ES; trim es to fill
+    d = tsdemux.TsDemux()
+    d.pes_payloads[pid] = bytearray()
+    d.feed(b"".join(pkts))
+    got = d.drain_pes(pid)
+    assert got[: len(es)] == es  # no header bytes leaked before the ES
+    assert set(got[len(es):]) <= {0xFF}  # only TS stuffing follows
+    assert d.pts[pid] == [pts]
+
+
+def test_resync_rejects_payload_sync_byte():
+    """Resync must not lock onto a 0x47 PAYLOAD byte: the candidate is
+    confirmed by another 0x47 exactly 188 bytes later."""
+    pkts, video, _ = _make_stream()
+    raw = b"".join(pkts)
+    # garbage prefix CONTAINING a 0x47 at a non-packet offset
+    garbage = b"\x01\x02\x47\x03\x04\x05\x06"
+    d = tsdemux.TsDemux()
+    d.feed(garbage + raw)
+    assert d.sync_losses >= 1
+    assert d.drain_pes(0x200) == video  # nothing consumed by a false lock
