@@ -45,6 +45,16 @@ def freq_to_increment_traced(freq, sample_rate) -> jnp.ndarray:
     return (turns * jnp.float32(1 << _WHEEL_BITS)).astype(jnp.uint32)
 
 
+_CHUNK = 128  # outer-product factor width (one TPU lane tile)
+
+
+def _phasor(phase_u32: jnp.ndarray) -> jnp.ndarray:
+    ang = phase_u32.astype(jnp.float32) * jnp.float32(
+        2.0 * np.pi / (1 << _WHEEL_BITS)
+    )
+    return (jnp.cos(ang) + 1j * jnp.sin(ang)).astype(jnp.complex64)
+
+
 def nco_block(
     state: NCOState, increment: jnp.ndarray, length: int
 ) -> tuple[NCOState, jnp.ndarray]:
@@ -52,13 +62,28 @@ def nco_block(
 
     increment: (...,) uint32 (broadcast against state.phase).
     Returns (state', iq) with iq: (..., length) complex64.
+
+    Outer-product form: with n = 128·q + r, e^{iφ[n]} =
+    e^{i(φ0 + 128·inc·q)} · e^{i·inc·r} — uint32 wheel arithmetic (exact
+    wrap) only on the two factor vectors, one complex multiply per sample.
+    The per-element transcendentals/uint32-multiplies of the naive ramp were
+    67% of the NFM demod's device time (round-2 profile); factor rounding
+    adds ~1e-7 phase error, far inside the 32-bit wheel's own f32 cast.
     """
     inc = jnp.asarray(increment, dtype=jnp.uint32)
-    n = jnp.arange(length, dtype=jnp.uint32)
-    # uint32 arithmetic wraps — the phase wheel is exact over any stream length.
-    phases = state.phase[..., None] + inc[..., None] * n
-    angle = phases.astype(jnp.float32) * jnp.float32(2.0 * np.pi / (1 << _WHEEL_BITS))
-    iq = jnp.cos(angle) + 1j * jnp.sin(angle)
+    batch = jnp.broadcast_shapes(state.phase.shape, inc.shape)
+    if length % _CHUNK == 0 and length >= 2 * _CHUNK:
+        q = jnp.arange(length // _CHUNK, dtype=jnp.uint32)
+        r = jnp.arange(_CHUNK, dtype=jnp.uint32)
+        pq = state.phase[..., None] + (inc[..., None] * jnp.uint32(_CHUNK)) * q
+        pr = inc[..., None] * r
+        iq = _phasor(pq)[..., :, None] * _phasor(pr)[..., None, :]
+        iq = iq.reshape(*batch, length)
+    else:
+        n = jnp.arange(length, dtype=jnp.uint32)
+        # uint32 arithmetic wraps — the wheel is exact over any stream length
+        iq = _phasor(state.phase[..., None] + inc[..., None] * n)
+        iq = jnp.broadcast_to(iq, (*batch, length))
     new_phase = state.phase + inc * jnp.uint32(length)
     return NCOState(new_phase), iq.astype(jnp.complex64)
 

@@ -76,6 +76,21 @@ class SourceSettings:
     # Rx IQ record: non-empty -> the running device stream is recorded to
     # this .sdriq path (the FileRecord direct-sink role, filerecord.h:17-23)
     record_file: str = ""
+    # Sharded acquisition: run this device set through the mesh-sharded
+    # pipeline (parallel/sharded.py) instead of the single-device engine —
+    # a distributed launch is a session flag, not a worker script (SURVEY §5
+    # distributed backend; under jax.distributed each process feeds only its
+    # addressable shards via parallel/hostfeed.py and publishes only its
+    # addressable channels' reports/audio).
+    sharded: bool = False
+    mesh_time: int = 0  # 0 = auto: all devices / mesh_channel
+    mesh_channel: int = 1
+    sharded_block: int = 0  # device-rate samples per step (0 = auto)
+    # >0: acquisition ends itself after N blocks (play-once). Required for
+    # clean multi-process sharded shutdown: every process leaves the
+    # collective step loop at the same block instead of racing stop()
+    # against a peer already blocked inside the next step's collectives.
+    run_blocks: int = 0
 
 
 _FIELD_TYPES = {"str": str, "float": float, "int": int, "bool": bool}
@@ -426,7 +441,216 @@ class DeviceSet:
             dyn.append(d)
         return dyn, rebuild
 
+    def _bank_plan(self, n_channel: int):
+        """Group this set's channels into homogeneous BankGroups for the
+        sharded pipeline. Returns (groups, chmap): chmap[g] lists the channel
+        indices occupying group g's bank rows, in order. Caller holds the
+        lock."""
+        from ..parallel.sharded import BankGroup
+
+        order: list = []
+        by_key: dict = {}
+        for idx, ch in enumerate(self.channels):
+            kind = REGISTRY.get(ch.uri)
+            if kind is None or kind.output != "audio":
+                raise ValueError(
+                    f"sharded device sets support audio channel kinds; "
+                    f"channel {idx} is {ch.uri}"
+                )
+            if "offset_hz" not in kind.dynamic_fields:
+                raise ValueError(
+                    f"{ch.uri} cannot run sharded (offset is not a traced arg)"
+                )
+            st = {k: v for k, v in ch.settings.items()
+                  if k not in registry.SESSION_KEYS}
+            key = (ch.uri, tuple(sorted(st.items())))
+            if key not in by_key:
+                by_key[key] = []
+                order.append(key)
+            by_key[key].append(idx)
+        groups, chmap = [], []
+        for key in order:
+            idxs = by_key[key]
+            if len(idxs) % n_channel:
+                raise ValueError(
+                    f"{key[0]}: {len(idxs)} channels with identical settings "
+                    f"needed in multiples of the mesh channel axis {n_channel}"
+                )
+            groups.append(BankGroup(key[0], len(idxs), dict(key[1])))
+            chmap.append(idxs)
+        return tuple(groups), chmap
+
+    def _work_sharded(self) -> None:
+        """Sharded engine thread: the mesh-sharded pipeline as the device
+        set's acquisition loop. Same generation semantics as _work; audio
+        and reports are published per addressable channel shard, so under
+        jax.distributed every process serves its own channels."""
+        import jax
+        import jax.numpy as jnp  # noqa: F401  (device arrays built below)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel import sharded as shmod
+        from ..parallel.hostfeed import ShardedSdriqFeeder
+
+        wav_writers: dict = {}
+        net_sinks: dict = {}
+        pos_blocks = 0  # block index (survives rebuilds)
+        try:
+            while not self._stop.is_set():
+                with self._lock:
+                    gen = self._gen
+                    src = self.source
+                    if not src.sharded:
+                        return  # mode flipped: _work re-dispatches
+                    n_channel = max(1, int(src.mesh_channel))
+                    n_devices = len(jax.devices())
+                    n_time = int(src.mesh_time) or max(1, n_devices // n_channel)
+                    groups, chmap = self._bank_plan(n_channel)
+                    if src.kind == "filesource" and src.file_path:
+                        info = sdriq.read_header(src.file_path)
+                        src.sample_rate = float(info.sample_rate)
+                        if info.center_frequency:
+                            src.center_frequency = float(info.center_frequency)
+                    self._sync_sinks(wav_writers, net_sinks)
+                if not groups:
+                    time.sleep(0.05)
+                    continue
+                align = (4 << src.log2_decim) * n_time
+                block = int(src.sharded_block) or (1 << 17)
+                block = max(block // align, 1) * align
+                cfg = shmod.ShardedPipelineConfig(
+                    n_time=n_time, n_channel=n_channel,
+                    device_rate=src.sample_rate, log2_decim=src.log2_decim,
+                    fc_pos=src.fc_pos, block=block, bank=groups,
+                )
+                mesh = shmod.make_mesh(n_time, n_channel)
+                step, init_fn = shmod.build_sharded_step(cfg, mesh)
+                state, carry = init_fn()
+                in_sharding = NamedSharding(mesh, P("time", None))
+                if src.kind == "filesource":
+                    feeder = ShardedSdriqFeeder(src.file_path, mesh, block)
+                    read_block = feeder.block
+                elif src.kind == "testsource":
+                    tcfg = testsource.TestSourceConfig(
+                        sample_rate=src.sample_rate,
+                        carrier_freq=src.carrier_freq,
+                        modulation=src.modulation,
+                        tone_freq=src.tone_freq,
+                        amplitude=src.amplitude,
+                    )
+
+                    def read_block(b, _block=block, _cfg=tcfg):
+                        base = b * _block
+
+                        def cb(index):
+                            sl = index[0]
+                            start = base + (sl.start or 0)
+                            count = (sl.stop if sl.stop is not None
+                                     else _block) - (sl.start or 0)
+                            c = testsource.generate(_cfg, count, start_sample=start)
+                            out = np.empty((count, 2), np.int16)
+                            out[:, 0] = np.clip(c.real * 32768.0, -32768, 32767)
+                            out[:, 1] = np.clip(c.imag * 32768.0, -32768, 32767)
+                            return out
+
+                        return jax.make_array_from_callback(
+                            (_block, 2), in_sharding, cb
+                        )
+                else:
+                    raise ValueError(
+                        f"sharded device sets support filesource/testsource, "
+                        f"not {src.kind!r}"
+                    )
+                off_sharding = NamedSharding(mesh, P("channel"))
+                block_seconds = block / src.sample_rate
+                while not self._stop.is_set():
+                    if src.run_blocks and pos_blocks >= src.run_blocks:
+                        self._stop.set()  # play-once complete
+                        return
+                    with self._lock:
+                        if self._gen != gen:
+                            break  # static change → rebuild between blocks
+                        offsets = tuple(
+                            jax.device_put(
+                                np.asarray(
+                                    [self.channels[i].frequency_offset
+                                     for i in idxs], np.float32),
+                                off_sharding)
+                            for idxs in chmap
+                        )
+                    t0 = time.perf_counter()
+                    state, audio, carry = step(
+                        state, read_block(pos_blocks), carry, offsets
+                    )
+                    audios = audio if isinstance(audio, tuple) else (audio,)
+                    self._publish_sharded(audios, chmap, wav_writers, net_sinks)
+                    dt = time.perf_counter() - t0
+                    self.realtime_factor = block_seconds / max(dt, 1e-9)
+                    pos_blocks += 1
+                    if src.throttle and dt < block_seconds:
+                        time.sleep(block_seconds - dt)
+        except Exception as e:  # StError state
+            self.error = f"{type(e).__name__}: {e}"
+        finally:
+            for _, w in wav_writers.values():
+                try:
+                    w.close()
+                except Exception:
+                    pass
+            for _, sinks in net_sinks.values():
+                for s in sinks:
+                    try:
+                        s.close()
+                    except Exception:
+                        pass
+
+    def _publish_sharded(self, audios, chmap, wav_writers, net_sinks) -> None:
+        """Publish one sharded block: only this process's addressable
+        channel rows (audio is sharded over 'channel', replicated over
+        'time' — duplicate replicas dedup by row index)."""
+        with self._lock:
+            for g, audio in enumerate(audios):
+                rows: dict[int, np.ndarray] = {}
+                for shard in audio.addressable_shards:
+                    r0 = shard.index[0].start or 0
+                    data = np.asarray(shard.data)
+                    for r in range(data.shape[0]):
+                        rows.setdefault(r0 + r, data[r])
+                for row, a in sorted(rows.items()):
+                    ci = chmap[g][row]
+                    ch = self.channels[ci]
+                    # power proxy: post-demod audio RMS (the sharded step
+                    # doesn't return per-channel magsq; the single-device
+                    # engine's report stays the precise one)
+                    ch.channel_power_db = float(
+                        10.0 * np.log10(max(float((a * a).mean()), 1e-12))
+                    )
+                    ch.audio_samples += a.shape[-1]
+                    buf = self._audio_buffers[ci]
+                    buf.append(a)
+                    if len(buf) > self.audio_keep_blocks:
+                        buf.pop(0)
+                    entry = wav_writers.get(id(ch))
+                    if entry is not None:
+                        pcm = np.clip(a * 32768.0, -32768, 32767).astype(np.int16)
+                        entry[1].writeframes(pcm.tobytes())
+                    for sink in net_sinks.get(id(ch), ((), ()))[1]:
+                        sink.write(a)
+            self.blocks_processed += 1
+
     def _work(self) -> None:
+        """Engine thread dispatch: each mode function runs generations until
+        stop, error, or the `sharded` flag flips (then re-dispatch)."""
+        try:
+            while not self._stop.is_set() and not self.error:
+                if self.source.sharded:
+                    self._work_sharded()
+                else:
+                    self._work_regular()
+        finally:
+            self.running = False
+
+    def _work_regular(self) -> None:
         """Engine thread: gotoRunning → block loop → gotoIdle
         (dspdevicesourceengine.cpp:325-408 work loop). The outer loop is a
         settings generation: static config changes break the inner block
@@ -442,6 +666,8 @@ class DeviceSet:
             while not self._stop.is_set():
                 with self._lock:
                     gen = self._gen
+                    if self.source.sharded:
+                        return  # mode flipped: _work re-dispatches
                     pipe, reader = self._build_pipeline()
                     self._sync_sinks(wav_writers, net_sinks)
                     rec_cfg = (self.source.record_file,
@@ -499,7 +725,6 @@ class DeviceSet:
             self._data_sinks.clear()
             if recorder is not None:
                 recorder[1].close()
-            self.running = False
 
     def _publish_block(self, outs, wav_writers: dict, net_sinks: dict) -> None:
         """Drain one block's device outputs into reports/buffers/sinks."""

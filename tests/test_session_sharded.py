@@ -1,0 +1,155 @@
+"""Session-driven sharded acquisition: `source.sharded = True` runs the
+device set through the mesh-sharded pipeline (parallel/sharded.py) with
+hostfeed file slicing — a distributed launch is a session flag, not a
+worker script (VERDICT r1 #8; SURVEY §5 distributed backend row)."""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sdrangel_tpu.io import sdriq, testsource
+from sdrangel_tpu.parallel import sharded
+from sdrangel_tpu.parallel.hostfeed import ShardedSdriqFeeder
+from sdrangel_tpu.runtime.session import Session
+
+
+@pytest.fixture(scope="module")
+def devices():
+    d = jax.devices()
+    if len(d) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return d
+
+
+def _wait_blocks(ds, n, timeout=120.0):
+    t0 = time.time()
+    while ds.blocks_processed < n:
+        assert not ds.error, ds.error
+        assert time.time() - t0 < timeout, (
+            f"only {ds.blocks_processed}/{n} blocks in {timeout}s"
+        )
+        time.sleep(0.02)
+
+
+def _capture(tmp_path, rate, block, n_blocks, carrier=20_000.0):
+    src = testsource.TestSourceConfig(
+        sample_rate=rate, carrier_freq=carrier, modulation="fm",
+        tone_freq=900.0, fm_deviation=5000.0, amplitude=0.4,
+    )
+    iq = testsource.generate(src, block * n_blocks)
+    raw = np.empty((len(iq), 2), np.int16)
+    raw[:, 0] = np.clip(iq.real * 32768, -32768, 32767)
+    raw[:, 1] = np.clip(iq.imag * 32768, -32768, 32767)
+    path = str(tmp_path / "cap.sdriq")
+    sdriq.write(path, raw, sample_rate=int(rate))
+    return path
+
+
+def test_session_sharded_filesource_matches_direct(tmp_path, devices):
+    """A sharded filesource device set produces the same audio as driving
+    build_sharded_step directly with the hostfeed feeder."""
+    rate, block, n_blocks = 768_000.0, 1 << 15, 3
+    cap = _capture(tmp_path, rate, block, n_blocks)
+
+    sess = Session()
+    ds = sess.add_device_set()
+    ds.update_source({
+        "kind": "filesource", "file_path": cap, "log2_decim": 3,
+        "sharded": True, "mesh_time": 4, "mesh_channel": 2,
+        "sharded_block": block,
+    })
+    for _ in range(8):
+        ds.add_channel("sdrangel.channel.nfmdemod", {
+            "inputFrequencyOffset": 20_000.0,
+            "squelch_db": -100.0, "squelch_gate_ms": 1.0,
+        })
+    ds.start()
+    try:
+        _wait_blocks(ds, n_blocks)
+    finally:
+        ds.stop()
+    assert not ds.error, ds.error
+    assert ds.realtime_factor > 0
+
+    got = [ds.drain_audio(c) for c in range(8)]
+
+    # direct oracle: same mesh/bank/feeder
+    cfg = sharded.ShardedPipelineConfig(
+        n_time=4, n_channel=2, log2_decim=3, block=block, device_rate=rate,
+        bank=(sharded.BankGroup("sdrangel.channel.nfmdemod", 8,
+                                {"squelch_db": -100.0,
+                                 "squelch_gate_ms": 1.0}),),
+    )
+    mesh = sharded.make_mesh(4, 2, devices)
+    step, init_fn = sharded.build_sharded_step(cfg, mesh)
+    state, carry = init_fn()
+    feeder = ShardedSdriqFeeder(cap, mesh, block)
+    offsets = jnp.full(8, 20_000.0, jnp.float32)
+    ref_blocks = []
+    for b in range(n_blocks):
+        state, audio, carry = step(state, feeder.block(b), carry, offsets)
+        ref_blocks.append(np.asarray(audio))
+    ref = np.concatenate(ref_blocks, axis=-1)
+
+    assert np.abs(ref).max() > 0.01  # non-vacuous
+    for c in range(8):
+        n = min(len(got[c]), ref.shape[-1])
+        assert n >= ref.shape[-1] // n_blocks * n_blocks  # full blocks arrived
+        np.testing.assert_allclose(got[c][:n], ref[c, :n], atol=1e-6)
+
+
+def test_session_sharded_testsource_and_live_offset(devices):
+    """A sharded testsource set runs; a mid-run inputFrequencyOffset PATCH
+    (a traced knob) changes the audio without stop/start."""
+    sess = Session()
+    ds = sess.add_device_set()
+    ds.update_source({
+        "kind": "testsource", "sample_rate": 768_000.0, "log2_decim": 3,
+        "carrier_freq": 20_000.0, "modulation": "fm", "tone_freq": 1000.0,
+        "sharded": True, "mesh_time": 4, "mesh_channel": 2,
+        "sharded_block": 1 << 15,
+    })
+    for _ in range(8):
+        ds.add_channel("sdrangel.channel.nfmdemod", {
+            "inputFrequencyOffset": 20_000.0,
+            "squelch_db": -100.0, "squelch_gate_ms": 1.0,
+        })
+    ds.start()
+    try:
+        _wait_blocks(ds, 2)
+        on_tune = np.abs(ds.drain_audio(0))
+        # retune far off the carrier (stays within the NCO's reach — no
+        # channelizer in the sharded plan, so any offset is traced)
+        for c in range(8):
+            ds.update_channel(c, {"inputFrequencyOffset": -80_000.0})
+        base = ds.blocks_processed
+        _wait_blocks(ds, base + 3)
+        ds.drain_audio(0)
+        _wait_blocks(ds, base + 5)
+        off_tune = np.abs(ds.drain_audio(0))
+    finally:
+        ds.stop()
+    assert not ds.error, ds.error
+    # tuned on the FM carrier the tone is loud; far off it collapses
+    assert on_tune.max() > 0.05
+    assert np.sqrt((off_tune ** 2).mean()) < 0.5 * np.sqrt((on_tune ** 2).mean())
+
+
+def test_session_sharded_rejects_data_kinds(devices):
+    sess = Session()
+    ds = sess.add_device_set()
+    ds.update_source({"kind": "testsource", "sharded": True,
+                      "mesh_time": 4, "mesh_channel": 2,
+                      "log2_decim": 3, "sharded_block": 1 << 15})
+    ds.add_channel("sdrangel.channel.chanalyzer", {})
+    ds.start()
+    try:
+        t0 = time.time()
+        while not ds.error and time.time() - t0 < 30:
+            time.sleep(0.02)
+    finally:
+        ds.stop()
+    assert "audio channel kinds" in ds.error, ds.error
