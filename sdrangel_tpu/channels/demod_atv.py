@@ -26,13 +26,38 @@ import numpy as np
 from ..dsp import fftfilt, nco, phasediscri
 
 
+@dataclasses.dataclass(frozen=True)
+class ATVStandard:
+    """Line-structure parameters of one ATV standard
+    (atvdemod.cpp applyStandard, atvdemod.cpp:681-733)."""
+
+    lines: int  # default total lines per frame
+    fps: float  # default frame rate
+    sync_lines: int  # m_intNumberOfSyncLines
+    black_lines: int  # m_intNumberOfBlackLines (sync + border)
+    eq_lines: int  # equalizing pulse lines
+    interleaved: bool  # two fields per frame
+
+
+#: ATVStd* table (atvdemod.h:53-61 names; atvdemod.cpp:681-727 values)
+ATV_STANDARDS = {
+    "pal625": ATVStandard(625, 25.0, 44, 48, 3, True),  # PAL-B/G/H
+    "pal525": ATVStandard(525, 30.0, 40, 44, 3, True),  # PAL-M
+    "405": ATVStandard(405, 25.0, 24, 28, 3, True),
+    "shortinterleaved": ATVStandard(90, 25.0, 4, 4, 0, True),
+    "short": ATVStandard(90, 25.0, 4, 4, 0, False),
+    "hskip": ATVStandard(90, 25.0, 0, 0, 0, False),
+}
+
+
 @dataclasses.dataclass(frozen=True, eq=False)
 class ATVConfig:
     channel_rate: float  # e.g. 625 * 15625 = ~9.76 MHz for full PAL lines
     input_offset: float = 0.0
     modulation: str = "am"  # am | fm | usb | lsb
-    lines: int = 625  # PAL625 (ATVStdPAL625)
-    fps: float = 25.0
+    standard: str = "pal625"  # ATVStd* (atvdemod.h:53-61)
+    lines: int = 0  # 0 -> the standard's default lines per frame
+    fps: float = 0.0  # 0 -> the standard's default frame rate
     rf_bandwidth: float = 6_000_000.0
     fm_deviation: float = 2_500_000.0
     sync_level: float = 0.15  # sync tip fraction of full video (0.3/2-ish)
@@ -40,12 +65,36 @@ class ATVConfig:
     fft_filtering: bool = False
     fft_len: int = 1024
 
+    @functools.cached_property
+    def std(self) -> ATVStandard:
+        if self.standard not in ATV_STANDARDS:
+            raise ValueError(
+                f"unknown ATV standard {self.standard!r}; "
+                f"choose from {sorted(ATV_STANDARDS)}"
+            )
+        return ATV_STANDARDS[self.standard]
+
+    @property
+    def n_lines(self) -> int:
+        return self.lines or self.std.lines
+
+    @property
+    def frame_rate(self) -> float:
+        return self.fps or self.std.fps
+
+    @property
+    def visible_lines(self) -> int:
+        """Image lines per frame (total minus the standard's black lines)."""
+        return self.n_lines - self.std.black_lines
+
     @property
     def line_rate(self) -> float:
-        return self.lines * self.fps  # 15625 Hz for PAL
+        return self.n_lines * self.frame_rate  # 15625 Hz for PAL625
 
     @functools.cached_property
     def samples_per_line(self) -> int:
+        """Points per line at the channel rate (the nbPointsPerLine of
+        MsgReportEffectiveSampleRate, atvdemod.h:150-165)."""
         return int(round(self.channel_rate / self.line_rate))
 
     @functools.cached_property

@@ -16,6 +16,8 @@ import dataclasses
 
 import numpy as np
 
+from . import rdstmc
+
 # Generator polynomial g(x) = x^10+x^8+x^7+x^5+x^4+x^3+1 (RDS standard).
 _POLY = 0x5B9
 # Offset words A, B, C, C', D (rdsdecoder.cpp offset_word table).
@@ -125,20 +127,6 @@ def bits_to_waveform(bits: np.ndarray, sps: int = 8) -> np.ndarray:
     return out.astype(np.float32)
 
 
-#: TMC event descriptions (tiny subset of the reference's RDSTMC tables —
-#: the raw event code is always reported alongside).
-TMC_EVENTS = {
-    1: "traffic problem",
-    101: "stationary traffic",
-    108: "queuing traffic",
-    201: "accident",
-    401: "closed",
-    701: "roadworks",
-    1101: "strong winds",
-    1301: "ice",
-}
-
-
 #: RadioText+ content types (subset of the RT+ spec's 64; raw id always kept)
 RTPLUS_CONTENT = {
     1: "item.title", 4: "item.artist", 6: "item.band", 10: "item.comment",
@@ -198,6 +186,7 @@ class RDSDecoder:
         self._eon_ps: dict[int, list[str]] = {}
         self._af: set[float] = set()
         self._af_lf: set[float] = set()
+        self._tmc = rdstmc.TmcDecoder()
 
     # -- symbol layer ------------------------------------------------------
 
@@ -353,18 +342,23 @@ class RDSDecoder:
             aver = "B" if g[1] & 1 else "A"
             st.oda[f"{agt}{aver}"] = g[3]
         elif gtype == 8 and not version_b:
-            # TMC (ALERT-C) user message, single- or first-group layout
-            system = (g[1] >> 4) & 1
-            if not system:
+            # TMC (ALERT-C) user messages: single- AND multi-group assembly
+            # with free-format field decode (channels/rdstmc.py; reference
+            # rdsparser.cpp:858-955 + the rdstmc.cpp event table)
+            msg = self._tmc.feed(g)
+            if msg is not None:
                 st.tmc_events.append({
-                    "single_group": bool((g[1] >> 3) & 1),
-                    "duration": g[1] & 0x7,
-                    "diversion": bool((g[2] >> 15) & 1),
-                    "direction": (g[2] >> 14) & 1,
-                    "extent": (g[2] >> 11) & 0x7,
-                    "event": g[2] & 0x7FF,
-                    "event_text": TMC_EVENTS.get(g[2] & 0x7FF, ""),
-                    "location": g[3],
+                    "single_group": msg.single_group,
+                    "duration": msg.duration_code,
+                    "duration_text": msg.duration_text,
+                    "diversion": msg.diversion,
+                    "direction": msg.direction,
+                    "extent": msg.extent,
+                    "event": msg.event,
+                    "event_text": rdstmc.EVENTS.get(msg.event, ""),
+                    "location": msg.location,
+                    "fields": msg.fields,
+                    "complete": msg.complete,
                 })
                 del st.tmc_events[:-32]  # bounded history
         elif gtype == 10 and not version_b:

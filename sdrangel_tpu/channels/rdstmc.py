@@ -1,0 +1,327 @@
+"""RDS-TMC (ALERT-C, ISO 14819) decode: single- and multi-group user
+messages, duration/persistence, optional free-format content, quantifiers.
+
+Reference: plugins/channelrx/demodbfm/rdstmc.cpp (the ISO 14819-2 event
+table) and rdsparser.cpp decode_type8/decode_optional_content
+(rdsparser.cpp:858-955). This module implements the machinery the
+reference only logs: multi-group messages are assembled per continuity
+index and their free-format bit stream is parsed into (label, value)
+fields per ISO 14819-1 §5.5 — the reference's decode_optional_content
+walks the same stream but collapses every field to a boolean
+(rdsparser.cpp:941-948 `free_format[i] && (mask != 0)`), losing the
+values. Event texts carry a curated table of the common ISO 14819-2
+codes (the reference vendors the full 2048-row CEN-English table,
+rdstmc.cpp:31-2100); unknown codes fall back to the numeric code, which
+is always reported alongside.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+#: duration & persistence text, [dp][0]=transient/[dp][1]=lasting
+#: (ISO 14819-1 table; rdsparser.cpp:199-209)
+DURATION = [
+    ("no duration given", "no duration given"),
+    ("15 minutes", "next few hours"),
+    ("30 minutes", "rest of the day"),
+    ("1 hour", "until tomorrow evening"),
+    ("2 hours", "rest of the week"),
+    ("3 hours", "end of next week"),
+    ("4 hours", "end of the month"),
+    ("rest of the day", "long period"),
+]
+
+#: optional message content field lengths per label (ISO 14819-1 page 15;
+#: rdsparser.cpp:213)
+LABEL_LENGTHS = [3, 3, 5, 5, 5, 8, 8, 8, 8, 11, 16, 16, 16, 16, 0, 0]
+
+LABEL_NAMES = [
+    "duration", "control_code", "length_km", "speed_limit",
+    "quantifier_5bit", "quantifier_8bit", "supplementary_info",
+    "start_time", "stop_time", "additional_event", "diversion",
+    "destination", "rfu_12", "cross_linkage", "separator", "rfu_15",
+]
+
+#: curated ISO 14819-2 event texts (common codes across the major classes;
+#: full table is 2048 rows of CEN-English standard data). The raw code is
+#: always reported; missing text means "event <code>".
+EVENTS = {
+    1: "traffic problem",
+    2: "queuing traffic (with average speeds Q)",
+    101: "stationary traffic",
+    102: "stationary traffic for 1 km",
+    103: "stationary traffic for 2 km",
+    104: "stationary traffic for 4 km",
+    105: "stationary traffic for 6 km",
+    106: "stationary traffic for 10 km",
+    107: "stationary traffic expected",
+    108: "queuing traffic (with average speeds Q)",
+    109: "queuing traffic for 1 km (with average speeds Q)",
+    115: "slow traffic (with average speeds Q)",
+    121: "heavy traffic (with average speeds Q)",
+    124: "traffic flowing freely (with average speeds Q)",
+    126: "no problems to report (with average speeds Q)",
+    129: "stationary traffic for 3 km",
+    130: "danger of stationary traffic",
+    133: "long queues (with average speeds Q)",
+    200: "multi vehicle pile up. Delays (Q)",
+    201: "accident",
+    202: "serious accident",
+    203: "multi-vehicle accident (involving Q vehicles)",
+    204: "accident involving (a/Q) heavy lorr(y/ies)",
+    205: "accident involving hazardous materials",
+    210: "vehicles slowing to look at accident",
+    214: "accident in the opposing lanes",
+    215: "shed load",
+    216: "broken down vehicle",
+    217: "broken down heavy lorry",
+    218: "vehicle fire",
+    240: "road cleared",
+    241: "accident cleared",
+    247: "rescue and recovery work in progress",
+    301: "lane control signs not working",
+    341: "roadworks cleared",
+    401: "closed",
+    402: "blocked",
+    403: "closed for heavy vehicles (over Q)",
+    404: "closed for heavy lorries (over Q)",
+    405: "closed (except for vehicles with permits)",
+    411: "(Q) lanes closed",
+    412: "(Q) right lanes closed",
+    413: "(Q) centre lanes closed",
+    414: "(Q) left lanes closed",
+    415: "hard shoulder closed",
+    416: "contraflow",
+    428: "entry slip road closed",
+    429: "exit slip road closed",
+    449: "road open",
+    450: "road cleared",
+    460: "lanes cleared",
+    473: "single alternate line traffic",
+    482: "entry blocked",
+    499: "lane blockages cleared",
+    500: "obstruction warning withdrawn",
+    501: "roadworks",
+    503: "major roadworks",
+    505: "bridge maintenance work",
+    507: "road marking work",
+    511: "water main work",
+    513: "road maintenance work",
+    517: "roadworks during the night",
+    601: "flooding",
+    602: "flooding expected",
+    605: "fallen trees",
+    609: "mud slide",
+    621: "burst water main",
+    628: "broken water main",
+    641: "flooding cleared",
+    701: "roadworks",  # 700-class duplicates some 500-class items
+    704: "obstruction on the road",
+    708: "people on roadway",
+    711: "object on the road",
+    712: "objects falling from moving vehicle",
+    717: "animals on the road",
+    731: "road surface in poor condition",
+    751: "cycle race in progress",
+    755: "carnival",
+    801: "major event",
+    802: "sports event",
+    803: "show",
+    804: "exhibition",
+    805: "fair",
+    806: "market",
+    807: "ceremonial event",
+    808: "state occasion",
+    809: "parade",
+    810: "crowd",
+    812: "demonstration",
+    813: "security incident",
+    851: "police checkpoint",
+    898: "security alert withdrawn",
+    901: "delays (Q)",
+    902: "delays up to 15 minutes",
+    903: "delays up to 30 minutes",
+    904: "delays up to one hour",
+    905: "delays up to two hours",
+    906: "delays of several hours",
+    907: "delays (Q) expected",
+    908: "long delays (Q)",
+    952: "service area busy",
+    1001: "(vehicles) slow moving",
+    1101: "strong winds (Q)",
+    1102: "storm force winds (Q)",
+    1107: "crosswinds (Q)",
+    1109: "gusty winds (Q)",
+    1130: "tornadoes",
+    1201: "fog",
+    1202: "dense fog (visibility reduced to Q)",
+    1209: "freezing fog",
+    1217: "snowfall (Q)",
+    1218: "heavy snowfall (Q)",
+    1225: "rain (Q)",
+    1226: "heavy rain (Q)",
+    1241: "sleet",
+    1252: "hail",
+    1301: "ice",
+    1302: "icy patches",
+    1305: "black ice",
+    1309: "freezing rain",
+    1310: "ice build-up",
+    1318: "slippery road",
+    1332: "snow on the road",
+    1337: "deep snow on the road",
+    1601: "delays (Q)",
+    1701: "(Q sets of) temporary traffic lights",
+    1704: "traffic lights not working",
+    1803: "switch on your headlights",
+    1852: "no parking (until Q)",
+    2000: "closed due to smog alert (until Q)",
+}
+
+
+def event_text(code: int) -> str:
+    return EVENTS.get(code, f"event {code}")
+
+
+def format_quantifier(label: int, value: int) -> str:
+    """Human form of a quantifier field per its label width (ISO 14819-1
+    §5.5.2: label 4 = 5-bit quantifier, label 5 = 8-bit quantifier)."""
+    if label == 2:
+        return f"{value} km"
+    if label == 3:
+        return f"{value * 5} km/h" if value else "speed limit"
+    if label in (7, 8):  # explicit start/stop time (ISO 14819-1 table)
+        if value <= 95:
+            return f"{value // 4:02d}:{(value % 4) * 15:02d}"
+        if value <= 200:
+            return f"day +{(value - 96) // 24}, {(value - 96) % 24:02d}:00"
+        if value <= 231:
+            return f"day {value - 200} of the month"
+        return f"mid-month slot {value - 231}"
+    return str(value)
+
+
+@dataclasses.dataclass
+class TmcMessage:
+    """One assembled ALERT-C user message."""
+
+    single_group: bool
+    duration_code: int  # dp (single-group) or continuity index (multi)
+    diversion: bool
+    direction: int  # 0 = positive, 1 = negative
+    extent: int  # affected segments - 1
+    event: int
+    location: int
+    event_text: str = ""
+    duration_text: str = ""
+    fields: list = dataclasses.field(default_factory=list)  # optional content
+    complete: bool = True
+
+    def describe(self) -> dict:
+        return {
+            "singleGroup": self.single_group,
+            "duration": self.duration_code,
+            "durationText": self.duration_text,
+            "diversion": self.diversion,
+            "direction": self.direction,
+            "extent": self.extent,
+            "event": self.event,
+            "eventText": self.event_text,
+            "location": self.location,
+            "fields": list(self.fields),
+            "complete": self.complete,
+        }
+
+
+def parse_free_format(words: list[int]) -> list[dict]:
+    """Parse the concatenated 28-bit free-format words of a multi-group
+    message into labelled fields (ISO 14819-1 §5.5; fixes the boolean
+    collapse of rdsparser.cpp:941-948)."""
+    bits = 0
+    nbits = 0
+    for w in words:
+        bits = (bits << 28) | (w & 0x0FFFFFFF)
+        nbits += 28
+    fields = []
+    pos = nbits
+    while pos >= 4:
+        pos -= 4
+        label = (bits >> pos) & 0xF
+        length = LABEL_LENGTHS[label]
+        if pos < length:
+            break
+        pos -= length
+        value = (bits >> pos) & ((1 << length) - 1) if length else 0
+        if label == 14 and value == 0:
+            continue  # separator
+        if label == 0 and value == 0 and pos < 4:
+            break  # trailing padding
+        fields.append({
+            "label": label,
+            "name": LABEL_NAMES[label],
+            "value": value,
+            "text": format_quantifier(label, value),
+        })
+    return fields
+
+
+class TmcDecoder:
+    """Stateful ALERT-C group-8A decoder.
+
+    feed(g) with g = the four 16-bit RDS blocks of an 8A group; returns a
+    TmcMessage when one completes (single-group immediately; multi-group
+    once its last free-format group — gsi 0 — arrives), else None.
+    """
+
+    def __init__(self):
+        self._first: TmcMessage | None = None  # awaiting continuation
+        self._ci: int = -1
+        self._parts: dict[int, int] = {}  # gsi -> free-format word
+        self._expect: int = 0
+
+    def feed(self, g) -> TmcMessage | None:
+        tuning = (g[1] >> 4) & 1
+        if tuning:
+            return None  # tuning info variants: no user message
+        single = bool((g[1] >> 3) & 1)
+        diversion = bool((g[2] >> 15) & 1)
+        if single or diversion:
+            # single-group, or first group of a multi-group message
+            # (rdsparser.cpp:882-901 uses the same F||D discriminator)
+            dp_ci = g[1] & 0x7
+            msg = TmcMessage(
+                single_group=single,
+                duration_code=dp_ci,
+                diversion=diversion,
+                direction=(g[2] >> 14) & 1,
+                extent=(g[2] >> 11) & 0x7,
+                event=g[2] & 0x7FF,
+                location=g[3],
+                event_text=event_text(g[2] & 0x7FF),
+            )
+            if single:
+                msg.duration_text = DURATION[dp_ci][0]
+                return msg
+            self._first = msg
+            self._ci = dp_ci
+            self._parts = {}
+            self._expect = 0
+            return None
+        # subsequent group of a multi-group message
+        ci = g[1] & 0x7
+        if self._first is None or ci != self._ci:
+            return None  # continuation without its first group
+        second = (g[2] >> 14) & 1
+        gsi = (g[2] >> 12) & 0x3
+        if second:
+            self._expect = gsi
+        self._parts[gsi] = ((g[2] & 0xFFF) << 16) | g[3]
+        if gsi != 0:
+            return None
+        msg = self._first
+        self._first = None
+        words = [self._parts[i] for i in sorted(self._parts, reverse=True)]
+        msg.fields = parse_free_format(words)
+        msg.complete = len(self._parts) >= self._expect + 1
+        return msg

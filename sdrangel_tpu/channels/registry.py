@@ -231,8 +231,9 @@ def _atv_block_factor(channel_rate: float, settings: dict) -> int:
 
     return demod_atv.ATVConfig(
         channel_rate=channel_rate,
-        lines=int(settings.get("lines", 625)),
-        fps=float(settings.get("fps", 25.0)),
+        standard=str(settings.get("standard", "pal625")),
+        lines=int(settings.get("lines", 0)),
+        fps=float(settings.get("fps", 0.0)),
     ).samples_per_line
 
 

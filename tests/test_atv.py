@@ -86,3 +86,67 @@ def test_atv_mod_demod_loopback():
     assert active[-8:].mean() > active[:8].mean() + 0.3
     rho = np.corrcoef(np.arange(active.size), active)[0, 1]
     assert rho > 0.95, rho
+
+
+def test_atv_standards_geometry():
+    """ATVStd* table parity (atvdemod.cpp applyStandard, :681-727): line
+    rates, points per line, sync/black line geometry per standard."""
+    # PAL625 at 64 us/line: 15625 Hz line rate
+    pal = demod_atv.ATVConfig(channel_rate=10_000_000.0, standard="pal625")
+    assert pal.line_rate == 625 * 25.0 == 15625.0
+    assert pal.samples_per_line == round(10_000_000.0 / 15625.0) == 640
+    assert pal.std.sync_lines == 44 and pal.std.black_lines == 48
+    assert pal.visible_lines == 625 - 48 and pal.std.interleaved
+
+    # PAL525 (PAL-M): 30 fps
+    m = demod_atv.ATVConfig(channel_rate=10_000_000.0, standard="pal525")
+    assert m.line_rate == 525 * 30.0 == 15750.0
+    assert m.std.sync_lines == 40 and m.std.black_lines == 44
+
+    # 405-line standard
+    brit = demod_atv.ATVConfig(channel_rate=4_000_000.0, standard="405")
+    assert brit.line_rate == 405 * 25.0
+    assert brit.std.eq_lines == 3 and brit.std.interleaved
+
+    # narrowband short/interleaved and HSkip
+    si = demod_atv.ATVConfig(channel_rate=500_000.0,
+                             standard="shortinterleaved")
+    assert si.std.sync_lines == 4 and si.std.interleaved
+    sh = demod_atv.ATVConfig(channel_rate=500_000.0, standard="short")
+    assert not sh.std.interleaved
+    hs = demod_atv.ATVConfig(channel_rate=500_000.0, standard="hskip")
+    assert hs.std.sync_lines == 0 and hs.std.black_lines == 0
+    assert hs.visible_lines == hs.n_lines  # every line carries image
+
+    # explicit lines/fps override the standard's defaults
+    custom = demod_atv.ATVConfig(channel_rate=1_000_000.0,
+                                 standard="hskip", lines=100, fps=20.0)
+    assert custom.line_rate == 2000.0
+    assert custom.samples_per_line == 500
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown ATV standard"):
+        _ = demod_atv.ATVConfig(channel_rate=1e6, standard="ntsc!").std
+
+
+def test_atv_hskip_demod_runs():
+    """HSkip: line-sync demod with zero sync/black lines still locks on the
+    per-line sync tip."""
+    cfg = demod_atv.ATVConfig(
+        channel_rate=1_000_000.0, standard="hskip", lines=100, fps=25.0,
+        modulation="am",
+    )
+    spl = cfg.samples_per_line
+    pattern = lambda u: u  # luma ramp
+    video = _make_video_signal(cfg, 200, pattern)
+    iq = video.astype(np.complex64)
+    st = demod_atv.make_state(cfg)
+    block = (len(video)) // spl * spl
+    st, outs = demod_atv.process(st, jnp.asarray(iq[:block]), cfg)
+    lines = np.asarray(outs.lines)
+    assert lines.shape == (block // spl, spl)
+    sync_len = int(spl * 0.08)
+    mid = lines[lines.shape[0] // 2]
+    assert mid[: sync_len // 2].mean() < 0.2  # sync tip at column 0
+    body = mid[sync_len:]
+    assert body[-len(body) // 4:].mean() > body[: len(body) // 4].mean()

@@ -1,0 +1,97 @@
+"""RDS-TMC (ALERT-C) decode: single-group, multi-group assembly with
+free-format fields, duration/quantifier texts (VERDICT r1 #9; reference
+rdsparser.cpp decode_type8 + rdstmc.cpp event table)."""
+
+from sdrangel_tpu.channels import rds, rdstmc
+
+
+def _g8(b1_low, b2, b3):
+    """An 8A group with PI 0x1234."""
+    return [0x1234, (8 << 12) | b1_low, b2, b3]
+
+
+def test_single_group_duration_and_event_text():
+    dec = rds.RDSDecoder()
+    # F=1 single group, dp=3 ("1 hour"), diversion, -direction, extent 4,
+    # event 501 roadworks, location 0x0C21
+    b2 = (1 << 15) | (1 << 14) | (4 << 11) | 501
+    dec.parse_group(_g8((1 << 3) | 3, b2, 0x0C21))
+    ev = dec.status.tmc_events[-1]
+    assert ev["single_group"] and ev["duration"] == 3
+    assert ev["duration_text"] == "1 hour"
+    assert ev["direction"] == 1 and ev["extent"] == 4
+    assert ev["event"] == 501 and ev["event_text"] == "roadworks"
+    assert ev["location"] == 0x0C21 and ev["complete"]
+
+
+def test_multi_group_free_format_fields():
+    """First group (D=1, F=0) + two free-format groups: the optional
+    content parses into labelled values (ISO 14819-1 §5.5) — the length
+    field, a speed limit, and a supplementary info code."""
+    dec = rds.RDSDecoder()
+    ci = 5
+    # first group: event 108 queuing traffic, extent 1, location 0xBEEF
+    b2 = (1 << 15) | (0 << 14) | (1 << 11) | 108
+    dec.parse_group(_g8(ci, b2, 0xBEEF))
+    assert dec.status.tmc_events == []  # incomplete: waiting for groups
+
+    # free-format payload: label 2 (length_km, 5 bits) = 10,
+    # label 3 (speed_limit, 5 bits) = 12 (-> 60 km/h),
+    # label 6 (supplementary info, 8 bits) = 4; then zero padding.
+    bits = 0
+    nbits = 0
+    for label, value in [(2, 10), (3, 12), (6, 4)]:
+        length = rdstmc.LABEL_LENGTHS[label]
+        bits = (bits << 4) | label
+        bits = (bits << length) | value
+        nbits += 4 + length
+    total = 2 * 28
+    bits <<= total - nbits  # left-align over two 28-bit words
+    w1 = (bits >> 28) & 0x0FFFFFFF
+    w0 = bits & 0x0FFFFFFF
+
+    # second group: SG=1, gsi=1 (one more follows)
+    dec.parse_group(_g8(ci, (0 << 15) | (1 << 14) | (1 << 12) | (w1 >> 16),
+                        w1 & 0xFFFF))
+    assert dec.status.tmc_events == []
+    # last group: gsi=0
+    dec.parse_group(_g8(ci, (0 << 15) | (0 << 14) | (0 << 12) | (w0 >> 16),
+                        w0 & 0xFFFF))
+    ev = dec.status.tmc_events[-1]
+    assert not ev["single_group"] and ev["event"] == 108
+    assert ev["complete"]
+    got = {f["name"]: f for f in ev["fields"]}
+    assert got["length_km"]["value"] == 10
+    assert got["length_km"]["text"] == "10 km"
+    assert got["speed_limit"]["text"] == "60 km/h"
+    assert got["supplementary_info"]["value"] == 4
+
+
+def test_multi_group_interrupted_by_other_ci_is_dropped():
+    dec = rds.RDSDecoder()
+    b2 = (1 << 15) | (0 << 14) | (1 << 11) | 201
+    dec.parse_group(_g8(2, b2, 0x1111))  # first group, ci=2
+    # continuation with a DIFFERENT ci: ignored
+    dec.parse_group(_g8(7, (1 << 14) | (1 << 12) | 0x5, 0x5555))
+    assert dec.status.tmc_events == []
+    # completing group for ci=2
+    dec.parse_group(_g8(2, (0 << 14) | (0 << 12) | 0x0, 0x0000))
+    ev = dec.status.tmc_events[-1]
+    assert ev["event"] == 201
+
+
+def test_tuning_info_produces_no_event():
+    dec = rds.RDSDecoder()
+    dec.parse_group(_g8((1 << 4) | 6, 0xABCD, 0x1234))  # T=1 variant 6
+    assert dec.status.tmc_events == []
+
+
+def test_event_text_fallback():
+    assert rdstmc.event_text(201) == "accident"
+    assert rdstmc.event_text(1999) == "event 1999"
+
+
+def test_start_stop_time_quantifier_format():
+    assert rdstmc.format_quantifier(7, 4 * 9 + 2) == "09:30"
+    assert rdstmc.format_quantifier(8, 96 + 26) == "day +1, 02:00"
+    assert rdstmc.format_quantifier(7, 201) == "day 1 of the month"
