@@ -932,6 +932,7 @@ class TxDeviceSet:
             )
             specs = []
             tones = []
+            keyers: dict[int, Any] = {}
             for i, ch in enumerate(self.channels):
                 settings = dict(ch.settings)
                 tones.append(float(settings.pop("toneFrequency", 1000.0)))
@@ -944,6 +945,18 @@ class TxDeviceSet:
 
                     host, port = addr.rsplit(":", 1)
                     udp_srcs[i] = UdpSource(host, int(port), "mono16", timeout=2.0)
+                # CW keyer AF source (the reference's CWKeyer feeding Tx
+                # channels, sdrbase/dsp/cwkeyer.h:141): settings cwText/cwWpm
+                # key the channel's tone with the Morse envelope, looping
+                text = settings.pop("cwText", None)
+                wpm = float(settings.pop("cwWpm", 15.0))
+                if text:
+                    from ..channels.cwkeyer import CWConfig, CWKeyer
+
+                    keyers[i] = CWKeyer(
+                        str(text), CWConfig(wpm=wpm, sample_rate=48000.0),
+                        loop=True,
+                    )
                 specs.append(TxChannelSpec(ch.uri, ch.frequency_offset, settings))
             pipe = TxPipeline(device, specs, block_af=4096)
 
@@ -954,7 +967,10 @@ class TxDeviceSet:
                     except Exception:
                         return np.zeros(count, np.float32)  # underrun -> silence
                 t = (b * count + np.arange(count)) / 48000.0
-                return np.sin(2 * np.pi * tones[c] * t).astype(np.float32)
+                tone = np.sin(2 * np.pi * tones[c] * t).astype(np.float32)
+                if c in keyers:
+                    tone = tone * keyers[c].next_block(count)
+                return tone
 
             block_seconds = pipe.device_block / self.sink.sample_rate
             b = 0

@@ -137,3 +137,44 @@ def test_tx_runs_continuously_past_64_blocks(tmp_path):
     assert info.n_samples > 0
     final = os.path.getsize(ds.sink.file_path)
     assert size_at_64 is None or final > size_at_64
+
+
+def test_tx_session_cw_keyer_source(tmp_path):
+    """cwText on a Tx channel keys its tone with the Morse envelope (the
+    CWKeyer-feeds-Tx-channels role, sdrbase/dsp/cwkeyer.h:141): the
+    recorded baseband shows on/off keying with the PARIS dot timing."""
+    import time
+
+    from sdrangel_tpu.runtime.session import Session
+
+    s = Session()
+    ds = s.add_device_set("tx")
+    ds.sink.file_path = str(tmp_path / "cw.sdriq")
+    ds.update_source({"sample_rate": 48_000.0})
+    # SSB: suppressed carrier, so the baseband envelope follows the keyed AF
+    ds.add_channel("sdrangel.channeltx.modssb", {
+        "toneFrequency": 700.0, "cwText": "e e", "cwWpm": 30.0,
+    })
+    ds.start()
+    deadline = time.time() + 120.0
+    while time.time() < deadline and ds.blocks_processed < 12:
+        assert ds.running or not ds.error, ds.error
+        time.sleep(0.02)
+    ds.stop()
+    assert not ds.error, ds.error
+
+    info, mm = sdriq.open_mmap(ds.sink.file_path)
+    x = np.asarray(mm[: 12 * 4096]).astype(np.float32) / 32768.0
+    env = np.abs(x[:, 0] + 1j * x[:, 1])
+    # smooth over ~2 ms and threshold into key-down spans
+    k = 96
+    sm = np.convolve(env, np.ones(k) / k, mode="same")
+    on = sm > 0.5 * sm.max()
+    edges = np.flatnonzero(np.diff(on.astype(np.int8)))
+    assert len(edges) >= 4, "no keying transitions found"
+    spans = np.diff(edges)
+    # dot at 30 wpm = 1.2/30 s = 40 ms = 1920 samples at 48 kHz
+    dot = 1.2 / 30.0 * 48_000.0
+    downs = [sp for i, sp in enumerate(spans) if on[edges[i] + 1]]
+    assert downs, spans
+    assert any(abs(sp - dot) < 0.35 * dot for sp in downs), (downs, dot)
