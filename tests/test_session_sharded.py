@@ -112,19 +112,26 @@ def test_session_sharded_testsource_and_live_offset(devices):
         "sharded": True, "mesh_time": 4, "mesh_channel": 2,
         "sharded_block": 1 << 15,
     })
+    # realistic squelch: on the 0.5-amplitude carrier magsq ≈ -6 dB (open);
+    # off-carrier only leakage remains, far below -30 dB, so the gate closes.
+    # (With squelch forced open at -100 dB the discriminator emits full-scale
+    # noise on no-carrier input and the retune is inaudible in the RMS.)
     for _ in range(8):
         ds.add_channel("sdrangel.channel.nfmdemod", {
             "inputFrequencyOffset": 20_000.0,
-            "squelch_db": -100.0, "squelch_gate_ms": 1.0,
+            "squelch_db": -30.0, "squelch_gate_ms": 1.0,
         })
     ds.start()
     try:
         _wait_blocks(ds, 2)
         on_tune = np.abs(ds.drain_audio(0))
-        # retune far off the carrier (stays within the NCO's reach — no
-        # channelizer in the sharded plan, so any offset is traced)
+        # retune off the carrier (stays within the NCO's reach — no
+        # channelizer in the sharded plan, so any offset is traced).
+        # -40 kHz puts the 20 kHz carrier at +60 kHz ≡ -36 kHz in the
+        # 96 kHz baseband — outside the channel lowpass. (-80 kHz would
+        # alias it to 100-96 = 4 kHz, right back IN band.)
         for c in range(8):
-            ds.update_channel(c, {"inputFrequencyOffset": -80_000.0})
+            ds.update_channel(c, {"inputFrequencyOffset": -40_000.0})
         base = ds.blocks_processed
         _wait_blocks(ds, base + 3)
         ds.drain_audio(0)
