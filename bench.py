@@ -109,7 +109,13 @@ def main() -> int:
     n_stages = len(plans[0].signs)
     assert all(len(p.signs) == n_stages for p in plans), [p.signs for p in plans]
     signs = np.array([p.signs for p in plans])  # (C, n_stages)
-    residual = jnp.asarray([p.residual_offset for p in plans], jnp.float32)
+    # KEEP THIS A NUMPY ARRAY: the step closes over it, and a closed-over
+    # *device* array embeds as an MLIR constant via a device→host fetch at
+    # trace time — on the axon runtime that fetch permanently degrades the
+    # client from pipelined dispatch (~30 µs/call) to synchronous round
+    # trips (~2.2 ms/call) for every executable in the process (bisected
+    # round 2, tools/micro_chain*.py). Host (numpy) constants embed free.
+    residual = np.asarray([p.residual_offset for p in plans], np.float32)
     chan_rate = plans[0].channel_rate
 
     demod_cfg = demod_nfm.NFMConfig(
