@@ -37,7 +37,9 @@ offsets = np.array([
 plans = [chanmod.plan_channel(baseband_rate, req_band, o) for o in offsets]
 n_stages = len(plans[0].signs)
 signs = np.array([p.signs for p in plans])
-residual = jnp.asarray([p.residual_offset for p in plans], jnp.float32)
+# numpy, NOT jnp: a closed-over device array degrades the whole process
+# into synchronous dispatch (see .claude/skills/verify/SKILL.md round 2)
+residual = np.asarray([p.residual_offset for p in plans], np.float32)
 chan_rate = plans[0].channel_rate
 
 cfg = demod_nfm.NFMConfig(
