@@ -53,6 +53,14 @@ _PRESET_KEY = re.compile(r"^/sdrangel/preset/([\w-]+)/([\w-]+)$")
 #: audiodevicemanager.h:34-137 — headless: rate + default UDP copy target)
 _AUDIO_DEFAULTS = {"audioSampleRate": 48000, "udpAddress": "127.0.0.1",
                    "udpPort": 9998}
+#: per-direction device parameters (instanceAudio{Input,Output}ParametersPatch
+#: role — headless: stored prefs applied as defaults to new channel egress)
+_AUDIO_INPUT_DEFAULTS = {"sampleRate": 48000, "volume": 1.0}
+_AUDIO_OUTPUT_DEFAULTS = {"sampleRate": 48000, "udpAddress": "127.0.0.1",
+                          "udpPort": 9998, "copyToUDP": 0, "udpUsesRTP": 0}
+_CHANNELS_REPORT = re.compile(r"^/sdrangel/deviceset/(\d+)/channels/report$")
+_DEVICE_SELECT = re.compile(r"^/sdrangel/deviceset/(\d+)/device$")
+_FOCUS = re.compile(r"^/sdrangel/deviceset/(\d+)/focus$")
 _CHANNEL_IDX = re.compile(r"^/sdrangel/deviceset/(\d+)/channel/(\d+)$")
 _CHANNEL_SETTINGS = re.compile(r"^/sdrangel/deviceset/(\d+)/channel/(\d+)/settings$")
 _CHANNEL_REPORT = re.compile(r"^/sdrangel/deviceset/(\d+)/channel/(\d+)/report$")
@@ -101,6 +109,18 @@ class ApiHandler(BaseHTTPRequestHandler):
     def _error(self, code: int, message: str) -> None:
         self._json(code, {"message": message})
 
+    def _path(self) -> str:
+        """Path with any query string split off into self.query."""
+        from urllib.parse import parse_qs
+
+        p, _, q = self.path.partition("?")
+        self.query = parse_qs(q)
+        return p.rstrip("/") or "/"
+
+    def _qflag(self, name: str) -> bool:
+        v = self.query.get(name, ["0"])[-1].lower()
+        return v in ("1", "true", "yes")
+
     def log_message(self, fmt, *args):  # route through logging, not stderr
         logger.debug("%s " + fmt, self.address_string(), *args)
 
@@ -108,7 +128,7 @@ class ApiHandler(BaseHTTPRequestHandler):
 
     def do_GET(self):
         s = self.session
-        p = self.path.rstrip("/") or "/"
+        p = self._path()
         try:
             if p == "/sdrangel":
                 return self._json(200, s.summary())
@@ -235,6 +255,29 @@ class ApiHandler(BaseHTTPRequestHandler):
                 if getattr(ch, "host_report", None):
                     rep.update(ch.host_report)
                 return self._json(200, rep)
+            if m := _CHANNELS_REPORT.match(p):
+                # devicesetChannelsReportGet: all channels of a set at once
+                ds = s.device_sets[int(m.group(1))]
+                reports = []
+                for j, ch in enumerate(ds.channels):
+                    reports.append({
+                        "index": j,
+                        "channelType": ch.uri,
+                        "inputFrequencyOffset": ch.frequency_offset,
+                        "channelPowerDB": ch.channel_power_db,
+                        "squelch": ch.squelch,
+                        "audioSampleRate": ch.audio_sample_rate,
+                        "audioSamples": ch.audio_samples,
+                    })
+                return self._json(200, {"channelcount": len(reports),
+                                        "channels": reports})
+            if p == "/sdrangel/dvserial":
+                # instanceDVSerialGet: DV dongle enumeration — a TPU host has
+                # none; the stored flag mirrors setDVSerialSupport
+                return self._json(200, {
+                    "nbDevices": 0, "dvSerialDevices": [],
+                    "dvSerialSupport": int(getattr(s, "dv_serial", False)),
+                })
             if m := _CHANNEL_DATA.match(p):
                 # data channels (chanalyzer/LoRa/DSD/ATV/DATV): the latest
                 # block's device outputs, arrays tail-trimmed to stay
@@ -307,14 +350,140 @@ class ApiHandler(BaseHTTPRequestHandler):
                         "post": {"summary": "capture a JAX profiler trace "
                                             "(body: {seconds, path})"}},
                     "/sdrangel/openapi": {"get": {}},
+                    "/sdrangel/deviceset": {
+                        "post": {"summary": "add device set (?tx=1 for sink)"},
+                        "delete": {"summary": "remove last device set"}},
+                    "/sdrangel/deviceset/{i}/device": {
+                        "put": {"summary": "select device kind "
+                                           "(body: {hwType})"}},
+                    "/sdrangel/deviceset/{i}/focus": {
+                        "patch": {"summary": "GUI focus — 400 in server "
+                                             "instance"}},
+                    "/sdrangel/deviceset/{i}/channels/report": {
+                        "get": {"summary": "all channel reports of a set"}},
+                    "/sdrangel/audio/input/parameters": {
+                        "patch": {}, "delete": {}},
+                    "/sdrangel/audio/output/parameters": {
+                        "patch": {}, "delete": {}},
+                    "/sdrangel/audio/input/cleanup": {"patch": {}},
+                    "/sdrangel/audio/output/cleanup": {"patch": {}},
+                    "/sdrangel/dvserial": {
+                        "get": {}, "patch": {"summary": "?dvserial=1"}},
                 }
+                # response schemas for the main DTOs (the reference serves a
+                # full swagger.yaml; these mirror its SWG* response models)
+                _ref = lambda n: {"$ref": f"#/components/schemas/{n}"}
+                schemas = {
+                    "ErrorResponse": {
+                        "type": "object",
+                        "properties": {"message": {"type": "string"}},
+                        "required": ["message"]},
+                    "InstanceSummary": {
+                        "type": "object",
+                        "properties": {
+                            "version": {"type": "string"},
+                            "appname": {"type": "string"},
+                            "uptime": {"type": "number"},
+                            "devicesetlist": _ref("DeviceSetList")}},
+                    "DeviceSetList": {
+                        "type": "object",
+                        "properties": {
+                            "devicesetcount": {"type": "integer"},
+                            "deviceSets": {"type": "array",
+                                           "items": _ref("DeviceSet")}}},
+                    "DeviceSet": {
+                        "type": "object",
+                        "properties": {
+                            "index": {"type": "integer"},
+                            "direction": {"type": "string",
+                                          "enum": ["rx", "tx"]},
+                            "state": {"type": "string"},
+                            "channelcount": {"type": "integer"},
+                            "channels": {"type": "array",
+                                         "items": _ref("ChannelSummary")}}},
+                    "ChannelSummary": {
+                        "type": "object",
+                        "properties": {
+                            "index": {"type": "integer"},
+                            "channelType": {"type": "string"},
+                            "inputFrequencyOffset": {"type": "number"}}},
+                    "DeviceReport": {
+                        "type": "object",
+                        "properties": {
+                            "state": {"type": "string",
+                                      "enum": ["idle", "running", "error"]},
+                            "error": {"type": "string"},
+                            "sampleRate": {"type": "number"},
+                            "centerFrequency": {"type": "number"},
+                            "blocksProcessed": {"type": "integer"},
+                            "realtimeFactor": {"type": "number"}}},
+                    "ChannelReport": {
+                        "type": "object",
+                        "properties": {
+                            "channelPowerDB": {"type": "number"},
+                            "squelch": {"type": "boolean"},
+                            "audioSampleRate": {"type": "number"},
+                            "audioSamples": {"type": "integer"}}},
+                    "Spectrum": {
+                        "type": "object",
+                        "properties": {
+                            "fftSize": {"type": "integer"},
+                            "spectrum": {"type": "array",
+                                         "items": {"type": "number"}}}},
+                    "AudioDevices": {
+                        "type": "object",
+                        "properties": {
+                            "nbOutputDevices": {"type": "integer"},
+                            "outputs": {"type": "array",
+                                        "items": {"type": "object"}},
+                            "audioSampleRate": {"type": "integer"},
+                            "inputParameters": {"type": "object"},
+                            "outputParameters": {"type": "object"}}},
+                    "LoggingInfo": {
+                        "type": "object",
+                        "properties": {
+                            "consoleLevel": {"type": "string"},
+                            "fileLevel": {"type": "string"},
+                            "fileName": {"type": "string"}}},
+                    "LocationInformation": {
+                        "type": "object",
+                        "properties": {"latitude": {"type": "number"},
+                                       "longitude": {"type": "number"}}},
+                    "SuccessResponse": {
+                        "type": "object",
+                        "properties": {"message": {"type": "string"}}},
+                }
+                # attach response refs to the path table
+                _resp = {
+                    "/sdrangel": ("get", "InstanceSummary"),
+                    "/sdrangel/devicesets": ("get", "DeviceSetList"),
+                    "/sdrangel/deviceset/{i}": ("get", "DeviceSet"),
+                    "/sdrangel/deviceset/{i}/device/report":
+                        ("get", "DeviceReport"),
+                    "/sdrangel/deviceset/{i}/channel/{j}/report":
+                        ("get", "ChannelReport"),
+                    "/sdrangel/deviceset/{i}/spectrum": ("get", "Spectrum"),
+                    "/sdrangel/audio": ("get", "AudioDevices"),
+                    "/sdrangel/logging": ("get", "LoggingInfo"),
+                    "/sdrangel/location": ("get", "LocationInformation"),
+                }
+                for path, (verb, schema) in _resp.items():
+                    paths[path][verb]["responses"] = {
+                        "200": {"description": "OK",
+                                "content": {"application/json": {
+                                    "schema": _ref(schema)}}},
+                        "default": {"description": "error",
+                                    "content": {"application/json": {
+                                        "schema": _ref("ErrorResponse")}}},
+                    }
                 import sdrangel_tpu as _pkg
 
                 return self._json(
                     200,
                     {"openapi": "3.0.0",
                      "info": {"title": "sdrangel_tpu", "version": _pkg.__version__},
-                     "paths": paths},
+                     "paths": paths,
+                     "components": {"schemas": schemas}},
                 )
             if p == "/sdrangel/devices":
                 from ..runtime.session import SOURCE_KINDS
@@ -356,6 +525,10 @@ class ApiHandler(BaseHTTPRequestHandler):
                                               "destination": ch.settings[key]})
                 return self._json(
                     200, {"nbOutputDevices": len(sinks), "outputs": sinks,
+                          "inputParameters": getattr(
+                              s, "audio_input_params", _AUDIO_INPUT_DEFAULTS),
+                          "outputParameters": getattr(
+                              s, "audio_output_params", _AUDIO_OUTPUT_DEFAULTS),
                           **getattr(s, "audio_prefs", _AUDIO_DEFAULTS)}
                 )
             if p == "/sdrangel/location":
@@ -388,11 +561,15 @@ class ApiHandler(BaseHTTPRequestHandler):
 
     def do_POST(self):
         s = self.session
-        p = self.path.rstrip("/")
+        p = self._path()
         try:
             body = self._body()
-            if p == "/sdrangel/devicesets":
-                ds = s.add_device_set(body.get("direction", "rx"))
+            if p in ("/sdrangel/devicesets", "/sdrangel/deviceset"):
+                # singular path is the reference's (instanceDeviceSetPost,
+                # ?tx=1 selects a sink set); the plural is kept as an alias
+                direction = body.get(
+                    "direction", "tx" if self._qflag("tx") else "rx")
+                ds = s.add_device_set(direction)
                 return self._json(201, {"index": ds.index, "direction": ds.direction})
             if m := _DEVICE_RUN.match(p):
                 ds = s.device_sets[int(m.group(1))]
@@ -465,7 +642,7 @@ class ApiHandler(BaseHTTPRequestHandler):
 
     def _put_patch(self):
         s = self.session
-        p = self.path.rstrip("/")
+        p = self._path()
         try:
             body = self._body()
             if m := _DEVICE_SETTINGS.match(p):
@@ -476,6 +653,57 @@ class ApiHandler(BaseHTTPRequestHandler):
                 ds.update_source(body)
                 target = ds.sink if ds.direction == "tx" else ds.source
                 return self._json(200, dataclasses.asdict(target))
+            if m := _FOCUS.match(p):
+                # devicesetFocusPatch: GUI-only — exact server-instance parity
+                # (webapiadaptersrv.cpp:1004-1011)
+                return self._error(400, "Not supported in server instance")
+            if m := _DEVICE_SELECT.match(p):
+                # devicesetDevicePut: select the device by hwType/kind
+                ds = s.device_sets[int(m.group(1))]
+                kind = body.get("hwType") or body.get("kind")
+                if not kind:
+                    raise _BadRequest("missing required field 'hwType'")
+                ds.update_source({"kind": kind})
+                target = ds.sink if ds.direction == "tx" else ds.source
+                return self._json(200, dataclasses.asdict(target))
+            if p == "/sdrangel/dvserial":
+                # instanceDVSerialPatch (?dvserial=1): store the support flag;
+                # no dongles exist on a TPU host so no scan happens
+                s.dv_serial = self._qflag("dvserial") or bool(body.get("dvserial"))
+                return self._json(200, {
+                    "message": "DV serial support "
+                               + ("set" if s.dv_serial else "unset"),
+                    "dvSerialSupport": int(s.dv_serial),
+                })
+            if p in ("/sdrangel/audio/input/parameters",
+                     "/sdrangel/audio/output/parameters"):
+                direction = "input" if "/input/" in p else "output"
+                defaults = (_AUDIO_INPUT_DEFAULTS if direction == "input"
+                            else _AUDIO_OUTPUT_DEFAULTS)
+                attr = f"audio_{direction}_params"
+                params = dict(getattr(s, attr, defaults))
+                unknown = set(body) - set(defaults)
+                if unknown:
+                    raise _BadRequest(
+                        f"unknown audio {direction} parameters: {sorted(unknown)}")
+                params.update(body)
+                setattr(s, attr, params)
+                return self._json(200, params)
+            if p in ("/sdrangel/audio/input/cleanup",
+                     "/sdrangel/audio/output/cleanup"):
+                # instanceAudio{Input,Output}CleanupPatch: drop stored prefs
+                # for devices that no longer exist — headless equivalent:
+                # reset the stored per-direction parameters to defaults
+                direction = "input" if "/input/" in p else "output"
+                defaults = (_AUDIO_INPUT_DEFAULTS if direction == "input"
+                            else _AUDIO_OUTPUT_DEFAULTS)
+                had = hasattr(s, f"audio_{direction}_params")
+                setattr(s, f"audio_{direction}_params", dict(defaults))
+                return self._json(200, {
+                    "message": f"unregistered parameters for all {direction} "
+                               f"audio devices",
+                    "cleaned": int(had),
+                })
             if m := _CHANNEL_SETTINGS.match(p):
                 ds = s.device_sets[int(m.group(1))]
                 j = int(m.group(2))
@@ -556,11 +784,26 @@ class ApiHandler(BaseHTTPRequestHandler):
 
     def do_DELETE(self):
         s = self.session
-        p = self.path.rstrip("/")
+        p = self._path()
         try:
-            if p == "/sdrangel/devicesets":
+            if p == "/sdrangel":
+                # instanceDelete: stop the whole instance (202 like the
+                # reference, which submits MsgDeleteInstance asynchronously)
+                s.shutdown()
+                return self._json(202, {
+                    "message": "Message to stop the instance was submitted "
+                               "successfully"})
+            if p in ("/sdrangel/devicesets", "/sdrangel/deviceset"):
                 s.remove_last_device_set()
                 return self._json(200, {"devicesetcount": len(s.device_sets)})
+            if p in ("/sdrangel/audio/input/parameters",
+                     "/sdrangel/audio/output/parameters"):
+                # instanceAudio{Input,Output}ParametersDelete: back to defaults
+                direction = "input" if "/input/" in p else "output"
+                defaults = (_AUDIO_INPUT_DEFAULTS if direction == "input"
+                            else _AUDIO_OUTPUT_DEFAULTS)
+                setattr(s, f"audio_{direction}_params", dict(defaults))
+                return self._json(200, dict(defaults))
             if m := _DEVICE_RUN.match(p):
                 ds = s.device_sets[int(m.group(1))]
                 ds.stop()

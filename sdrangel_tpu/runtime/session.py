@@ -1069,6 +1069,13 @@ class Session:
             ds = self.device_sets.pop()
             ds.stop()
 
+    def shutdown(self) -> None:
+        """Stop every device set (MainCore::MsgDeleteInstance role,
+        sdrsrv/webapi/webapiadaptersrv.cpp:104-115 — the reference tears the
+        whole instance down; here the process owner decides whether to exit)."""
+        for ds in self.device_sets:
+            ds.stop()
+
     # -- commands (sdrbase/commands/command.h:30-70: user shell commands
     # with API-substituted arguments, run on demand) ----------------------
 

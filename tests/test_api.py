@@ -996,3 +996,100 @@ def test_logging_idempotent_and_rotating(api, tmp_path):
     assert code == 200
     assert len([h for h in root.handlers
                 if isinstance(h, RotatingFileHandler)]) == 0
+
+
+def test_singular_deviceset_and_instance_delete(api):
+    """POST/DELETE /sdrangel/deviceset (reference's singular paths,
+    webapiadapterinterface.h instanceDeviceSetURL) + DELETE /sdrangel
+    (instanceDelete, webapiadaptersrv.cpp:104-115)."""
+    base, session = api
+    code, body = _req(base, "/sdrangel/deviceset", "POST")
+    assert code == 201 and body["direction"] == "rx"
+    code, body = _req(base, "/sdrangel/deviceset?tx=1", "POST")
+    assert code == 201 and body["direction"] == "tx"
+    code, body = _req(base, "/sdrangel/deviceset", "DELETE")
+    assert code == 200 and body["devicesetcount"] == 1
+    # instance delete stops everything, 202 like the reference
+    code, body = _req(base, "/sdrangel", "DELETE")
+    assert code == 202 and "message" in body
+    assert not session.device_sets[0].running
+
+
+def test_focus_and_device_select(api):
+    """PATCH focus is a 400 in a server instance (webapiadaptersrv.cpp:1004);
+    PUT device selects the device kind (devicesetDevicePut)."""
+    base, session = api
+    _req(base, "/sdrangel/devicesets", "POST")
+    code, body = _req(base, "/sdrangel/deviceset/0/focus", "PATCH", {})
+    assert code == 400 and "server instance" in body["message"]
+    code, body = _req(base, "/sdrangel/deviceset/0/device", "PUT",
+                      {"hwType": "testsource"})
+    assert code == 200 and body["kind"] == "testsource"
+    code, body = _req(base, "/sdrangel/deviceset/0/device", "PUT", {})
+    assert code == 400
+
+
+def test_channels_report_aggregate(api):
+    base, session = api
+    _req(base, "/sdrangel/devicesets", "POST")
+    _req(base, "/sdrangel/deviceset/0/channel", "POST",
+         {"channelType": "sdrangel.channel.nfmdemod",
+          "inputFrequencyOffset": 10_000.0})
+    _req(base, "/sdrangel/deviceset/0/channel", "POST",
+         {"channelType": "sdrangel.channel.amdemod"})
+    code, body = _req(base, "/sdrangel/deviceset/0/channels/report")
+    assert code == 200 and body["channelcount"] == 2
+    assert body["channels"][0]["channelType"] == "sdrangel.channel.nfmdemod"
+    assert body["channels"][0]["inputFrequencyOffset"] == 10_000.0
+
+
+def test_audio_parameters_and_cleanup(api):
+    """instanceAudio{Input,Output}Parameters{Patch,Delete} + cleanup."""
+    base, _ = api
+    code, body = _req(base, "/sdrangel/audio/output/parameters", "PATCH",
+                      {"udpAddress": "10.0.0.1", "copyToUDP": 1})
+    assert code == 200 and body["udpAddress"] == "10.0.0.1"
+    code, body = _req(base, "/sdrangel/audio")
+    assert body["outputParameters"]["copyToUDP"] == 1
+    code, body = _req(base, "/sdrangel/audio/input/parameters", "PATCH",
+                      {"volume": 0.5})
+    assert code == 200 and body["volume"] == 0.5
+    # unknown key -> 400
+    code, _ = _req(base, "/sdrangel/audio/input/parameters", "PATCH",
+                   {"bogus": 1})
+    assert code == 400
+    # DELETE resets to defaults
+    code, body = _req(base, "/sdrangel/audio/output/parameters", "DELETE")
+    assert code == 200 and body["udpAddress"] == "127.0.0.1"
+    code, body = _req(base, "/sdrangel/audio/input/cleanup", "PATCH", {})
+    assert code == 200 and "input" in body["message"]
+
+
+def test_dvserial(api):
+    base, _ = api
+    code, body = _req(base, "/sdrangel/dvserial")
+    assert code == 200 and body["nbDevices"] == 0
+    code, body = _req(base, "/sdrangel/dvserial?dvserial=1", "PATCH", {})
+    assert code == 200 and body["dvSerialSupport"] == 1
+    code, body = _req(base, "/sdrangel/dvserial")
+    assert body["dvSerialSupport"] == 1
+
+
+def test_openapi_schemas(api):
+    """The OpenAPI document carries response schemas (SWG DTO role)."""
+    base, _ = api
+    code, body = _req(base, "/sdrangel/openapi")
+    assert code == 200
+    schemas = body["components"]["schemas"]
+    for name in ("InstanceSummary", "DeviceSet", "DeviceReport",
+                 "ChannelReport", "ErrorResponse"):
+        assert name in schemas, name
+    resp = body["paths"]["/sdrangel"]["get"]["responses"]["200"]
+    ref = resp["content"]["application/json"]["schema"]["$ref"]
+    assert ref.endswith("InstanceSummary")
+    # every reference URL-table group the server claims is present
+    for pth in ("/sdrangel/deviceset", "/sdrangel/deviceset/{i}/device",
+                "/sdrangel/deviceset/{i}/focus",
+                "/sdrangel/deviceset/{i}/channels/report",
+                "/sdrangel/audio/input/parameters", "/sdrangel/dvserial"):
+        assert pth in body["paths"], pth
