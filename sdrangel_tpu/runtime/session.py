@@ -30,6 +30,7 @@ from ..channels import registry
 from ..channels.registry import REGISTRY
 from ..io import sdriq, testsource
 from .engine import ChannelSpec, DeviceConfig, RxPipeline
+from .fifo import BlockFifo
 from .tx import _MOD_KINDS, TxChannelSpec, TxDeviceConfig, TxPipeline
 
 
@@ -985,19 +986,46 @@ class TxDeviceSet:
                 sample_rate=int(self.sink.sample_rate),
                 center_frequency=int(self.sink.center_frequency),
             )
-            while not self._stop.is_set():
-                t0 = time.perf_counter()
-                afs = [jnp.asarray(af(b, c, 4096)) for c in range(len(specs))]
-                state, out = pipe._step(state, afs)
-                writer.write(np.asarray(out))
-                for i, ch in enumerate(self.channels):
-                    ch.audio_samples += 4096
-                self.blocks_processed += 1
-                dt = time.perf_counter() - t0
-                self.realtime_factor = block_seconds / max(dt, 1e-9)
-                b += 1
-                if self.sink.throttle and dt < block_seconds:
-                    time.sleep(block_seconds - dt)
+
+            # SampleSourceFifo role (samplesourcefifo.h): device blocks flow
+            # through a bounded FIFO to a writer thread, so device compute,
+            # host fetch, and disk IO pipeline; a slow sink backpressures
+            # the producer instead of growing memory
+            self.fifo = fifo = BlockFifo(depth=8)
+
+            def _drain():
+                while True:
+                    blk = fifo.get(timeout=5.0)
+                    if blk is None:
+                        return
+                    writer.write(blk)
+
+            drain_thread = threading.Thread(target=_drain, daemon=True)
+            drain_thread.start()
+
+            pending = None  # one-behind drain: fetch block b while the
+            # device runs block b+1 (the Rx engine's async-dispatch pattern)
+            try:
+                while not self._stop.is_set():
+                    t0 = time.perf_counter()
+                    afs = [jnp.asarray(af(b, c, 4096)) for c in range(len(specs))]
+                    state, out = pipe._step(state, afs)
+                    if pending is not None:
+                        fifo.put(np.asarray(pending))
+                    pending = out
+                    for i, ch in enumerate(self.channels):
+                        ch.audio_samples += 4096
+                    self.blocks_processed += 1
+                    dt = time.perf_counter() - t0
+                    self.realtime_factor = block_seconds / max(dt, 1e-9)
+                    b += 1
+                    if self.sink.throttle and dt < block_seconds:
+                        time.sleep(block_seconds - dt)
+                if pending is not None:
+                    fifo.put(np.asarray(pending))
+            finally:
+                fifo.close()
+                drain_thread.join(timeout=30.0)
             writer.close()
         except Exception as e:
             self.error = f"{type(e).__name__}: {e}"
