@@ -59,7 +59,7 @@ _PIPELINE_FIELDS = {"channel_rate", "input_offset", "block_in", "block_af"}
 #: toneFrequency → Tx AF source)
 SESSION_KEYS = {
     "inputFrequencyOffset", "audioFile", "audioUdp", "audioRtp",
-    "toneFrequency", "afUdp", "cwText", "cwWpm", "datvContinuous",
+    "toneFrequency", "afUdp", "afFile", "cwText", "cwWpm", "datvContinuous",
     # udpsrc egress: destination + wire format (io.udp FORMATS)
     "udpAddress", "udpPort", "udpFormat",
 }

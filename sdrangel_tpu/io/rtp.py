@@ -49,7 +49,8 @@ class RtpAudioSender:
     """L16 (big-endian int16 PCM) RTP sender (audionetsink RTP mode)."""
 
     def __init__(self, address: str, port: int, stereo: bool = False,
-                 samples_per_packet: int = 480):
+                 samples_per_packet: int = 480, rtcp: bool = True,
+                 rtcp_interval: float = 2.0):
         self.addr = (address, port)
         self.stereo = stereo
         self.spp = samples_per_packet
@@ -58,6 +59,12 @@ class RtpAudioSender:
         self.ssrc = secrets.randbelow(1 << 32)
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         self._pending = np.zeros((0, 2) if stereo else (0,), dtype=np.int16)
+        # RTCP sender reports on port+1 (qrtplib rtpsession auto-SR role)
+        self.packet_count = 0
+        self.octet_count = 0
+        self._rtcp = RtcpPeer(address, port, bind=False) if rtcp else None
+        self._rtcp_interval = rtcp_interval
+        self._last_sr = 0.0
 
     def write(self, audio: np.ndarray) -> int:
         """audio: float in [-1,1) (T,) mono or (T,2) stereo."""
@@ -72,30 +79,227 @@ class RtpAudioSender:
             self._sock.sendto(pkt, self.addr)
             self.seq = (self.seq + 1) & 0xFFFF
             self.timestamp = (self.timestamp + self.spp) & 0xFFFFFFFF
+            self.packet_count += 1
+            self.octet_count += len(payload)
             sent += 1
+        if self._rtcp is not None and sent:
+            import time as _time
+
+            now = _time.monotonic()
+            if now - self._last_sr >= self._rtcp_interval:
+                self._last_sr = now
+                self._rtcp.send(build_sr(
+                    self.ssrc, self.timestamp,
+                    self.packet_count, self.octet_count))
         return sent
 
     def close(self):
         self._sock.close()
+        if self._rtcp is not None:
+            self._rtcp.close()
 
 
 class RtpAudioReceiver:
-    def __init__(self, address: str, port: int, timeout: float = 2.0):
+    """RTP receiver with RFC 3550 A.8 reception statistics (interarrival
+    jitter, loss from the sequence gap) and Receiver Report emission —
+    the qrtplib RTPSourceStats role."""
+
+    def __init__(self, address: str, port: int, timeout: float = 2.0,
+                 clock_rate: float = 48000.0):
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         self._sock.bind((address, port))
         self._sock.settimeout(timeout)
+        self.clock_rate = clock_rate
+        self.ssrc = secrets.randbelow(1 << 32)
+        # reception stats (RFC 3550 A.8)
+        self.received = 0
+        self.base_seq: int | None = None
+        self.max_seq = 0
+        self.cycles = 0
+        self.jitter = 0.0
+        self._last_transit: float | None = None
+        self.source_ssrc = 0
 
     @property
     def port(self) -> int:
         return self._sock.getsockname()[1]
 
     def read_packet(self) -> tuple[dict, np.ndarray]:
+        import time as _time
+
         raw, _ = self._sock.recvfrom(65536)
         info = parse_packet(raw)
         pcm = np.frombuffer(info["payload"], dtype=">i2").astype(np.float32) / 32768.0
         if info["payload_type"] == PT_L16_STEREO:
             pcm = pcm.reshape(-1, 2)
+        # stats update
+        self.received += 1
+        self.source_ssrc = info["ssrc"]
+        seq = info["seq"]
+        if self.base_seq is None:
+            self.base_seq = seq
+            self.max_seq = seq
+        else:
+            if seq < 0x1000 and self.max_seq > 0xF000:  # wraparound
+                self.cycles += 1 << 16
+            self.max_seq = max(self.max_seq & 0xFFFF, seq)
+        # interarrival jitter in timestamp units (A.8): J += (|D| - J)/16
+        arrival = _time.monotonic() * self.clock_rate
+        transit = arrival - info["timestamp"]
+        if self._last_transit is not None:
+            d = abs(transit - self._last_transit)
+            self.jitter += (d - self.jitter) / 16.0
+        self._last_transit = transit
         return info, pcm
+
+    @property
+    def expected(self) -> int:
+        if self.base_seq is None:
+            return 0
+        return self.cycles + self.max_seq - self.base_seq + 1
+
+    @property
+    def lost(self) -> int:
+        return max(0, self.expected - self.received)
+
+    def receiver_report(self) -> bytes:
+        """Build an RR for the observed source (rtcprrpacket role)."""
+        exp = self.expected
+        frac = 0 if exp == 0 else min(255, (self.lost * 256) // max(exp, 1))
+        return build_rr(self.ssrc, self.source_ssrc, frac, self.lost,
+                        self.cycles + self.max_seq, self.jitter)
+
+    def close(self):
+        self._sock.close()
+
+
+# ---------------------------------------------------------------------------
+# RTCP — the qrtplib rtcpcompoundpacket/rtcpsrpacket/rtcprrpacket role
+# (qrtplib/rtpsession.h schedules SR/RR + SDES automatically; here the
+# sender emits SR+SDES on a timer from write(), and the receiver tracks
+# RFC 3550 A.8 statistics and can answer with RR).
+# ---------------------------------------------------------------------------
+
+RTCP_SR = 200
+RTCP_RR = 201
+RTCP_SDES = 202
+RTCP_BYE = 203
+
+_NTP_EPOCH_DELTA = 2208988800  # 1900 -> 1970
+
+
+def _ntp_now() -> tuple[int, int]:
+    import time as _time
+
+    t = _time.time() + _NTP_EPOCH_DELTA
+    sec = int(t)
+    frac = int((t - sec) * (1 << 32)) & 0xFFFFFFFF
+    return sec & 0xFFFFFFFF, frac
+
+
+def build_sr(ssrc: int, rtp_ts: int, packet_count: int, octet_count: int,
+             cname: str = "sdrangel_tpu") -> bytes:
+    """Compound SR + SDES(CNAME) packet (rtcpsrpacket.h layout)."""
+    ntp_sec, ntp_frac = _ntp_now()
+    sr = struct.pack(
+        "!BBHIIIIII",
+        (RTP_VERSION << 6) | 0,  # V, P=0, RC=0
+        RTCP_SR,
+        6,  # length in 32-bit words minus one (28 bytes body / 4 - 1 + 1hdr)
+        ssrc & 0xFFFFFFFF,
+        ntp_sec, ntp_frac,
+        rtp_ts & 0xFFFFFFFF,
+        packet_count & 0xFFFFFFFF,
+        octet_count & 0xFFFFFFFF,
+    )
+    cname_b = cname.encode()[:255]
+    item = bytes([1, len(cname_b)]) + cname_b  # SDES CNAME item
+    chunk = struct.pack("!I", ssrc & 0xFFFFFFFF) + item + b"\x00"
+    pad = (-len(chunk)) % 4
+    chunk += b"\x00" * pad
+    sdes = struct.pack(
+        "!BBH", (RTP_VERSION << 6) | 1, RTCP_SDES, len(chunk) // 4
+    ) + chunk
+    return sr + sdes
+
+
+def build_rr(ssrc: int, source_ssrc: int, fraction_lost: int, cum_lost: int,
+             highest_seq: int, jitter: int, lsr: int = 0, dlsr: int = 0) -> bytes:
+    """Receiver Report with one report block (rtcprrpacket.h layout)."""
+    body = struct.pack(
+        "!IIIIIII",
+        ssrc & 0xFFFFFFFF,
+        source_ssrc & 0xFFFFFFFF,
+        ((fraction_lost & 0xFF) << 24) | (cum_lost & 0xFFFFFF),
+        highest_seq & 0xFFFFFFFF,
+        int(jitter) & 0xFFFFFFFF,
+        lsr & 0xFFFFFFFF,
+        dlsr & 0xFFFFFFFF,
+    )
+    return struct.pack(
+        "!BBH", (RTP_VERSION << 6) | 1, RTCP_RR, len(body) // 4
+    ) + body
+
+
+def parse_rtcp(raw: bytes) -> list[dict]:
+    """Parse a compound RTCP packet into a list of report dicts."""
+    out = []
+    off = 0
+    while off + 4 <= len(raw):
+        b0, pt, length = struct.unpack_from("!BBH", raw, off)
+        size = 4 * (length + 1)
+        body = raw[off + 4 : off + size]
+        if pt == RTCP_SR and len(body) >= 24:
+            ssrc, ntp_s, ntp_f, rtp_ts, pkts, octets = struct.unpack_from(
+                "!IIIIII", body)
+            out.append({"type": "SR", "ssrc": ssrc, "ntp_sec": ntp_s,
+                        "ntp_frac": ntp_f, "rtp_timestamp": rtp_ts,
+                        "packet_count": pkts, "octet_count": octets})
+        elif pt == RTCP_RR and len(body) >= 28:
+            ssrc, src, lost_w, hseq, jit, lsr, dlsr = struct.unpack_from(
+                "!IIIIIII", body)
+            out.append({"type": "RR", "ssrc": ssrc, "source_ssrc": src,
+                        "fraction_lost": lost_w >> 24,
+                        "cumulative_lost": lost_w & 0xFFFFFF,
+                        "highest_seq": hseq, "jitter": jit,
+                        "lsr": lsr, "dlsr": dlsr})
+        elif pt == RTCP_SDES and len(body) >= 6:
+            ssrc = struct.unpack_from("!I", body)[0]
+            items = {}
+            p = 4
+            while p + 2 <= len(body) and body[p] != 0:
+                typ, ln = body[p], body[p + 1]
+                items[typ] = body[p + 2 : p + 2 + ln].decode(errors="replace")
+                p += 2 + ln
+            out.append({"type": "SDES", "ssrc": ssrc,
+                        "cname": items.get(1, "")})
+        elif pt == RTCP_BYE:
+            out.append({"type": "BYE"})
+        off += size if size > 4 else 4
+    return out
+
+
+class RtcpPeer:
+    """RTCP socket bound/aimed at the RTP port + 1 (RFC 3550 §11)."""
+
+    def __init__(self, address: str, rtp_port: int, bind: bool,
+                 timeout: float = 2.0):
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        if bind:
+            self._sock.bind((address, rtp_port + 1))
+            self._sock.settimeout(timeout)
+        self.addr = (address, rtp_port + 1)
+
+    def send(self, pkt: bytes) -> None:
+        self._sock.sendto(pkt, self.addr)
+
+    def recv(self) -> list[dict]:
+        raw, _ = self._sock.recvfrom(65536)
+        return parse_rtcp(raw)
+
+    @property
+    def port(self) -> int:
+        return self._sock.getsockname()[1]
 
     def close(self):
         self._sock.close()

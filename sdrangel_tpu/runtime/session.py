@@ -925,6 +925,7 @@ class TxDeviceSet:
 
     def _work(self) -> None:
         udp_srcs: dict[int, Any] = {}
+        wav_srcs: dict[int, np.ndarray] = {}
         try:
             device = TxDeviceConfig(
                 sample_rate=self.sink.sample_rate,
@@ -946,6 +947,20 @@ class TxDeviceSet:
 
                     host, port = addr.rsplit(":", 1)
                     udp_srcs[i] = UdpSource(host, int(port), "mono16", timeout=2.0)
+                # WAV file AF source (the audio *input* path: the reference
+                # modulators read a sound-card/file input via AudioFifo,
+                # e.g. plugins/channeltx/modnfm nfmmod.cpp pull from
+                # m_audioFifo; headless equivalent: a 48 kHz WAV looped)
+                af_file = settings.pop("afFile", None)
+                if af_file:
+                    import wave as _wave
+
+                    with _wave.open(af_file, "rb") as w:
+                        nch = w.getnchannels()
+                        pcm = np.frombuffer(
+                            w.readframes(w.getnframes()), dtype=np.int16)
+                    mono = pcm.reshape(-1, nch).mean(axis=1) / 32768.0
+                    wav_srcs[i] = mono.astype(np.float32)
                 # CW keyer AF source (the reference's CWKeyer feeding Tx
                 # channels, sdrbase/dsp/cwkeyer.h:141): settings cwText/cwWpm
                 # key the channel's tone with the Morse envelope, looping
@@ -967,6 +982,10 @@ class TxDeviceSet:
                         return udp_srcs[c].read(count).astype(np.float32)
                     except Exception:
                         return np.zeros(count, np.float32)  # underrun -> silence
+                if c in wav_srcs:  # looped WAV input
+                    src = wav_srcs[c]
+                    idx = (b * count + np.arange(count)) % len(src)
+                    return src[idx]
                 t = (b * count + np.arange(count)) / 48000.0
                 tone = np.sin(2 * np.pi * tones[c] * t).astype(np.float32)
                 if c in keyers:

@@ -72,3 +72,49 @@ def test_cw_keyer_paris_timing():
     total = sum(dur for _, dur in sched)
     # PARIS = 50 dot units exactly (standard word)
     assert total == 50 * cfg.dot_samples
+
+
+def test_rtcp_sender_report_and_sdes():
+    """The sender emits a compound SR+SDES on the RTP port + 1 with honest
+    packet/octet counts (qrtplib rtpsession auto-SR role)."""
+    rx = rtp.RtpAudioReceiver("127.0.0.1", 0, timeout=5.0)
+    rtcp_rx = rtp.RtcpPeer("127.0.0.1", rx.port, bind=True, timeout=5.0)
+    tx = rtp.RtpAudioSender("127.0.0.1", rx.port, samples_per_packet=160,
+                            rtcp_interval=0.0)  # SR on first write
+    try:
+        t = np.arange(480) / 48000.0
+        tx.write(np.sin(2 * np.pi * 440 * t).astype(np.float32))
+        for _ in range(3):
+            rx.read_packet()
+        reports = rtcp_rx.recv()
+        kinds = {r["type"] for r in reports}
+        assert kinds == {"SR", "SDES"}
+        sr = next(r for r in reports if r["type"] == "SR")
+        assert sr["ssrc"] == tx.ssrc
+        assert sr["packet_count"] == 3
+        assert sr["octet_count"] == 3 * 160 * 2
+        sdes = next(r for r in reports if r["type"] == "SDES")
+        assert sdes["cname"] == "sdrangel_tpu"
+    finally:
+        tx.close(); rx.close(); rtcp_rx.close()
+
+
+def test_rtcp_receiver_report_stats():
+    """Receiver tracks RFC 3550 A.8 stats and emits a parseable RR."""
+    rx = rtp.RtpAudioReceiver("127.0.0.1", 0, timeout=5.0)
+    tx = rtp.RtpAudioSender("127.0.0.1", rx.port, samples_per_packet=160,
+                            rtcp=False)
+    try:
+        t = np.arange(800) / 48000.0
+        tx.write(np.sin(2 * np.pi * 440 * t).astype(np.float32))
+        for _ in range(5):
+            rx.read_packet()
+        assert rx.received == 5
+        assert rx.expected == 5 and rx.lost == 0
+        rr = rtp.parse_rtcp(rx.receiver_report())
+        assert rr[0]["type"] == "RR"
+        assert rr[0]["source_ssrc"] == tx.ssrc
+        assert rr[0]["cumulative_lost"] == 0
+        assert rr[0]["fraction_lost"] == 0
+    finally:
+        tx.close(); rx.close()

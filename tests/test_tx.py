@@ -178,3 +178,57 @@ def test_tx_session_cw_keyer_source(tmp_path):
     downs = [sp for i, sp in enumerate(spans) if on[edges[i] + 1]]
     assert downs, spans
     assert any(abs(sp - dot) < 0.35 * dot for sp in downs), (downs, dot)
+
+
+def test_tx_session_wav_file_source(tmp_path):
+    """afFile feeds a Tx channel from a looped 48 kHz WAV (the audio *input*
+    path: the reference modulators pull a sound-card/file AudioFifo,
+    nfmmod.cpp pullAudio): NFM-modulate the file, demod back, recover the
+    file's tone."""
+    import time
+    import wave
+
+    from sdrangel_tpu.runtime.engine import ChannelSpec, DeviceConfig, RxPipeline
+    from sdrangel_tpu.runtime.session import Session
+
+    tone = 800.0
+    wav_path = str(tmp_path / "voice.wav")
+    t = np.arange(9600) / 48000.0  # 0.2 s, loops
+    pcm = np.clip(np.sin(2 * np.pi * tone * t) * 0.8 * 32768, -32768,
+                  32767).astype(np.int16)
+    with wave.open(wav_path, "wb") as w:
+        w.setnchannels(1); w.setsampwidth(2); w.setframerate(48000)
+        w.writeframes(pcm.tobytes())
+
+    s = Session()
+    ds = s.add_device_set("tx")
+    ds.sink.file_path = str(tmp_path / "fm.sdriq")
+    ds.update_source({"sample_rate": 192_000.0, "log2_interp": 2})
+    ds.add_channel("sdrangel.channeltx.modnfm", {"afFile": wav_path})
+    ds.start()
+    deadline = time.time() + 120.0
+    while time.time() < deadline and ds.blocks_processed < 8:
+        assert ds.running or not ds.error, ds.error
+        time.sleep(0.02)
+    ds.stop()
+    assert not ds.error, ds.error
+
+    # demod the recorded capture back with the Rx chain
+    info, mm = sdriq.open_mmap(ds.sink.file_path)
+    rx = RxPipeline(
+        DeviceConfig(sample_rate=192_000.0, log2_decim=2),
+        [ChannelSpec("sdrangel.channel.nfmdemod", 0.0,
+                     {"squelch_db": -100.0, "squelch_gate_ms": 1.0})],
+        block_size=1 << 14,
+    )
+    state = rx.init_state()
+    raw = np.asarray(mm[: 2 * rx.device_block])
+    import jax.numpy as jnp
+
+    audio = []
+    for b in range(2):
+        state, outs = rx._step(
+            state, jnp.asarray(raw[b * rx.device_block:(b + 1) * rx.device_block]))
+        audio.append(np.asarray(outs["channels"][0]["audio"]))
+    a = np.concatenate(audio)[4096:]  # skip filter settle
+    assert _tone_snr(a, tone, 48000.0) > 10.0
