@@ -21,17 +21,21 @@ with (−D mod 2^k) leading zeros puts the kernel on the same output grid, so
 this kernel matches dsp/decimators.py to ~1e-3 absolute (the f64→f32
 rounding of the composed 3907-tap equivalent filter).
 
-Status (round 1): verified correct on real TPU v5e hardware. Throughput is
-limited by the VMEM live-range behavior of the unrolled tap loop (Mosaic
-materializes every shifted slice, capping tile_out at ~256 within the 16 MB
-scoped-VMEM limit → many small grid programs, ~1 GS/s). A fori_loop +
-dynamic-rotate variant was measured (git history): it compiles at large
-tiles but rotating the whole tile per tap costs more than it saves (~1 GS/s
-as well) and dynamic unaligned lane *slices* are unsupported outright. The
-XLA conv path remains the production default (30-115 GS/s depending on
-block size). Round-2 direction: per-tap static slices inside a fori over
-*tap groups* (bounding live ranges to a group), or emitting the MXU form
-(128-lane tap matrix × shifted-window matmul).
+Status (round 2): the round-1 "~1 GS/s" measurement was an artifact of the
+dispatch-poisoning bug (a closure-captured device array in the bench
+harness serialized every call — see .claude/skills/verify/SKILL.md round-2
+gotchas). Re-measured healthy (tools/bench_pallas.py, 2^23 blocks, real
+chip): this VPU kernel at tile_out=256 runs 272-513 GS/s across passes,
+the XLA flat conv 303-305, and the MXU variant below 240 — all inside the
+tunnel's run-to-run noise band, i.e. the decimator is input-bandwidth
+bound in every formulation and none is a chain bottleneck (the full
+bench chain including it runs at 84-340 GS/s). The VMEM live-range cap is
+real (tile_out 2048 OOMs at 56 MB scoped) but harmless at tile 256. The
+XLA conv path stays the production default: same speed, carries the
+streaming state, and covers inf/sup placements. decimate_cascade_fused_mxu
+keeps the MXU form (per-tap sublane-contracting dots) for documentation
+and as the base for any future fusion of downstream stages into the
+kernel, where Pallas could win by keeping the baseband in VMEM.
 """
 
 from __future__ import annotations
@@ -155,6 +159,88 @@ def decimate_cascade_fused(
         ),
         interpret=interpret,
     )(planes, w)
+
+
+@functools.partial(jax.jit, static_argnames=("log2_decim", "tile_out", "interpret"))
+def decimate_cascade_fused_mxu(
+    raw: jnp.ndarray,
+    log2_decim: int = 6,
+    tile_out: int = 2048,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """MXU formulation of the fused decimator (the round-2 direction from
+    the VPU kernel's status note): per tap t the contribution of all 128
+    [I|Q]×leg sublanes to the (2, M) output tile is ONE matmul
+    W_t(2,128) @ v[:, t:t+M](128, M) contracting the sublane dim — so the
+    inner loop is t_leg MXU dots instead of t_leg broadcast-FMAs, and the
+    shifted windows never materialize as separate live values (each dot
+    consumes its window immediately). This lifts the VMEM live-range cap
+    that held the VPU form at tile_out≈256.
+
+    Same I/O contract as decimate_cascade_fused.
+    """
+    r = 1 << log2_decim
+    t_ext = raw.shape[0]
+    t = t_ext - HALO
+    assert t % (tile_out * r) == 0, (t, tile_out, r)
+    n_tiles = t // (tile_out * r)
+    legs = _legs(log2_decim)  # (r, t_leg)
+    t_leg = legs.shape[1]
+    halo_cols = HALO // r
+    assert halo_cols >= t_leg - 1, (halo_cols, t_leg)
+
+    planes = deinterleave_planes(raw, log2_decim)  # (2r, T'/r) int16
+
+    # W stack: rows [2t, 2t+1] pick tap t's I and Q contributions out of
+    # the 128 [I legs | Q legs] sublanes
+    w_np = np.zeros((2 * t_leg, 2 * r), np.float32)
+    for tt in range(t_leg):
+        w_np[2 * tt, :r] = legs[:, tt]
+        w_np[2 * tt + 1, r:] = legs[:, tt]
+
+    def kernel(planes_hbm, w_ref, out_ref):
+        i = pl.program_id(0)
+
+        def body(scratch, vf32, sem):
+            dma = pltpu.make_async_copy(
+                planes_hbm.at[:, pl.ds(i * tile_out, tile_out + halo_cols)],
+                scratch,
+                sem,
+            )
+            dma.start()
+            dma.wait()
+            vf32[:] = scratch[:].astype(jnp.float32) * (1.0 / 32768.0)
+            base = halo_cols - (t_leg - 1)
+            acc = jnp.zeros((2, tile_out), jnp.float32)
+            for tt in range(t_leg):
+                wt = w_ref[2 * tt : 2 * tt + 2, :]  # (2, 2r)
+                win = vf32[:, base + tt : base + tt + tile_out]  # (2r, M)
+                acc = acc + jax.lax.dot_general(
+                    wt, win, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            out_ref[:] = acc
+
+        pl.run_scoped(
+            body,
+            scratch=pltpu.VMEM((2 * r, tile_out + halo_cols), jnp.int16),
+            vf32=pltpu.VMEM((2 * r, tile_out + halo_cols), jnp.float32),
+            sem=pltpu.SemaphoreType.DMA(()),
+        )
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((2, t // r), jnp.float32),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (2, tile_out), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(planes, jnp.asarray(w_np))
 
 
 def reference_equivalent(raw: np.ndarray, log2_decim: int = 6) -> np.ndarray:
