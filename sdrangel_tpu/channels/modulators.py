@@ -26,6 +26,15 @@ def _up_plan(audio_rate: float, channel_rate: float, block_af: int):
     return resampler.make_plan(audio_rate, channel_rate, block_af)
 
 
+def _mod_inc(cfg, offset_hz):
+    """Carrier-NCO increment: static from cfg, or a traced per-channel
+    override (kept numpy/host when static — a closed-over device array
+    would mode-switch some TPU runtimes; see verify SKILL.md)."""
+    if offset_hz is None:
+        return jnp.asarray(nco.freq_to_increment(cfg.input_offset, cfg.channel_rate))
+    return nco.freq_to_increment_traced(offset_hz, cfg.channel_rate)
+
+
 # ---------------------------------------------------------------------------
 # NFM / WFM — frequency modulation
 # ---------------------------------------------------------------------------
@@ -67,16 +76,19 @@ def make_fm_state(cfg: FMModConfig, batch_shape=()) -> FMModState:
 
 
 def fm_modulate(
-    state: FMModState, af: jnp.ndarray, cfg: FMModConfig
+    state: FMModState, af: jnp.ndarray, cfg: FMModConfig, offset_hz=None
 ) -> tuple[FMModState, jnp.ndarray]:
-    """af: (..., block_af) float in [-1,1] -> (..., block_af*ratio) complex."""
+    """af: (..., block_af) float in [-1,1] -> (..., block_af*ratio) complex.
+
+    offset_hz: optional traced override of cfg.input_offset (per-channel
+    arrays for banked Tx groups — mirrors demod_nfm.process)."""
     fir_state, af_f = firdesign.fir_apply(state.af_filter, af, jnp.asarray(cfg.af_taps))
     dphi = (2.0 * np.pi * cfg.fm_deviation / cfg.audio_rate) * af_f
     phase = state.phase[..., None] + jnp.cumsum(dphi, axis=-1)
     iq = jnp.exp(1j * phase.astype(jnp.complex64)) * cfg.amplitude
     new_phase = jnp.mod(phase[..., -1], 2.0 * np.pi).astype(jnp.float32)
     up_state, up = resampler.resample_block(state.up, iq.astype(jnp.complex64), cfg.up)
-    inc = jnp.asarray(nco.freq_to_increment(cfg.input_offset, cfg.channel_rate))
+    inc = _mod_inc(cfg, offset_hz)
     nco_state, out = nco.mix_block(state.nco, up, inc)
     return FMModState(fir_state, new_phase, up_state, nco_state), out
 
@@ -110,12 +122,12 @@ def make_am_state(cfg: AMModConfig, batch_shape=()) -> AMModState:
 
 
 def am_modulate(
-    state: AMModState, af: jnp.ndarray, cfg: AMModConfig
+    state: AMModState, af: jnp.ndarray, cfg: AMModConfig, offset_hz=None
 ) -> tuple[AMModState, jnp.ndarray]:
     env = (af * cfg.mod_factor + 1.0) * cfg.amplitude  # ammod.cpp:165 semantics
     iq = env.astype(jnp.complex64)
     up_state, up = resampler.resample_block(state.up, iq, cfg.up)
-    inc = jnp.asarray(nco.freq_to_increment(cfg.input_offset, cfg.channel_rate))
+    inc = _mod_inc(cfg, offset_hz)
     nco_state, out = nco.mix_block(state.nco, up, inc)
     return AMModState(up_state, nco_state), out
 
@@ -163,14 +175,14 @@ def make_ssb_state(cfg: SSBModConfig, batch_shape=()) -> SSBModState:
 
 
 def ssb_modulate(
-    state: SSBModState, af: jnp.ndarray, cfg: SSBModConfig
+    state: SSBModState, af: jnp.ndarray, cfg: SSBModConfig, offset_hz=None
 ) -> tuple[SSBModState, jnp.ndarray]:
     """Real audio → analytic SSB signal via runSSB (ssbmod.cpp pullAF path)."""
     fft_state, ssb = fftfilt.run_ssb(
         state.fft, af.astype(jnp.complex64), cfg.filter_freq, usb=cfg.usb
     )
     up_state, up = resampler.resample_block(state.up, ssb * cfg.amplitude, cfg.up)
-    inc = jnp.asarray(nco.freq_to_increment(cfg.input_offset, cfg.channel_rate))
+    inc = _mod_inc(cfg, offset_hz)
     nco_state, out = nco.mix_block(state.nco, up, inc)
     return SSBModState(fft_state, up_state, nco_state), out
 
@@ -222,9 +234,9 @@ def make_wfm_state(cfg: WFMModConfig, batch_shape=()) -> WFMModState:
 
 
 def wfm_modulate(
-    state: WFMModState, af: jnp.ndarray, cfg: WFMModConfig
+    state: WFMModState, af: jnp.ndarray, cfg: WFMModConfig, offset_hz=None
 ) -> tuple[WFMModState, jnp.ndarray]:
-    fm_state, iq = fm_modulate(state.fm, af, cfg.fm)
+    fm_state, iq = fm_modulate(state.fm, af, cfg.fm, offset_hz)
     fft_state, out = fftfilt.run_filt(state.fft, iq, jnp.asarray(cfg.rf_filter))
     return WFMModState(fm_state, fft_state), out
 

@@ -84,6 +84,36 @@ def upchannelize(
     return CascadeState(tuple(tails)), y
 
 
+def upchannelize_bank(
+    state: CascadeState,
+    x: jnp.ndarray,
+    signs: np.ndarray,
+    order: int = UPCHANNELIZER_ORDER,
+) -> tuple[CascadeState, jnp.ndarray]:
+    """Channel-parallel Tx mirror of `channelize_bank`: a bank of channels
+    with a SHARED stage depth runs as one batched cascade, per-channel
+    rotation signs as data (the ThreadedBasebandSampleSource channel
+    parallelism of the reference, re-expressed as a batch axis).
+
+    x: (C, T) complex64 at the common channel rate; signs: (C, n_stages)
+    from each channel's plan; state tails carry the leading C axis.
+    Returns (state', y (C, T · 2^n_stages)) at the baseband rate.
+    """
+    from .channelizer import _stage_rotation
+
+    taps = jnp.asarray(hb_taps(order))
+    signs = np.asarray(signs)
+    n_stages = signs.shape[1]
+    tails = list(state.tails)
+    y = x
+    for k in reversed(range(n_stages)):
+        tails[k], y = hb_interpolate2(tails[k], y, taps)
+        rot = _stage_rotation(-signs[:, k], y.shape[-1])
+        if rot is not None:
+            y = y * jnp.asarray(rot)
+    return CascadeState(tuple(tails)), y
+
+
 def interpolate_cascade(
     state: CascadeState,
     x: jnp.ndarray,

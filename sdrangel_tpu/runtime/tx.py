@@ -81,6 +81,27 @@ class TxPipeline:
             )
             self.mod_cfgs.append(cfg)
             self.mod_fns.append((make_state, modulate))
+
+        # Channel-parallel grouping (ThreadedBasebandSampleSource role,
+        # threadedbasebandsamplesource.h — one thread per Tx channel in the
+        # reference; here channels with the same kind, settings, and stage
+        # depth run as ONE batched modulate + upchannelize_bank, with the
+        # per-channel residual offsets and rotation signs as data):
+        # groups: list of (channel indices, cfg0, make/modulate, signs,
+        # residuals). Singleton groups fall out naturally.
+        groups: dict[tuple, list[int]] = {}
+        for i, (spec, plan) in enumerate(zip(channels, self.plans)):
+            key = (spec.uri, len(plan.signs),
+                   tuple(sorted(spec.settings.items())))
+            groups.setdefault(key, []).append(i)
+        self.groups = []
+        for key, idxs in groups.items():
+            cfg0 = dataclasses.replace(self.mod_cfgs[idxs[0]], input_offset=0.0)
+            signs = np.array([self.plans[i].signs for i in idxs], np.int64)
+            residuals = np.asarray(
+                [self.plans[i].residual_offset for i in idxs], np.float32)
+            self.groups.append(
+                (idxs, cfg0, self.mod_fns[idxs[0]], signs, residuals))
         self._step = jax.jit(self._step_impl)
 
     @property
@@ -96,28 +117,32 @@ class TxPipeline:
     def _init_state_impl(self) -> dict:
         return {
             "mod": [
-                make_state(cfg)
-                for (make_state, _), cfg in zip(self.mod_fns, self.mod_cfgs)
+                make_state(cfg, batch_shape=(len(idxs),))
+                for idxs, cfg, (make_state, _), _, _ in self.groups
             ],
-            "up": [interp.init_state(len(p.signs)) for p in self.plans],
+            "up": [
+                interp.init_state(signs.shape[1], batch_shape=(len(idxs),))
+                for idxs, _, _, signs, _ in self.groups
+            ],
             "dev": interp.init_state(self.device.log2_interp, order=64),
         }
 
     def _step_impl(self, state: dict, afs: list[jnp.ndarray]):
-        mod_states, up_states, basebands = [], [], []
-        for i, ((make_state, modulate), cfg, plan) in enumerate(
-            zip(self.mod_fns, self.mod_cfgs, self.plans)
+        mod_states, up_states, merged, n_ch = [], [], None, 0
+        for g, (idxs, cfg, (_, modulate), signs, residuals) in enumerate(
+            self.groups
         ):
-            mstate, iq = modulate(state["mod"][i], afs[i], cfg)
-            ustate, bb = interp.upchannelize(state["up"][i], iq, plan)
+            af = jnp.stack([afs[i] for i in idxs])  # (C, block_af)
+            mstate, iq = modulate(state["mod"][g], af, cfg,
+                                  jnp.asarray(residuals))
+            ustate, bb = interp.upchannelize_bank(state["up"][g], iq, signs)
             mod_states.append(mstate)
             up_states.append(ustate)
-            basebands.append(bb)
-        merged = basebands[0]
-        for bb in basebands[1:]:
-            merged = merged + bb
-        if len(basebands) > 1:  # sum/÷k merge (dspdevicesinkengine work loop)
-            merged = merged / len(basebands)
+            contrib = bb.sum(axis=0)
+            merged = contrib if merged is None else merged + contrib
+            n_ch += len(idxs)
+        if n_ch > 1:  # sum/÷k merge (dspdevicesinkengine work loop)
+            merged = merged / n_ch
         dev_state, out = interp.interpolate_cascade(
             state["dev"], merged, self.device.log2_interp, order=64
         )

@@ -232,3 +232,50 @@ def test_tx_session_wav_file_source(tmp_path):
         audio.append(np.asarray(outs["channels"][0]["audio"]))
     a = np.concatenate(audio)[4096:]  # skip filter settle
     assert _tone_snr(a, tone, 48000.0) > 10.0
+
+
+def test_tx_grouped_banks_mixed_kinds(tmp_path):
+    """Channel-parallel Tx: same-kind channels coalesce into one batched
+    group (ThreadedBasebandSampleSource role as a batch axis); a mixed
+    NFM+NFM+AM set runs as 2 groups and every channel demods back."""
+    device = TxDeviceConfig(sample_rate=384_000.0, log2_interp=2)
+    specs = [
+        TxChannelSpec("sdrangel.channeltx.modnfm", -24_000.0, {}),
+        TxChannelSpec("sdrangel.channeltx.modnfm", 24_000.0, {}),
+        TxChannelSpec("sdrangel.channeltx.modam", 0.0, {}),
+    ]
+    pipe = TxPipeline(device, specs, block_af=4096)
+    assert len(pipe.groups) == 2  # two NFMs batched, AM alone
+    assert sorted(len(g[0]) for g in pipe.groups) == [1, 2]
+
+    tones = [700.0, 1100.0, 900.0]
+
+    def af(b, c, count):
+        t = (b * count + np.arange(count)) / 48000.0
+        return np.sin(2 * np.pi * tones[c] * t).astype(np.float32)
+
+    blocks = list(pipe.run(af, 6))
+    raw = np.concatenate(blocks)
+
+    rx = RxPipeline(
+        DeviceConfig(sample_rate=384_000.0, log2_decim=2),
+        [ChannelSpec("sdrangel.channel.nfmdemod", -24_000.0,
+                     {"squelch_db": -100.0, "squelch_gate_ms": 1.0}),
+         ChannelSpec("sdrangel.channel.nfmdemod", 24_000.0,
+                     {"squelch_db": -100.0, "squelch_gate_ms": 1.0}),
+         ChannelSpec("sdrangel.channel.amdemod", 0.0,
+                     {"squelch_db": -100.0})],
+        block_size=1 << 14,
+    )
+    import jax.numpy as jnp
+
+    state = rx.init_state()
+    audio = [[] for _ in range(3)]
+    for b in range(len(raw) // rx.device_block):
+        state, outs = rx._step(
+            state, jnp.asarray(raw[b * rx.device_block:(b + 1) * rx.device_block]))
+        for c in range(3):
+            audio[c].append(np.asarray(outs["channels"][c]["audio"]))
+    for c in range(3):
+        a = np.concatenate(audio[c])[4096:]
+        assert _tone_snr(a, tones[c], 48000.0) > 8.0, (c, tones[c])
