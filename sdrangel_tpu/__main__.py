@@ -163,6 +163,9 @@ def main(argv=None) -> int:
     ps = sub.add_parser("server", help="run the REST API server (sdrangelsrv role)")
     ps.add_argument("--api-address", default="127.0.0.1")
     ps.add_argument("--api-port", type=int, default=8091)  # mainparser.cpp default
+    ps.add_argument("--api-token", default=None,
+                    help="require 'Authorization: Bearer <token>' on every "
+                         "request (or set SDRANGEL_TPU_API_TOKEN)")
     ps.set_defaults(fn=cmd_server)
 
     pt = sub.add_parser("mod", help="modulate to a .sdriq file (Tx slice)")
@@ -226,7 +229,7 @@ def cmd_server(args) -> int:
     from .api.server import serve_forever
 
     logging.basicConfig(level=logging.INFO)
-    serve_forever(args.api_address, args.api_port)
+    serve_forever(args.api_address, args.api_port, args.api_token)
     return 0
 
 

@@ -83,8 +83,21 @@ _LOG_FILE: dict = {"handler": None, "name": None}
 
 class ApiHandler(BaseHTTPRequestHandler):
     session: Session  # injected by make_server
+    auth_token: str | None = None  # optional bearer token (make_server)
 
     # -- helpers -----------------------------------------------------------
+
+    def _authorized(self) -> bool:
+        """Optional bearer-token auth. The reference binds localhost only
+        (mainparser.cpp default) and has no auth; same default here, but a
+        token hardens non-local binds: --api-token / SDRANGEL_TPU_API_TOKEN."""
+        if not self.auth_token:
+            return True
+        got = self.headers.get("Authorization", "")
+        if got == f"Bearer {self.auth_token}":
+            return True
+        self._error(401, "missing or invalid bearer token")
+        return False
 
     def _json(self, code: int, payload) -> None:
         body = json.dumps(payload).encode()
@@ -127,6 +140,8 @@ class ApiHandler(BaseHTTPRequestHandler):
     # -- dispatch ----------------------------------------------------------
 
     def do_GET(self):
+        if not self._authorized():
+            return None
         s = self.session
         p = self._path()
         try:
@@ -560,6 +575,8 @@ class ApiHandler(BaseHTTPRequestHandler):
             return self._error(404, f"not found: {e}")
 
     def do_POST(self):
+        if not self._authorized():
+            return None
         s = self.session
         p = self._path()
         try:
@@ -641,6 +658,8 @@ class ApiHandler(BaseHTTPRequestHandler):
         return self._put_patch()
 
     def _put_patch(self):
+        if not self._authorized():
+            return None
         s = self.session
         p = self._path()
         try:
@@ -783,6 +802,8 @@ class ApiHandler(BaseHTTPRequestHandler):
             return self._error(404, f"not found: {e}")
 
     def do_DELETE(self):
+        if not self._authorized():
+            return None
         s = self.session
         p = self._path()
         try:
@@ -829,14 +850,21 @@ class ApiHandler(BaseHTTPRequestHandler):
             return self._error(404, f"not found: {e}")
 
 
-def make_server(session: Session, host: str = "127.0.0.1", port: int = 8091):
-    """Default bind mirrors the reference (mainparser.cpp:25-80)."""
-    handler = type("BoundApiHandler", (ApiHandler,), {"session": session})
+def make_server(session: Session, host: str = "127.0.0.1", port: int = 8091,
+                auth_token: str | None = None):
+    """Default bind mirrors the reference (mainparser.cpp:25-80). auth_token
+    (or SDRANGEL_TPU_API_TOKEN) requires `Authorization: Bearer <token>`."""
+    import os
+
+    token = auth_token or os.environ.get("SDRANGEL_TPU_API_TOKEN") or None
+    handler = type("BoundApiHandler", (ApiHandler,),
+                   {"session": session, "auth_token": token})
     return ThreadingHTTPServer((host, port), handler)
 
 
-def serve_forever(host: str = "127.0.0.1", port: int = 8091) -> None:
+def serve_forever(host: str = "127.0.0.1", port: int = 8091,
+                  auth_token: str | None = None) -> None:
     session = Session()
-    srv = make_server(session, host, port)
+    srv = make_server(session, host, port, auth_token)
     logger.info("REST API on http://%s:%d/sdrangel", host, port)
     srv.serve_forever()

@@ -1093,3 +1093,26 @@ def test_openapi_schemas(api):
                 "/sdrangel/deviceset/{i}/channels/report",
                 "/sdrangel/audio/input/parameters", "/sdrangel/dvserial"):
         assert pth in body["paths"], pth
+
+
+def test_api_bearer_token():
+    """Optional bearer-token auth: wrong/missing token -> 401 on every
+    method; correct token passes (hardening for non-local binds)."""
+    session = Session()
+    srv = make_server(session, "127.0.0.1", 0, auth_token="s3cret")
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        code, body = _req(base, "/sdrangel")
+        assert code == 401
+        code, _ = _req(base, "/sdrangel/devicesets", "POST")
+        assert code == 401
+        req = urllib.request.Request(base + "/sdrangel")
+        req.add_header("Authorization", "Bearer s3cret")
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 200
+            assert json.loads(r.read())["appname"] == "sdrangel_tpu"
+    finally:
+        srv.shutdown()
