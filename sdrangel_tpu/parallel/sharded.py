@@ -109,6 +109,29 @@ class ShardedPipelineConfig:
     chan_stages: int = 0  # extra per-channel ÷2 stages after device cascade
     block: int = 1 << 20  # device-rate samples per step (global)
     bank: tuple[BankGroup, ...] | None = None  # heterogeneous bank override
+    #: split the demod bank over BOTH mesh axes (time × channel) instead of
+    #: replicating the per-channel work across the time axis after the
+    #: baseband all_gather. None = auto: enabled when every group count is
+    #: divisible by n_time·n_channel. (r1 ran the same demods on every
+    #: time-shard — n_time× redundant compute.)
+    time_axis_channels: bool | None = None
+
+    @functools.cached_property
+    def channel_split(self) -> int:
+        """Devices each channel group is split across (n_channel or
+        n_time·n_channel)."""
+        full = self.n_time * self.n_channel
+        if self.time_axis_channels is None:
+            ok = all(g.count % full == 0 for g in self.groups)
+            return full if ok else self.n_channel
+        if self.time_axis_channels:
+            for g in self.groups:
+                if g.count % full:
+                    raise ValueError(
+                        f"time_axis_channels needs group counts divisible by "
+                        f"n_time*n_channel={full}; {g.uri} has {g.count}")
+            return full
+        return self.n_channel
 
     @property
     def baseband_rate(self) -> float:
@@ -180,6 +203,8 @@ def build_sharded_step(cfg: ShardedPipelineConfig, mesh: Mesh):
     counts = [g.count for g in cfg.groups]
     demod_cfgs = cfg.demod_cfgs
     single = len(cfg.groups) == 1
+    split = cfg.channel_split  # devices per channel group (see channel_split)
+    chan_axes = ("time", "channel") if split > cfg.n_channel else "channel"
 
     def local_step(state, x_local, carry, offsets):
         # x_local: (T/n_time, 2) int16; carry: (2, H) f32;
@@ -212,7 +237,7 @@ def build_sharded_step(cfg: ShardedPipelineConfig, mesh: Mesh):
         new_states, audios = [], []
         for g, (kind, gcfg) in enumerate(zip(kinds, demod_cfgs)):
             cstate, dstate = state[g]
-            cg = counts[g] // cfg.n_channel  # local channels of this group
+            cg = counts[g] // split  # local channels of this group
             xb = jnp.broadcast_to(bb, (cg, bb.shape[-1]))
             if cfg.chan_stages:
                 signs = np.zeros((cg, cfg.chan_stages), int)
@@ -222,16 +247,19 @@ def build_sharded_step(cfg: ShardedPipelineConfig, mesh: Mesh):
             audios.append(audio)
         return tuple(new_states), tuple(audios), new_carry
 
-    state_specs = jax.tree.map(lambda _: P("channel"), _state_structure(cfg))
-    group_specs = tuple(P("channel") for _ in cfg.groups)
+    state_specs = jax.tree.map(lambda _: P(chan_axes), _state_structure(cfg))
+    group_specs = tuple(P(chan_axes) for _ in cfg.groups)
     jit_step = jax.jit(
         jax.shard_map(
             local_step,
             mesh=mesh,
             in_specs=(state_specs, P("time"), P(), group_specs),
             out_specs=(state_specs, group_specs, P()),
-            # outputs ARE replicated over 'time' (they derive from the
-            # all_gathered baseband); the VMA inference can't prove it.
+            # with channel_split == n_channel the per-channel outputs ARE
+            # replicated over 'time' (they derive from the all_gathered
+            # baseband); the VMA inference can't prove it. With the full
+            # time×channel split nothing is replicated, but the same flag
+            # keeps both modes on one code path.
             check_vma=False,
         )
     )

@@ -321,3 +321,47 @@ def test_halo_cascade_inf_sup(devices, fc_pos):
     assert np.abs(ref).max() > 0.01
     for c in range(cfg.n_channels):
         np.testing.assert_allclose(sharded_audio[c], ref, atol=3e-3)
+
+
+def test_channel_split_mode_selection(devices):
+    """The bank splits over BOTH mesh axes when counts divide n_time*n_channel
+    (r1 replicated the demod work across the time axis); indivisible counts
+    fall back to channel-axis-only replication, and both modes match the
+    streaming oracle (covered by the equivalence tests above)."""
+    cfg8 = sharded.ShardedPipelineConfig(
+        n_time=4, n_channel=2, log2_decim=3, block=1 << 15,
+        device_rate=768_000.0,
+        bank=(sharded.BankGroup(sharded.NFM_URI, 8, {"squelch_db": -100.0}),))
+    assert cfg8.channel_split == 8  # auto: full time x channel split
+    cfg6 = sharded.ShardedPipelineConfig(
+        n_time=4, n_channel=2, log2_decim=3, block=1 << 15,
+        device_rate=768_000.0,
+        bank=(sharded.BankGroup(sharded.NFM_URI, 6, {"squelch_db": -100.0}),))
+    assert cfg6.channel_split == 2  # 6 % 8 != 0 -> replicate over time
+    with pytest.raises(ValueError):
+        sharded.ShardedPipelineConfig(
+            n_time=4, n_channel=2, log2_decim=3, block=1 << 15,
+            device_rate=768_000.0, time_axis_channels=True,
+            bank=(sharded.BankGroup(sharded.NFM_URI, 6, {}),)).channel_split
+
+    # the indivisible bank still runs and matches itself across modes:
+    # 8-channel forced-replicated == 8-channel auto-split
+    mesh = sharded.make_mesh(4, 2, devices)
+    offs = jnp.linspace(-30e3, 30e3, 8, dtype=jnp.float32)
+    rng = np.random.default_rng(11)
+    raw = rng.integers(-8000, 8000, size=(1 << 15, 2), dtype=np.int16)
+    outs = {}
+    for mode in (None, False):
+        cfg = sharded.ShardedPipelineConfig(
+            n_time=4, n_channel=2, log2_decim=3, block=1 << 15,
+            device_rate=768_000.0, time_axis_channels=mode,
+            bank=(sharded.BankGroup(sharded.NFM_URI, 8,
+                                    {"squelch_db": -100.0,
+                                     "squelch_gate_ms": 1.0}),))
+        step, init_fn = sharded.build_sharded_step(cfg, mesh)
+        state, carry = init_fn()
+        audio = None
+        for b in range(2):
+            state, audio, carry = step(state, jnp.asarray(raw), carry, offs)
+        outs[mode] = np.asarray(audio)
+    np.testing.assert_allclose(outs[None], outs[False], atol=1e-6)
