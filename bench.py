@@ -80,7 +80,10 @@ def main() -> int:
     # device-rate samples per step (~91 µs fixed dispatch overhead per step
     # through the TPU tunnel — big blocks amortize it); SDRANGEL_BENCH_LOG2BLOCK
     # overrides for sweeps
-    block = args.nb_samples or (1 << int(os.environ.get("SDRANGEL_BENCH_LOG2BLOCK", "23")))
+    # 2^24 default: repeated A/B vs 2^23 post-dispatch-fix measured
+    # 138-233 vs ~118 GS/s (bigger blocks amortize the ~30 µs/step
+    # dispatch floor); 2^25 showed no further gain
+    block = args.nb_samples or (1 << int(os.environ.get("SDRANGEL_BENCH_LOG2BLOCK", "24")))
     assert block % (4 << log2) == 0, "nb-samples must be a multiple of 4*2^l"
     fc_pos = {"decimateinfii": "inf", "decimatesupii": "sup"}.get(args.test, "cen")
     decim_only = args.test != "chain"

@@ -115,6 +115,11 @@ class ShardedPipelineConfig:
     #: divisible by n_time·n_channel. (r1 ran the same demods on every
     #: time-shard — n_time× redundant compute.)
     time_axis_channels: bool | None = None
+    #: optional baseband spectrum tap (SpectrumVis role): a SpectrumConfig
+    #: makes step() return a 4th output, the latest block's UNAVERAGED
+    #: display frame (averaging is stateless-free here; the session applies
+    #: its EMA host-side so no extra sharded state is carried)
+    spectrum: object | None = None
 
     @functools.cached_property
     def channel_split(self) -> int:
@@ -234,6 +239,16 @@ def build_sharded_step(cfg: ShardedPipelineConfig, mesh: Mesh):
         # axis swap: gather full baseband time series (small after ÷2^k)
         bb = jax.lax.all_gather(bb_local, "time", tiled=True)  # (T/2^k,)
 
+        spec = None
+        if cfg.spectrum is not None:
+            # replicated stateless display frame (averaging_mode is forced
+            # off in-graph; the caller averages across blocks host-side)
+            from ..dsp import spectrum as dsp_spectrum
+
+            scfg = dataclasses.replace(cfg.spectrum, averaging_mode="none")
+            _, spec = dsp_spectrum.power_spectrum(
+                dsp_spectrum.make_state(scfg), bb, scfg)
+
         new_states, audios = [], []
         for g, (kind, gcfg) in enumerate(zip(kinds, demod_cfgs)):
             cstate, dstate = state[g]
@@ -245,16 +260,21 @@ def build_sharded_step(cfg: ShardedPipelineConfig, mesh: Mesh):
             dstate, audio = kind.process(dstate, xb, gcfg, offset_hz=offsets[g])
             new_states.append((cstate, dstate))
             audios.append(audio)
-        return tuple(new_states), tuple(audios), new_carry
+        if spec is None:
+            return tuple(new_states), tuple(audios), new_carry
+        return tuple(new_states), tuple(audios), new_carry, spec
 
     state_specs = jax.tree.map(lambda _: P(chan_axes), _state_structure(cfg))
     group_specs = tuple(P(chan_axes) for _ in cfg.groups)
+    out_specs = (state_specs, group_specs, P())
+    if cfg.spectrum is not None:
+        out_specs = out_specs + (P(),)  # the spectrum frame is replicated
     jit_step = jax.jit(
         jax.shard_map(
             local_step,
             mesh=mesh,
             in_specs=(state_specs, P("time"), P(), group_specs),
-            out_specs=(state_specs, group_specs, P()),
+            out_specs=out_specs,
             # with channel_split == n_channel the per-channel outputs ARE
             # replicated over 'time' (they derive from the all_gathered
             # baseband); the VMA inference can't prove it. With the full
@@ -267,8 +287,12 @@ def build_sharded_step(cfg: ShardedPipelineConfig, mesh: Mesh):
     def step(state, x, carry, offsets):
         if single and not isinstance(offsets, (tuple, list)):
             offsets = (offsets,)
-        state, audio, carry = jit_step(state, x, carry, tuple(offsets))
-        return state, (audio[0] if single else audio), carry
+        out = jit_step(state, x, carry, tuple(offsets))
+        state, audio, carry = out[0], out[1], out[2]
+        audio = audio[0] if single else audio
+        if cfg.spectrum is not None:
+            return state, audio, carry, out[3]
+        return state, audio, carry
 
     def init_fn():
         def impl():

@@ -519,10 +519,15 @@ class DeviceSet:
                 align = (4 << src.log2_decim) * n_time
                 block = int(src.sharded_block) or (1 << 17)
                 block = max(block // align, 1) * align
+                from ..dsp import spectrum as dsp_spectrum
+
                 cfg = shmod.ShardedPipelineConfig(
                     n_time=n_time, n_channel=n_channel,
                     device_rate=src.sample_rate, log2_decim=src.log2_decim,
                     fc_pos=src.fc_pos, block=block, bank=groups,
+                    spectrum=dsp_spectrum.SpectrumConfig(
+                        fft_size=int(src.spectrum_fft_size),
+                        averaging_mode="none"),
                 )
                 mesh = shmod.make_mesh(n_time, n_channel)
                 step, init_fn = shmod.build_sharded_step(cfg, mesh)
@@ -562,7 +567,10 @@ class DeviceSet:
                         f"sharded device sets support filesource/testsource, "
                         f"not {src.kind!r}"
                     )
-                off_sharding = NamedSharding(mesh, P("channel"))
+                off_axes = (("time", "channel")
+                            if cfg.channel_split > n_channel else "channel")
+                off_sharding = NamedSharding(mesh, P(off_axes))
+                spec_alpha = 1.0 / max(1, int(src.spectrum_averaging_n))
                 block_seconds = block / src.sample_rate
                 while not self._stop.is_set():
                     if src.run_blocks and pos_blocks >= src.run_blocks:
@@ -580,11 +588,21 @@ class DeviceSet:
                             for idxs in chmap
                         )
                     t0 = time.perf_counter()
-                    state, audio, carry = step(
+                    state, audio, carry, spec = step(
                         state, read_block(pos_blocks), carry, offsets
                     )
                     audios = audio if isinstance(audio, tuple) else (audio,)
                     self._publish_sharded(audios, chmap, wav_writers, net_sinks)
+                    # SpectrumVis tap: in-graph stateless frame, EMA here
+                    frame = np.asarray(spec)
+                    if src.spectrum_averaging == "moving" and \
+                            self.spectrum is not None and \
+                            len(self.spectrum) == len(frame):
+                        frame = ((1.0 - spec_alpha) * self.spectrum
+                                 + spec_alpha * frame)
+                    self.spectrum = frame
+                    self.waterfall.append(frame)
+                    del self.waterfall[: -self.waterfall_keep]
                     dt = time.perf_counter() - t0
                     self.realtime_factor = block_seconds / max(dt, 1e-9)
                     pos_blocks += 1

@@ -160,3 +160,36 @@ def test_session_sharded_rejects_data_kinds(devices):
     finally:
         ds.stop()
     assert "audio channel kinds" in ds.error, ds.error
+
+
+def test_session_sharded_spectrum_tap(devices):
+    """The sharded path serves the SpectrumVis endpoints too: ds.spectrum /
+    waterfall fill while a sharded set runs (parity with the single-device
+    engine's display taps)."""
+    sess = Session()
+    ds = sess.add_device_set()
+    ds.update_source({
+        # pure carrier: an FM testsource spreads power over Carson-rule
+        # sidebands and the spectral peak can sit several kHz off-carrier
+        "kind": "testsource", "sample_rate": 768_000.0, "log2_decim": 3,
+        "carrier_freq": 20_000.0, "modulation": "none",
+        "sharded": True, "mesh_time": 4, "mesh_channel": 2,
+        "sharded_block": 1 << 15, "spectrum_fft_size": 512,
+    })
+    for _ in range(8):
+        ds.add_channel("sdrangel.channel.nfmdemod", {
+            "inputFrequencyOffset": 20_000.0, "squelch_db": -30.0,
+        })
+    ds.start()
+    try:
+        _wait_blocks(ds, 3)
+    finally:
+        ds.stop()
+    assert not ds.error, ds.error
+    assert ds.spectrum is not None and len(ds.spectrum) == 512
+    assert len(ds.waterfall) >= 2
+    # the 20 kHz FM carrier shows as the spectrum peak: bin index for
+    # +20 kHz in a 96 kHz baseband, negative-first ordering
+    peak = int(np.argmax(ds.spectrum))
+    expect = 512 // 2 + round(20_000.0 / 96_000.0 * 512)
+    assert abs(peak - expect) <= 6, (peak, expect)
