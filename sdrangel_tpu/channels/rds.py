@@ -355,7 +355,9 @@ class RDSDecoder:
                     "direction": msg.direction,
                     "extent": msg.extent,
                     "event": msg.event,
-                    "event_text": rdstmc.EVENTS.get(msg.event, ""),
+                    # msg.event_text carries the quantifier substitution
+                    # when a multi-group field supplied one
+                    "event_text": msg.event_text,
                     "location": msg.location,
                     "fields": msg.fields,
                     "complete": msg.complete,

@@ -180,8 +180,40 @@ EVENTS = {
 }
 
 
-def event_text(code: int) -> str:
-    return EVENTS.get(code, f"event {code}")
+#: quantifier type descriptions (ISO 14819-2 table 1 §3.1.2; the reference
+#: vendors the same 13 rows, rdstmc.cpp:3681-3695)
+QUANT_TYPES = [
+    "n (small number)", "N (number)", "less than V metres", "P percent",
+    "of up to S km/h", "of up to M minutes", "T degrees Celsius", "H time",
+    "W tonnes", "L metres", "of up to D millimetres", "M MHz", "k kHz",
+]
+
+#: quantifier type per curated event code (column 4 of the reference's
+#: event table for the codes in EVENTS; events without a quantifier
+#: are absent). Types 0-5 ride the 5-bit field, 6-12 the 8-bit field.
+EVENT_QUANT = {
+    2: 4, 108: 4, 109: 4, 110: 4, 111: 4, 112: 4, 115: 4, 121: 4, 124: 4,
+    126: 4, 133: 4,
+    200: 5, 203: 0, 204: 0,
+    403: 8, 404: 8, 411: 0, 412: 0, 413: 0, 414: 0,
+    901: 5, 907: 5, 908: 5,
+    1101: 4, 1102: 4, 1107: 4, 1109: 4,
+    1202: 2, 1217: 10, 1218: 10, 1225: 10,
+}
+
+
+def event_text(code: int, quantifier: int | None = None) -> str:
+    """Event display text; a quantifier value substitutes into the text's
+    (Q) placeholder with the ISO 14819-2 type description as the unit hint
+    (the reference stores the type column but never renders values)."""
+    text = EVENTS.get(code, f"event {code}")
+    if quantifier is None:
+        return text
+    qt = EVENT_QUANT.get(code)
+    q = (f"Q={quantifier}" if qt is None
+         else f"Q={quantifier} [{QUANT_TYPES[qt]}]")
+    return text.replace("(Q)", f"({q})").replace("Q)", f"{q})") \
+        if "Q" in text else f"{text} ({q})"
 
 
 def format_quantifier(label: int, value: int) -> str:
@@ -324,4 +356,10 @@ class TmcDecoder:
         words = [self._parts[i] for i in sorted(self._parts, reverse=True)]
         msg.fields = parse_free_format(words)
         msg.complete = len(self._parts) >= self._expect + 1
+        # a quantifier field re-renders the event text with its value
+        # substituted into the (Q) placeholder (ISO 14819-2 §3.1.2)
+        for f in msg.fields:
+            if f.get("label") in (4, 5):
+                msg.event_text = event_text(msg.event, f["value"])
+                break
         return msg

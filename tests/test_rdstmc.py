@@ -95,3 +95,26 @@ def test_start_stop_time_quantifier_format():
     assert rdstmc.format_quantifier(7, 4 * 9 + 2) == "09:30"
     assert rdstmc.format_quantifier(8, 96 + 26) == "day +1, 02:00"
     assert rdstmc.format_quantifier(7, 201) == "day 1 of the month"
+
+
+def test_quantifier_substitutes_into_event_text():
+    """A multi-group message carrying a quantifier field (label 4) re-renders
+    the event text with Q substituted and the ISO 14819-2 type description
+    (the reference stores the type column but never renders values)."""
+    dec = rds.RDSDecoder()
+    ci = 2
+    # first group: event 108 "queuing traffic (with average speeds Q)"
+    b2 = (1 << 15) | (0 << 14) | (1 << 11) | 108
+    dec.parse_group(_g8(ci, b2, 0x1111))
+
+    # one free-format group: label 4 (quantifier_5bit) = 7
+    bits = (4 << 5) | 7
+    nbits = 4 + 5
+    bits <<= 28 - nbits
+    # second=1, gsi=0 (last), 12 msb of word + 16 lsb
+    b2f = (1 << 14) | (0 << 12) | ((bits >> 16) & 0xFFF)
+    dec.parse_group(_g8(ci, b2f, bits & 0xFFFF))
+    ev = dec.status.tmc_events[-1]
+    assert ev["event"] == 108
+    assert "Q=7" in ev["event_text"], ev["event_text"]
+    assert "km/h" in ev["event_text"], ev["event_text"]
