@@ -154,7 +154,7 @@ class RDSStatus:
     af_mhz: list = dataclasses.field(default_factory=list)  # alt freqs, MHz
     af_khz: list = dataclasses.field(default_factory=list)  # LF/MF alt freqs
     oda: dict = dataclasses.field(default_factory=dict)     # group -> AID (3A)
-    eon: dict = dataclasses.field(default_factory=dict)     # other-net PI -> PS
+    eon: dict = dataclasses.field(default_factory=dict)     # other-net PI -> info dict
     tmc_events: list = dataclasses.field(default_factory=list)  # 8A decodes
     rtplus: dict = dataclasses.field(default_factory=dict)  # tag -> text (RT+)
     groups_ok: int = 0
@@ -184,6 +184,9 @@ class RDSDecoder:
         self._rt = list(" " * 64)
         self._ptyn = list(" " * 8)
         self._eon_ps: dict[int, list[str]] = {}
+        self._eon_af: dict[int, set] = {}        # pending AF(ON) sets
+        self._eon_mapped: dict[int, set] = {}    # pending mapped FM freqs
+        self._eon_mapped_am: dict[int, set] = {} # pending mapped AM freqs
         self._af: set[float] = set()
         self._af_lf: set[float] = set()
         self._tmc = rdstmc.TmcDecoder()
@@ -369,15 +372,63 @@ class RDSDecoder:
                                    (g[3] >> 8) & 0xFF, g[3] & 0xFF]):
                 self._ptyn[4 * seg + i] = chr(c)
             st.ptyn = "".join(self._ptyn)
-        elif gtype == 14 and not version_b:
-            # EON: variants 0..3 carry the other network's PS in segments
-            variant = g[1] & 0xF
+        elif gtype == 14:
+            # EON — Enhanced Other Networks (rdsparser.cpp decode_type14,
+            # :1002-1181). All 14A variants: 0-3 PS(ON) segments, 4 AF(ON),
+            # 5-8 mapped FM frequencies, 9 mapped AM frequency, 12 linkage
+            # (commits accumulated sets), 13 PTY(ON)/TA(ON), 14 PIN(ON).
+            # 14B (ignored by the reference) is the TA(ON) switch signal:
+            # block-2 bit 3 announces traffic on the other network.
             on_pi = g[3]
-            if variant <= 3:
-                ps = self._eon_ps.setdefault(on_pi, list(" " * 8))
-                ps[2 * variant] = chr((g[2] >> 8) & 0xFF)
-                ps[2 * variant + 1] = chr(g[2] & 0xFF)
-                st.eon[on_pi] = "".join(ps)
+            info = st.eon.setdefault(on_pi, {})
+            if version_b:
+                info["ta"] = bool((g[1] >> 3) & 1)
+            else:
+                variant = g[1] & 0xF
+                information = g[2]
+                if variant <= 3:
+                    ps = self._eon_ps.setdefault(on_pi, list(" " * 8))
+                    ps[2 * variant] = chr((information >> 8) & 0xFF)
+                    ps[2 * variant + 1] = chr(information & 0xFF)
+                    info["ps"] = "".join(ps)
+                elif variant == 4:
+                    # two VHF alternate frequencies, 87.5+code/10 MHz
+                    pend = self._eon_af.setdefault(on_pi, set())
+                    for code in ((information >> 8) & 0xFF, information & 0xFF):
+                        if 1 <= code <= 204:
+                            pend.add(round(87.5 + 0.1 * code, 1))
+                elif 5 <= variant <= 8:
+                    # tuning freq (this network) -> mapped freq (other network)
+                    code = information & 0xFF
+                    if 1 <= code <= 204:
+                        self._eon_mapped.setdefault(on_pi, set()).add(
+                            round(87.5 + 0.1 * code, 1))
+                elif variant == 9:
+                    # mapped AM frequency: 531 + 9*(code-16) kHz
+                    code = information & 0xFF
+                    if 16 <= code <= 135:
+                        self._eon_mapped_am.setdefault(on_pi, set()).add(
+                            531.0 + 9.0 * (code - 16))
+                elif variant == 12:
+                    # linkage information: commit the accumulated AF /
+                    # mapped-frequency sets (merge semantics, :1070-1140)
+                    info["linkage"] = information
+                    if self._eon_af.get(on_pi):
+                        info["af_mhz"] = sorted(
+                            set(info.get("af_mhz", [])) | self._eon_af.pop(on_pi))
+                    if self._eon_mapped.get(on_pi):
+                        info["mapped_mhz"] = sorted(
+                            set(info.get("mapped_mhz", []))
+                            | self._eon_mapped.pop(on_pi))
+                    if self._eon_mapped_am.get(on_pi):
+                        info["mapped_khz"] = sorted(
+                            set(info.get("mapped_khz", []))
+                            | self._eon_mapped_am.pop(on_pi))
+                elif variant == 13:
+                    info["pty"] = (information >> 11) & 0x1F
+                    info["ta"] = bool(information & 1)
+                elif variant == 14:
+                    info["pin"] = information
         elif gtype == 15 and version_b:
             # fast basic tuning: repeats the group-0 flags, no PS/AF payload
             st.ta = bool((g[1] >> 4) & 1)

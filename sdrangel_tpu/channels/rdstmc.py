@@ -9,15 +9,18 @@ index and their free-format bit stream is parsed into (label, value)
 fields per ISO 14819-1 §5.5 — the reference's decode_optional_content
 walks the same stream but collapses every field to a boolean
 (rdsparser.cpp:941-948 `free_format[i] && (mask != 0)`), losing the
-values. Event texts carry a curated table of the common ISO 14819-2
-codes (the reference vendors the full 2048-row CEN-English table,
-rdstmc.cpp:31-2100); unknown codes fall back to the numeric code, which
+values. Event texts come from the full ISO 14819-2 Table 2 event list
+(rdstmc_events.py, 1402 codes — the reference vendors the same standard
+data as a 2048-row list-line array plus a code->line lookup table,
+rdstmc.cpp:30-2079/1628-3677; we key by event code directly); unknown codes fall back to the numeric code, which
 is always reported alongside.
 """
 
 from __future__ import annotations
 
 import dataclasses
+
+from .rdstmc_events import EVENTS  # code -> (CEN-English text, quantifier type)
 
 #: duration & persistence text, [dp][0]=transient/[dp][1]=lasting
 #: (ISO 14819-1 table; rdsparser.cpp:199-209)
@@ -43,143 +46,6 @@ LABEL_NAMES = [
     "destination", "rfu_12", "cross_linkage", "separator", "rfu_15",
 ]
 
-#: curated ISO 14819-2 event texts (common codes across the major classes;
-#: full table is 2048 rows of CEN-English standard data). The raw code is
-#: always reported; missing text means "event <code>".
-EVENTS = {
-    1: "traffic problem",
-    2: "queuing traffic (with average speeds Q)",
-    101: "stationary traffic",
-    102: "stationary traffic for 1 km",
-    103: "stationary traffic for 2 km",
-    104: "stationary traffic for 4 km",
-    105: "stationary traffic for 6 km",
-    106: "stationary traffic for 10 km",
-    107: "stationary traffic expected",
-    108: "queuing traffic (with average speeds Q)",
-    109: "queuing traffic for 1 km (with average speeds Q)",
-    115: "slow traffic (with average speeds Q)",
-    121: "heavy traffic (with average speeds Q)",
-    124: "traffic flowing freely (with average speeds Q)",
-    126: "no problems to report (with average speeds Q)",
-    129: "stationary traffic for 3 km",
-    130: "danger of stationary traffic",
-    133: "long queues (with average speeds Q)",
-    200: "multi vehicle pile up. Delays (Q)",
-    201: "accident",
-    202: "serious accident",
-    203: "multi-vehicle accident (involving Q vehicles)",
-    204: "accident involving (a/Q) heavy lorr(y/ies)",
-    205: "accident involving hazardous materials",
-    210: "vehicles slowing to look at accident",
-    214: "accident in the opposing lanes",
-    215: "shed load",
-    216: "broken down vehicle",
-    217: "broken down heavy lorry",
-    218: "vehicle fire",
-    240: "road cleared",
-    241: "accident cleared",
-    247: "rescue and recovery work in progress",
-    301: "lane control signs not working",
-    341: "roadworks cleared",
-    401: "closed",
-    402: "blocked",
-    403: "closed for heavy vehicles (over Q)",
-    404: "closed for heavy lorries (over Q)",
-    405: "closed (except for vehicles with permits)",
-    411: "(Q) lanes closed",
-    412: "(Q) right lanes closed",
-    413: "(Q) centre lanes closed",
-    414: "(Q) left lanes closed",
-    415: "hard shoulder closed",
-    416: "contraflow",
-    428: "entry slip road closed",
-    429: "exit slip road closed",
-    449: "road open",
-    450: "road cleared",
-    460: "lanes cleared",
-    473: "single alternate line traffic",
-    482: "entry blocked",
-    499: "lane blockages cleared",
-    500: "obstruction warning withdrawn",
-    501: "roadworks",
-    503: "major roadworks",
-    505: "bridge maintenance work",
-    507: "road marking work",
-    511: "water main work",
-    513: "road maintenance work",
-    517: "roadworks during the night",
-    601: "flooding",
-    602: "flooding expected",
-    605: "fallen trees",
-    609: "mud slide",
-    621: "burst water main",
-    628: "broken water main",
-    641: "flooding cleared",
-    701: "roadworks",  # 700-class duplicates some 500-class items
-    704: "obstruction on the road",
-    708: "people on roadway",
-    711: "object on the road",
-    712: "objects falling from moving vehicle",
-    717: "animals on the road",
-    731: "road surface in poor condition",
-    751: "cycle race in progress",
-    755: "carnival",
-    801: "major event",
-    802: "sports event",
-    803: "show",
-    804: "exhibition",
-    805: "fair",
-    806: "market",
-    807: "ceremonial event",
-    808: "state occasion",
-    809: "parade",
-    810: "crowd",
-    812: "demonstration",
-    813: "security incident",
-    851: "police checkpoint",
-    898: "security alert withdrawn",
-    901: "delays (Q)",
-    902: "delays up to 15 minutes",
-    903: "delays up to 30 minutes",
-    904: "delays up to one hour",
-    905: "delays up to two hours",
-    906: "delays of several hours",
-    907: "delays (Q) expected",
-    908: "long delays (Q)",
-    952: "service area busy",
-    1001: "(vehicles) slow moving",
-    1101: "strong winds (Q)",
-    1102: "storm force winds (Q)",
-    1107: "crosswinds (Q)",
-    1109: "gusty winds (Q)",
-    1130: "tornadoes",
-    1201: "fog",
-    1202: "dense fog (visibility reduced to Q)",
-    1209: "freezing fog",
-    1217: "snowfall (Q)",
-    1218: "heavy snowfall (Q)",
-    1225: "rain (Q)",
-    1226: "heavy rain (Q)",
-    1241: "sleet",
-    1252: "hail",
-    1301: "ice",
-    1302: "icy patches",
-    1305: "black ice",
-    1309: "freezing rain",
-    1310: "ice build-up",
-    1318: "slippery road",
-    1332: "snow on the road",
-    1337: "deep snow on the road",
-    1601: "delays (Q)",
-    1701: "(Q sets of) temporary traffic lights",
-    1704: "traffic lights not working",
-    1803: "switch on your headlights",
-    1852: "no parking (until Q)",
-    2000: "closed due to smog alert (until Q)",
-}
-
-
 #: quantifier type descriptions (ISO 14819-2 table 1 §3.1.2; the reference
 #: vendors the same 13 rows, rdstmc.cpp:3681-3695)
 QUANT_TYPES = [
@@ -188,28 +54,14 @@ QUANT_TYPES = [
     "W tonnes", "L metres", "of up to D millimetres", "M MHz", "k kHz",
 ]
 
-#: quantifier type per curated event code (column 4 of the reference's
-#: event table for the codes in EVENTS; events without a quantifier
-#: are absent). Types 0-5 ride the 5-bit field, 6-12 the 8-bit field.
-EVENT_QUANT = {
-    2: 4, 108: 4, 109: 4, 110: 4, 111: 4, 112: 4, 115: 4, 121: 4, 124: 4,
-    126: 4, 133: 4,
-    200: 5, 203: 0, 204: 0,
-    403: 8, 404: 8, 411: 0, 412: 0, 413: 0, 414: 0,
-    901: 5, 907: 5, 908: 5,
-    1101: 4, 1102: 4, 1107: 4, 1109: 4,
-    1202: 2, 1217: 10, 1218: 10, 1225: 10,
-}
-
 
 def event_text(code: int, quantifier: int | None = None) -> str:
     """Event display text; a quantifier value substitutes into the text's
     (Q) placeholder with the ISO 14819-2 type description as the unit hint
     (the reference stores the type column but never renders values)."""
-    text = EVENTS.get(code, f"event {code}")
+    text, qt = EVENTS.get(code, (f"event {code}", None))
     if quantifier is None:
         return text
-    qt = EVENT_QUANT.get(code)
     q = (f"Q={quantifier}" if qt is None
          else f"Q={quantifier} [{QUANT_TYPES[qt]}]")
     return text.replace("(Q)", f"({q})").replace("Q)", f"{q})") \

@@ -224,12 +224,32 @@ def test_rds_flags_pin_ptyn_oda_eon_tmc():
     # 14A: EON PS of other network 0xABCD
     for v, pair in enumerate(["NE", "TW", "OR", "K2"]):
         dec.parse_group([0x1234, (14 << 12) | v, ord(pair[0]) << 8 | ord(pair[1]), 0xABCD])
-    assert dec.status.eon[0xABCD] == "NETWORK2"
+    assert dec.status.eon[0xABCD]["ps"] == "NETWORK2"
+    # 14A variant 4: two AFs (accumulated), variant 5: one mapped freq,
+    # variant 9: a mapped AM freq; committed by variant 12 (linkage)
+    dec.parse_group([0x1234, (14 << 12) | 4, (10 << 8) | 30, 0xABCD])
+    dec.parse_group([0x1234, (14 << 12) | 5, (10 << 8) | 50, 0xABCD])
+    dec.parse_group([0x1234, (14 << 12) | 9, (10 << 8) | 20, 0xABCD])
+    assert "af_mhz" not in dec.status.eon[0xABCD]  # pending until linkage
+    dec.parse_group([0x1234, (14 << 12) | 12, 0x0001, 0xABCD])
+    eon = dec.status.eon[0xABCD]
+    assert eon["af_mhz"] == [88.5, 90.5]
+    assert eon["mapped_mhz"] == [92.5]
+    assert eon["mapped_khz"] == [531.0 + 9.0 * 4]
+    # variant 13: PTY(ON) + TA(ON); variant 14: PIN(ON)
+    dec.parse_group([0x1234, (14 << 12) | 13, (9 << 11) | 1, 0xABCD])
+    assert eon["pty"] == 9 and eon["ta"] is True
+    dec.parse_group([0x1234, (14 << 12) | 14, 0x5B7E, 0xABCD])
+    assert eon["pin"] == 0x5B7E
+    # 14B: TA(ON) switch signal (block-2 bit 3) — the reference drops B
+    # groups entirely (rdsparser.cpp:1015 `if (!B)`)
+    dec.parse_group([0x1234, (14 << 12) | (1 << 11) | (0 << 3), 0x1234, 0xABCD])
+    assert dec.status.eon[0xABCD]["ta"] is False
     # 8A: TMC user message, single group: event 201 (accident), extent 2
     b2 = (1 << 15) | (0 << 14) | (2 << 11) | 201
     dec.parse_group([0x1234, (8 << 12) | (1 << 3) | 5, b2, 0xBEEF])
     ev = dec.status.tmc_events[-1]
-    assert ev["event"] == 201 and ev["event_text"] == "accident"
+    assert ev["event"] == 201 and ev["event_text"] == "(Q) accident(s)"
     assert ev["extent"] == 2 and ev["location"] == 0xBEEF and ev["diversion"]
     assert ev["single_group"] and ev["duration"] == 5
     # 15B: fast TA toggle off

@@ -20,7 +20,8 @@ def test_single_group_duration_and_event_text():
     assert ev["single_group"] and ev["duration"] == 3
     assert ev["duration_text"] == "1 hour"
     assert ev["direction"] == 1 and ev["extent"] == 4
-    assert ev["event"] == 501 and ev["event_text"] == "roadworks"
+    # 501 per the full ISO 14819-2 table (rdstmc.cpp:586 row 555)
+    assert ev["event"] == 501 and ev["event_text"] == "(Q) right lane(s) closed"
     assert ev["location"] == 0x0C21 and ev["complete"]
 
 
@@ -87,8 +88,25 @@ def test_tuning_info_produces_no_event():
 
 
 def test_event_text_fallback():
-    assert rdstmc.event_text(201) == "accident"
+    assert rdstmc.event_text(201) == "(Q) accident(s)"
     assert rdstmc.event_text(1999) == "event 1999"
+    # quantified render of an 8-bit-field type (type 8 = tonnes)
+    assert rdstmc.event_text(404, 12) == \
+        "no through traffic for heavy lorries (over Q=12 [W tonnes])"
+
+
+def test_full_event_table_coverage():
+    """The full ISO 14819-2 Table 2 is loaded (1402 coded rows; reference
+    vendors 2048 list lines incl. placeholders, rdstmc.cpp:30-2079)."""
+    from sdrangel_tpu.channels.rdstmc_events import EVENTS
+    assert len(EVENTS) > 1350
+    # spot checks across the class range
+    assert EVENTS[701][0] == "(Q sets of) roadworks" and EVENTS[701][1] == 0
+    assert EVENTS[2000][0].startswith("closed due to smog alert")
+    assert EVENTS[1301] == ("dense fog (visibility reduced to Q)", 2)
+    # every quantifier type index is within the 13-row type table
+    assert all(q is None or 0 <= q < len(rdstmc.QUANT_TYPES)
+               for _, q in EVENTS.values())
 
 
 def test_start_stop_time_quantifier_format():
