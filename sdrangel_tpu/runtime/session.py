@@ -703,6 +703,13 @@ class DeviceSet:
                     ))
                 state = pipe.init_state()
                 block_seconds = pipe.device_block / pipe.device.sample_rate
+                # One-behind publish (the ThreadedBasebandSampleSink FIFO
+                # decoupling, re-expressed as async dispatch): dispatch
+                # block N, then publish N-1 — its fetch blocks on the
+                # device while N computes, and the NEXT host read overlaps
+                # the remainder of N's compute. Depth 1 keeps reports at
+                # most one block stale (settings still apply every block).
+                pending = None  # device outputs of the previous block
                 while not self._stop.is_set():
                     with self._lock:
                         if self._gen != gen:
@@ -716,12 +723,16 @@ class DeviceSet:
                     if recorder is not None:
                         recorder[1].write(np.asarray(raw))
                     state, outs = pipe._step(state, jnp.asarray(raw), dyn)
-                    self._publish_block(outs, wav_writers, net_sinks)
+                    if pending is not None:
+                        self._publish_block(pending, wav_writers, net_sinks)
+                    pending = outs
                     dt = time.perf_counter() - t0
                     self.realtime_factor = block_seconds / max(dt, 1e-9)
                     pos += pipe.device_block
                     if self.source.throttle and dt < block_seconds:
                         time.sleep(block_seconds - dt)
+                if pending is not None:  # drain before rebuild/stop
+                    self._publish_block(pending, wav_writers, net_sinks)
         except Exception as e:  # StError state (dspdevicesourceengine.h:28)
             self.error = f"{type(e).__name__}: {e}"
         finally:
