@@ -250,7 +250,9 @@ def wfm_modulate(
 class ATVModConfig:
     channel_rate: float
     input_offset: float = 0.0
-    modulation: str = "am"  # am | fm
+    # am | fm | usb | lsb | vusb | vlsb (ATVModSettings::ATVModulation,
+    # atvmodsettings.h:52-59; v* = vestigial sideband via asym filtering)
+    modulation: str = "am"
     lines: int = 625
     fps: float = 25.0
     fm_deviation: float = 2_500_000.0
@@ -258,6 +260,9 @@ class ATVModConfig:
     black_level: float = 0.3  # blanking/black pedestal
     hsync_fraction: float = 0.08  # sync-tip width as a fraction of a line
     amplitude: float = 0.891
+    rf_bandwidth: float = 6_000_000.0  # in-band width (m_rfBandwidth)
+    rf_opp_bandwidth: float = 750_000.0  # vestige width (m_rfOppBandwidth)
+    fft_len: int = 1024  # SSB/VSB filter length (atvmod.cpp m_ssbFftLen)
 
     @property
     def samples_per_line(self) -> int:
@@ -267,10 +272,12 @@ class ATVModConfig:
 class ATVModState(NamedTuple):
     phase: jnp.ndarray  # (...,) FM integrator phase
     off_nco: nco.NCOState  # carried offset-carrier phase (block-seam safe)
+    fft: fftfilt.FftFiltState  # SSB/VSB sideband filter overlap
 
 
 def make_atv_state(cfg: ATVModConfig, batch_shape=()) -> ATVModState:
-    return ATVModState(jnp.zeros(batch_shape, jnp.float32), nco.make_nco(batch_shape))
+    return ATVModState(jnp.zeros(batch_shape, jnp.float32), nco.make_nco(batch_shape),
+                       fftfilt.make_state(cfg.fft_len, batch_shape))
 
 
 def atv_composite(cfg: ATVModConfig, frame: jnp.ndarray) -> jnp.ndarray:
@@ -304,9 +311,32 @@ def atv_modulate(
 ) -> tuple[ATVModState, jnp.ndarray]:
     """Composite video (T,) in [0,1] -> complex baseband at channel rate.
     AM: envelope = video (positive modulation); FM: phase integral of the
-    deviation-scaled video (atvmod.cpp modulation branches)."""
+    deviation-scaled video; USB/LSB: SSB filter over the AM signal; vestigial
+    USB/LSB: asymmetric filter keeping rf_opp_bandwidth of the suppressed
+    sideband (atvmod.cpp modulation branches :195-250, modulateSSB /
+    modulateVestigialSSB). SSB/VSB modes need the block length to be a
+    multiple of fft_len/2 (overlap-add hop)."""
+    new_fft = state.fft
     if cfg.modulation == "am":
         y = (video * cfg.amplitude).astype(jnp.float32).astype(jnp.complex64)
+        new_phase = state.phase
+    elif cfg.modulation in ("usb", "lsb"):
+        # m_SSBFilter = fftfilt(0, rfBandwidth/rate) + runSSB (atvmod.cpp:85,220)
+        x = (video * cfg.amplitude).astype(jnp.float32).astype(jnp.complex64)
+        h = fftfilt.create_filter(
+            0.0, cfg.rf_bandwidth / cfg.channel_rate, cfg.fft_len)
+        new_fft, y = fftfilt.run_ssb(
+            state.fft, x, h, usb=(cfg.modulation == "usb"))
+        new_phase = state.phase
+    elif cfg.modulation in ("vusb", "vlsb"):
+        # runAsym through the asym pair: full rf_bandwidth on the kept side,
+        # rf_opp_bandwidth vestige on the other (atvmod.cpp:233-250)
+        x = (video * cfg.amplitude).astype(jnp.float32).astype(jnp.complex64)
+        h_in, h_opp = fftfilt.create_asym_filter(
+            cfg.rf_opp_bandwidth / cfg.channel_rate,
+            cfg.rf_bandwidth / cfg.channel_rate, cfg.fft_len)
+        new_fft, y = fftfilt.run_asym(
+            state.fft, x, h_in, h_opp, usb=(cfg.modulation == "vusb"))
         new_phase = state.phase
     else:
         dphi = (
@@ -322,4 +352,4 @@ def atv_modulate(
         # carry nco state for the same reason)
         inc = jnp.asarray(nco.freq_to_increment(cfg.input_offset, cfg.channel_rate))
         off_state, y = nco.mix_block(state.off_nco, y, inc)
-    return ATVModState(new_phase, off_state), y
+    return ATVModState(new_phase, off_state, new_fft), y
