@@ -1098,6 +1098,57 @@ SOURCE_KINDS = {
     "daemonsource": "UDP superframe + FEC network ingest (io/daemon.py)",
 }
 
+#: current preset document schema. History:
+#:   1 (implicit, no "schema" key) — round-1/2 format
+#:   2 — explicit version stamp; device/channel settings are sanitized
+#:       against the current dataclass fields on load, so presets written
+#:       by older or newer builds (fields added/removed since) still load
+PRESET_SCHEMA_VERSION = 2
+
+
+def _known_fields(cls, d: dict) -> dict:
+    names = {f.name for f in dataclasses.fields(cls)}
+    return {k: v for k, v in d.items() if k in names}
+
+
+def _migrate_v1_to_v2(preset: dict) -> dict:
+    """v1 → v2: stamp the version, default missing structure (direction,
+    channels' settings dict). Field-level sanitizing happens at load."""
+    preset = dict(preset)
+    preset["schema"] = 2
+    sets = []
+    for entry in preset.get("deviceSets", []):
+        entry = dict(entry)
+        entry.setdefault("direction", "rx")
+        entry["channels"] = [
+            {"uri": ch["uri"],
+             "inputFrequencyOffset": ch.get("inputFrequencyOffset", 0.0),
+             "settings": ch.get("settings", {})}
+            for ch in entry.get("channels", [])
+        ]
+        sets.append(entry)
+    preset["deviceSets"] = sets
+    return preset
+
+
+#: migration chain: schema N -> function producing schema N+1
+PRESET_MIGRATIONS = {1: _migrate_v1_to_v2}
+
+
+def migrate_preset(preset: dict) -> dict:
+    """Bring a preset document to PRESET_SCHEMA_VERSION (no-op when
+    current; raises on documents NEWER than this build understands)."""
+    version = int(preset.get("schema", 1))
+    if version > PRESET_SCHEMA_VERSION:
+        raise ValueError(
+            f"preset schema {version} is newer than this build's "
+            f"{PRESET_SCHEMA_VERSION}; upgrade to load it"
+        )
+    while version < PRESET_SCHEMA_VERSION:
+        preset = PRESET_MIGRATIONS[version](preset)
+        version = int(preset["schema"])
+    return preset
+
 
 class Session:
     """MainCore: the device-set collection + presets.
@@ -1125,7 +1176,9 @@ class Session:
 
             if os.path.exists(preset_path):
                 with open(preset_path) as f:
-                    self.presets = json.load(f)
+                    self.presets = {
+                        k: migrate_preset(v) for k, v in json.load(f).items()
+                    }
 
     def _persist_presets(self) -> None:
         if self.preset_path:
@@ -1218,11 +1271,17 @@ class Session:
             },
         }
 
-    # -- presets (maincore preset load/save; JSON instead of Base64 TLV) ----
+    # -- presets (maincore preset load/save; JSON instead of Base64 TLV).
+    # Schema versioning: every preset carries "schema"; loaders migrate
+    # older documents forward through PRESET_MIGRATIONS before use (the
+    # reference versions each plugin blob through serialize/deserialize
+    # version bytes, e.g. nfmdemodsettings.cpp deserialize's version guard;
+    # here the whole document is versioned once). --------------------------
 
     def save_preset(self, group: str, name: str) -> dict:
         key = f"{group}/{name}"
         self.presets[key] = {
+            "schema": PRESET_SCHEMA_VERSION,
             "group": group,
             "name": name,
             "deviceSets": [
@@ -1247,21 +1306,33 @@ class Session:
         return self.presets[key]
 
     def load_preset(self, group: str, name: str) -> None:
-        preset = self.presets[f"{group}/{name}"]
+        preset = migrate_preset(self.presets[f"{group}/{name}"])
         for ds in self.device_sets:
             ds.stop()
         self.device_sets = []
         for entry in preset["deviceSets"]:
             direction = entry.get("direction", "rx")
             ds = self.add_device_set(direction)
+            # _known_fields: presets written before a settings field was
+            # added (or after one was removed) still load — unknown keys
+            # drop, missing ones take the dataclass default
             if direction == "tx":
-                ds.sink = SinkSettings(**entry["source"])
+                ds.sink = SinkSettings(**_known_fields(
+                    SinkSettings, entry["source"]))
             else:
-                ds.source = SourceSettings(**entry["source"])
+                ds.source = SourceSettings(**_known_fields(
+                    SourceSettings, entry["source"]))
             for ch in entry["channels"]:
+                # sanitize against the current schema: presets from builds
+                # where a channel setting has since been renamed/removed
+                # load with that key dropped (API PUTs stay strict)
+                allowed = (set(registry.settings_schema(ch["uri"]))
+                           | registry.SESSION_KEYS)
+                settings = {k: v for k, v in ch["settings"].items()
+                            if k in allowed}
                 ds.add_channel(
                     ch["uri"],
-                    {"inputFrequencyOffset": ch["inputFrequencyOffset"], **ch["settings"]},
+                    {"inputFrequencyOffset": ch["inputFrequencyOffset"], **settings},
                 )
 
     def delete_preset(self, group: str, name: str) -> None:
@@ -1309,7 +1380,7 @@ class Session:
         if not isinstance(preset, dict) or "deviceSets" not in preset:
             raise ValueError("not a preset file (missing deviceSets)")
         key = f"{preset.get('group', 'default')}/{preset.get('name', 'imported')}"
-        self.presets[key] = preset
+        self.presets[key] = migrate_preset(preset)
         self._persist_presets()
         return key
 

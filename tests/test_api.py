@@ -1116,3 +1116,52 @@ def test_api_bearer_token():
             assert json.loads(r.read())["appname"] == "sdrangel_tpu"
     finally:
         srv.shutdown()
+
+
+def test_preset_schema_migration(tmp_path):
+    """v1 presets (no schema stamp, stale settings fields) migrate on load:
+    unknown device/channel fields drop, missing ones take defaults, and the
+    store re-saves at the current schema. Newer-than-build schemas refuse."""
+    import json
+
+    import pytest
+
+    from sdrangel_tpu.runtime.session import (
+        PRESET_SCHEMA_VERSION, Session, migrate_preset)
+
+    v1 = {
+        "group": "g", "name": "old",  # no "schema" key = v1
+        "deviceSets": [{
+            # no "direction" key (v1 default rx)
+            "source": {"kind": "testsource", "sample_rate": 96000.0,
+                       "a_removed_field": 42},  # field gone since v1
+            "channels": [{
+                "uri": "sdrangel.channel.nfmdemod",
+                "inputFrequencyOffset": 1000.0,
+                "settings": {"squelch_db": -50.0,
+                             "renamed_old_knob": True},  # gone since v1
+            }],
+        }],
+    }
+    path = str(tmp_path / "presets.json")
+    with open(path, "w") as f:
+        json.dump({"g/old": v1}, f)
+
+    s = Session(preset_path=path)
+    assert s.presets["g/old"]["schema"] == PRESET_SCHEMA_VERSION
+    s.load_preset("g", "old")
+    ds = s.device_sets[0]
+    assert ds.source.sample_rate == 96000.0
+    assert not hasattr(ds.source, "a_removed_field")
+    ch = ds.channels[0]
+    assert ch.settings["squelch_db"] == -50.0
+    assert "renamed_old_knob" not in ch.settings
+    assert ch.frequency_offset == 1000.0
+
+    # a document newer than this build refuses loudly
+    with pytest.raises(ValueError, match="newer"):
+        migrate_preset({"schema": PRESET_SCHEMA_VERSION + 1, "deviceSets": []})
+
+    # fresh saves stamp the current schema
+    s.save_preset("g", "new")
+    assert s.presets["g/new"]["schema"] == PRESET_SCHEMA_VERSION
