@@ -17,8 +17,44 @@ import numpy as np
 RTP_VERSION = 2
 PT_L16_MONO = 11  # RFC 3551 static payload types
 PT_L16_STEREO = 10
+PT_RED = 96  # RFC 2198 redundant audio (dynamic PT)
 
 _HDR = struct.Struct("!BBHII")  # V/P/X/CC, M/PT, seq, timestamp, ssrc
+
+
+def build_red_payload(primary: bytes, primary_pt: int,
+                      redundant: bytes | None, ts_offset: int) -> bytes:
+    """RFC 2198 payload: [1|PT|ts-offset(14)|length(10)] per redundant
+    block, then [0|PT] for the primary, then block data oldest-first."""
+    hdr = b""
+    data = b""
+    if redundant is not None:
+        word = (1 << 31) | ((primary_pt & 0x7F) << 24) \
+            | ((ts_offset & 0x3FFF) << 10) | (len(redundant) & 0x3FF)
+        hdr += struct.pack("!I", word)
+        data += redundant
+    hdr += struct.pack("!B", primary_pt & 0x7F)
+    return hdr + data + primary
+
+
+def parse_red_payload(payload: bytes) -> list[tuple[int, int, bytes]]:
+    """-> [(payload_type, ts_offset, block)] oldest-first; the final
+    entry (ts_offset 0) is the primary."""
+    headers = []
+    off = 0
+    while payload[off] & 0x80:
+        word = struct.unpack_from("!I", payload, off)[0]
+        headers.append(((word >> 24) & 0x7F, (word >> 10) & 0x3FFF,
+                        word & 0x3FF))
+        off += 4
+    primary_pt = payload[off] & 0x7F
+    off += 1
+    out = []
+    for pt, ts_off, length in headers:
+        out.append((pt, ts_off, payload[off:off + length]))
+        off += length
+    out.append((primary_pt, 0, payload[off:]))
+    return out
 
 
 def build_packet(
@@ -46,11 +82,21 @@ def parse_packet(raw: bytes) -> dict:
 
 
 class RtpAudioSender:
-    """L16 (big-endian int16 PCM) RTP sender (audionetsink RTP mode)."""
+    """L16 (big-endian int16 PCM) RTP sender (audionetsink RTP mode).
+
+    RR-driven adaptation: incoming RTCP Receiver Reports are polled on the
+    sender's RTCP socket; when the reported fraction_lost crosses
+    `red_enter` the sender switches the stream to RFC 2198 redundant audio
+    (each packet carries the previous packet's payload as a redundant
+    block, so any single lost packet is recoverable from its successor),
+    and drops back to plain L16 once loss stays under `red_exit`. The
+    reference collects the same A.8 stats via qrtplib but never consumes
+    them — this closes that loop."""
 
     def __init__(self, address: str, port: int, stereo: bool = False,
                  samples_per_packet: int = 480, rtcp: bool = True,
-                 rtcp_interval: float = 2.0):
+                 rtcp_interval: float = 2.0,
+                 red_enter: float = 0.05, red_exit: float = 0.01):
         self.addr = (address, port)
         self.stereo = stereo
         self.spp = samples_per_packet
@@ -65,9 +111,30 @@ class RtpAudioSender:
         self._rtcp = RtcpPeer(address, port, bind=False) if rtcp else None
         self._rtcp_interval = rtcp_interval
         self._last_sr = 0.0
+        # adaptation state
+        self.red_enter = red_enter
+        self.red_exit = red_exit
+        self.redundant = False  # currently sending RFC 2198 RED
+        self.fraction_lost = 0.0  # latest RR feedback
+        self._prev_payload: bytes | None = None
+
+    def poll_feedback(self) -> None:
+        """Drain pending RRs from the RTCP socket and adapt (hysteresis:
+        enter RED above red_enter, leave below red_exit)."""
+        if self._rtcp is None:
+            return
+        for rpt in self._rtcp.poll():
+            if rpt.get("type") == "RR" and rpt.get("source_ssrc") == self.ssrc:
+                self.fraction_lost = rpt["fraction_lost"] / 256.0
+                if not self.redundant and self.fraction_lost >= self.red_enter:
+                    self.redundant = True
+                elif self.redundant and self.fraction_lost <= self.red_exit:
+                    self.redundant = False
+                    self._prev_payload = None
 
     def write(self, audio: np.ndarray) -> int:
         """audio: float in [-1,1) (T,) mono or (T,2) stereo."""
+        self.poll_feedback()
         pcm = np.clip(audio * 32768.0, -32768, 32767).astype(np.int16)
         self._pending = np.concatenate([self._pending, pcm])
         sent = 0
@@ -75,12 +142,21 @@ class RtpAudioSender:
         while len(self._pending) >= self.spp:
             chunk, self._pending = self._pending[: self.spp], self._pending[self.spp :]
             payload = chunk.astype(">i2").tobytes()
-            pkt = build_packet(payload, self.seq, self.timestamp, self.ssrc, pt)
+            if self.redundant:
+                wire = build_red_payload(
+                    payload, pt, self._prev_payload, self.spp)
+                pkt = build_packet(wire, self.seq, self.timestamp,
+                                   self.ssrc, PT_RED)
+                self._prev_payload = payload
+            else:
+                wire = payload
+                pkt = build_packet(payload, self.seq, self.timestamp,
+                                   self.ssrc, pt)
             self._sock.sendto(pkt, self.addr)
             self.seq = (self.seq + 1) & 0xFFFF
             self.timestamp = (self.timestamp + self.spp) & 0xFFFFFFFF
             self.packet_count += 1
-            self.octet_count += len(payload)
+            self.octet_count += len(wire)
             sent += 1
         if self._rtcp is not None and sent:
             import time as _time
@@ -119,6 +195,7 @@ class RtpAudioReceiver:
         self.jitter = 0.0
         self._last_transit: float | None = None
         self.source_ssrc = 0
+        self.recovered = 0  # packets reconstructed from RFC 2198 blocks
 
     @property
     def port(self) -> int:
@@ -129,7 +206,22 @@ class RtpAudioReceiver:
 
         raw, _ = self._sock.recvfrom(65536)
         info = parse_packet(raw)
-        pcm = np.frombuffer(info["payload"], dtype=">i2").astype(np.float32) / 32768.0
+        if info["payload_type"] == PT_RED:
+            # RFC 2198: recover the immediately-preceding packet from the
+            # redundant block when the sequence shows a single-packet gap
+            blocks = parse_red_payload(info["payload"])
+            pt, _, primary = blocks[-1]
+            info["payload_type"] = pt
+            payload = primary
+            gap = (self.base_seq is not None
+                   and ((info["seq"] - self.max_seq) & 0xFFFF) == 2)
+            if gap and len(blocks) > 1:
+                payload = blocks[0][2] + primary
+                info["recovered"] = 1
+                self.recovered += 1
+        else:
+            payload = info["payload"]
+        pcm = np.frombuffer(payload, dtype=">i2").astype(np.float32) / 32768.0
         if info["payload_type"] == PT_L16_STEREO:
             pcm = pcm.reshape(-1, 2)
         # stats update
@@ -294,8 +386,32 @@ class RtcpPeer:
         self._sock.sendto(pkt, self.addr)
 
     def recv(self) -> list[dict]:
-        raw, _ = self._sock.recvfrom(65536)
+        raw, addr = self._sock.recvfrom(65536)
+        self.peer_addr = addr  # symmetric RTCP: reply to the source
         return parse_rtcp(raw)
+
+    def reply(self, pkt: bytes) -> None:
+        """Send to the last seen peer (where its SR/RR came from) — the
+        symmetric-RTCP route a receiver uses to return RRs to a sender
+        whose RTCP socket has an ephemeral port."""
+        self._sock.sendto(pkt, getattr(self, "peer_addr", self.addr))
+
+    def poll(self) -> list[dict]:
+        """Drain all pending RTCP datagrams without blocking."""
+        out = []
+        saved = self._sock.gettimeout()
+        self._sock.setblocking(False)
+        try:
+            while True:
+                try:
+                    raw, addr = self._sock.recvfrom(65536)
+                except (BlockingIOError, OSError):
+                    break
+                self.peer_addr = addr
+                out.extend(parse_rtcp(raw))
+        finally:
+            self._sock.settimeout(saved)
+        return out
 
     @property
     def port(self) -> int:

@@ -118,3 +118,66 @@ def test_rtcp_receiver_report_stats():
         assert rr[0]["fraction_lost"] == 0
     finally:
         tx.close(); rx.close()
+
+
+def test_rtcp_rr_driven_red_adaptation():
+    """RR loss feedback flips the sender into RFC 2198 redundant audio and
+    the receiver reconstructs singly-lost packets from the redundant
+    blocks; a clean RR flips it back (the adaptation loop qrtplib's stats
+    never closed)."""
+    import socket as _socket
+
+    rx = rtp.RtpAudioReceiver("127.0.0.1", 0, timeout=5.0)
+    relay = _socket.socket(_socket.AF_INET, _socket.SOCK_DGRAM)
+    relay.bind(("127.0.0.1", 0))
+    relay.settimeout(5.0)
+    tx = rtp.RtpAudioSender("127.0.0.1", relay.getsockname()[1],
+                            samples_per_packet=160, rtcp_interval=0.0)
+    fb = _socket.socket(_socket.AF_INET, _socket.SOCK_DGRAM)  # RR return path
+    try:
+        tone = np.sin(2 * np.pi * 440 * np.arange(160 * 8) / 48000.0)
+
+        def pump(n_pkts, drop_every=0):
+            """Forward n_pkts sender->receiver, dropping every k-th."""
+            for i in range(n_pkts):
+                raw, _ = relay.recvfrom(65536)
+                if drop_every and i % drop_every == drop_every - 1:
+                    continue
+                relay.sendto(raw, ("127.0.0.1", rx.port))
+
+        # phase 1: plain L16 through a 25%-loss path
+        assert tx.write(tone.astype(np.float32)) == 8
+        pump(8, drop_every=4)
+        got = [rx.read_packet() for _ in range(6)]
+        assert rx.lost >= 1
+        assert all(i["payload_type"] == rtp.PT_L16_MONO for i, _ in got)
+
+        # feedback: the receiver's RR reaches the sender's RTCP socket
+        fb.sendto(rx.receiver_report(), ("127.0.0.1", tx._rtcp.port))
+        import time as _time
+        _time.sleep(0.05)
+
+        # phase 2: sender adapts to RED; single losses are reconstructed
+        assert tx.write(tone.astype(np.float32)) == 8
+        assert tx.redundant and tx.fraction_lost >= 0.05
+        pump(8, drop_every=4)
+        samples = 0
+        for _ in range(6):
+            info, pcm = rx.read_packet()
+            samples += len(pcm)
+        assert rx.recovered >= 1
+        # 6 received packets + recovered redundant blocks cover the gaps
+        assert samples >= 7 * 160, samples
+
+        # phase 3: a clean RR (fraction 0) drops back to plain L16
+        fb.sendto(
+            rtp.build_rr(rx.ssrc, tx.ssrc, 0, 0, 0, 0),
+            ("127.0.0.1", tx._rtcp.port))
+        _time.sleep(0.05)
+        assert tx.write(tone[:160 * 2].astype(np.float32)) == 2
+        assert not tx.redundant
+        pump(2)
+        info, _ = rx.read_packet()
+        assert info["payload_type"] == rtp.PT_L16_MONO
+    finally:
+        tx.close(); rx.close(); relay.close(); fb.close()
