@@ -4,14 +4,60 @@ Reference: the SDRdaemon transport protects each UDP superframe of 128
 original blocks with `nbFECBlocks` parity blocks via the external cm256cc
 library (Cauchy Reed-Solomon over GF(256)); any k of n received blocks
 reconstruct the frame (plugins/samplesource/sdrdaemonsource/
-sdrdaemonsourcebuffer.h:27-85). This is a from-scratch NumPy implementation:
-encode is a (k × m) Cauchy-matrix multiply in the log domain; decode solves
-the erasure system by Gaussian elimination over GF(256).
+sdrdaemonsourcebuffer.h:27-85).
+
+Two implementations of the same field/matrix (prim poly 0x11D, Cauchy
+C[i,j] = 1/(x_j ^ y_i)): the native SSSE3 split-table codec
+(native/fec_gf256.cc, built on first use — the cm256cc-region-ops role)
+and a NumPy fallback (encode = log-domain Cauchy matmul; decode = GF(256)
+Gaussian elimination). fec_encode/fec_decode dispatch to the native path
+when the toolchain is present; both are parity-tested against each other.
 """
 
 from __future__ import annotations
 
+import ctypes
+import os
+import subprocess
+
 import numpy as np
+
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_SRC = os.path.join(_REPO, "native", "fec_gf256.cc")
+_SO = os.path.join(_REPO, "native", "libfecgf256.so")
+
+_lib = None
+
+
+def _load_native():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _SO, _SRC],
+            check=True, capture_output=True,
+        )
+    lib = ctypes.CDLL(_SO)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.fec_encode.argtypes = [u8p, ctypes.c_int32, ctypes.c_int32,
+                               ctypes.c_int32, u8p]
+    lib.fec_decode.restype = ctypes.c_int32
+    lib.fec_decode.argtypes = [u8p, u8p, ctypes.c_int32, ctypes.c_int32,
+                               u8p, ctypes.POINTER(ctypes.c_int32),
+                               ctypes.c_int32]
+    _lib = lib
+    return lib
+
+
+def native_available() -> bool:
+    if os.environ.get("SDRANGEL_TPU_NO_NATIVE_FEC"):
+        return False
+    try:
+        _load_native()
+        return True
+    except Exception:
+        return False
 
 _PRIM_POLY = 0x11D  # x^8+x^4+x^3+x^2+1
 
@@ -74,6 +120,19 @@ def _mat_vec_blocks(mat: np.ndarray, blocks: np.ndarray) -> np.ndarray:
 
 def fec_encode(data_blocks: np.ndarray, n_fec: int) -> np.ndarray:
     """data_blocks: (k, L) uint8. Returns (n_fec, L) parity blocks."""
+    if native_available():
+        data = np.ascontiguousarray(data_blocks, dtype=np.uint8)
+        k, L = data.shape
+        parity = np.empty((n_fec, L), dtype=np.uint8)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        _lib.fec_encode(data.ctypes.data_as(u8p), k, L, n_fec,
+                        parity.ctypes.data_as(u8p))
+        return parity
+    return fec_encode_py(data_blocks, n_fec)
+
+
+def fec_encode_py(data_blocks: np.ndarray, n_fec: int) -> np.ndarray:
+    """NumPy encode (kept as oracle + toolchain-free fallback)."""
     k = data_blocks.shape[0]
     mat = _cauchy_matrix(n_fec, k)
     return _mat_vec_blocks(mat, data_blocks)
@@ -85,6 +144,42 @@ def fec_decode(
     """received: {index: block} where index < k are data blocks and index >= k
     are parity blocks (k + fec_row). Returns (k, L) recovered data or None if
     fewer than k blocks arrived."""
+    if native_available():
+        return _fec_decode_native(received, k, block_len)
+    return fec_decode_py(received, k, block_len)
+
+
+def _fec_decode_native(
+    received: dict[int, np.ndarray], k: int, block_len: int
+) -> np.ndarray | None:
+    if len(received) < k:
+        return None
+    data = np.zeros((k, block_len), dtype=np.uint8)
+    missing = np.ones(k, dtype=np.uint8)
+    for i, b in received.items():
+        if i < k:
+            data[i] = b
+            missing[i] = 0
+    n_miss = int(missing.sum())
+    if n_miss == 0:
+        return data
+    rows = sorted(i - k for i in received if i >= k)[:n_miss]
+    if len(rows) < n_miss:
+        return None
+    parity = np.stack([received[k + r] for r in rows]).astype(np.uint8)
+    rows_arr = np.asarray(rows, dtype=np.int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    rc = _lib.fec_decode(
+        data.ctypes.data_as(u8p), missing.ctypes.data_as(u8p), k, block_len,
+        np.ascontiguousarray(parity).ctypes.data_as(u8p),
+        rows_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(rows))
+    return data if rc == 0 else None
+
+
+def fec_decode_py(
+    received: dict[int, np.ndarray], k: int, block_len: int
+) -> np.ndarray | None:
+    """NumPy decode (oracle + fallback)."""
     if len(received) < k:
         return None
     have_data = {i: b for i, b in received.items() if i < k}

@@ -81,3 +81,53 @@ def test_daemon_over_real_udp():
     assert meta["sample_rate"] == 48000
     tx.close()
     rx.close()
+
+
+def test_native_fec_matches_numpy_oracle():
+    """The native SSSE3 codec (native/fec_gf256.cc) and the NumPy
+    implementation produce identical parity and identical recoveries over
+    random loss patterns (same field, same Cauchy matrix)."""
+    import pytest
+
+    if not fec.native_available():
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(3)
+    for trial in range(6):
+        k = int(rng.integers(4, 48))
+        L = int(rng.choice([16, 17, 512]))  # odd L exercises the scalar tail
+        n_fec = int(rng.integers(1, 8))
+        data = rng.integers(0, 256, size=(k, L), dtype=np.uint8)
+        p_native = fec.fec_encode(data, n_fec)
+        p_py = fec.fec_encode_py(data, n_fec)
+        assert np.array_equal(p_native, p_py), (trial, k, L, n_fec)
+
+        n_lost = int(rng.integers(0, n_fec + 1))
+        lost = rng.choice(k, size=n_lost, replace=False)
+        received = {i: data[i] for i in range(k) if i not in lost}
+        received.update({k + r: p_native[r] for r in range(n_fec)})
+        out_native = fec.fec_decode(received, k, L)
+        out_py = fec.fec_decode_py(received, k, L)
+        assert np.array_equal(out_native, data)
+        assert np.array_equal(out_py, data)
+
+
+def test_native_fec_throughput_sane():
+    """Native encode of a full 128x512 superframe with 8 parity blocks is
+    fast enough to never throttle the daemon path (cm256cc ballpark)."""
+    import time
+
+    import pytest
+
+    if not fec.native_available():
+        pytest.skip("no native toolchain")
+    k, L, n_fec = 128, 512, 8
+    data = np.random.default_rng(0).integers(0, 256, (k, L), dtype=np.uint8)
+    fec.fec_encode(data, n_fec)  # warm (build/load once)
+    t0 = time.perf_counter()
+    n = 50
+    for _ in range(n):
+        fec.fec_encode(data, n_fec)
+    dt = time.perf_counter() - t0
+    mbps = n * k * L / dt / 1e6
+    # a 10 MS/s int16 stream is 40 MB/s of payload; require plenty of slack
+    assert mbps > 400, f"{mbps:.0f} MB/s"
