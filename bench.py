@@ -54,12 +54,15 @@ def main() -> int:
 
     ap = argparse.ArgumentParser(description="sdrangel_tpu bench (sdrangelbench role)")
     ap.add_argument("-t", "--test", default="chain",
-                    choices=["chain", "decimateii", "decimateinfii", "decimatesupii",
-                             "decimateif", "decimatefi", "decimateff"],
+                    choices=["chain", "chainpfb", "decimateii", "decimateinfii",
+                             "decimatesupii", "decimateif", "decimatefi",
+                             "decimateff"],
                     help="chain = decimate + per-channel channelizer + NFM16; "
-                         "decimate* = cascade only: ii/infii/supii are the "
-                         "int16->int16 placements, if/fi/ff the float-path "
-                         "dtype matrix (mainbench.cpp:112-191)")
+                         "chainpfb = same workload with the polyphase DFT "
+                         "filter bank replacing the per-channel HB trees "
+                         "(dsp/pfb.py); decimate* = cascade only: ii/infii/"
+                         "supii are the int16->int16 placements, if/fi/ff "
+                         "the float-path dtype matrix (mainbench.cpp:112-191)")
     ap.add_argument("-n", "--nb-samples", type=int, default=0,
                     help="device samples per step (default: 2^SDRANGEL_BENCH_LOG2BLOCK)")
     ap.add_argument("-r", "--repeat", type=int, default=30, help="steps per pass")
@@ -86,7 +89,8 @@ def main() -> int:
     block = args.nb_samples or (1 << int(os.environ.get("SDRANGEL_BENCH_LOG2BLOCK", "24")))
     assert block % (4 << log2) == 0, "nb-samples must be a multiple of 4*2^l"
     fc_pos = {"decimateinfii": "inf", "decimatesupii": "sup"}.get(args.test, "cen")
-    decim_only = args.test != "chain"
+    decim_only = args.test not in ("chain", "chainpfb")
+    use_pfb = args.test == "chainpfb"
     float_in = args.test in ("decimatefi", "decimateff")
     float_out = args.test in ("decimateif", "decimateff")
     device_rate = 12_288_000.0
@@ -103,23 +107,40 @@ def main() -> int:
     # while the NCO absorbs the distinct residuals.
     req_band = baseband_rate / 6.0
     leaf = baseband_rate / 8.0
-    offsets = np.array([
-        c + j
-        for c in (-3 * leaf, -leaf, leaf, 3 * leaf)
-        for j in (-0.18 * leaf, -0.06 * leaf, 0.06 * leaf, 0.18 * leaf)
-    ])
-    plans = [chanmod.plan_channel(baseband_rate, req_band, o) for o in offsets]
-    n_stages = len(plans[0].signs)
-    assert all(len(p.signs) == n_stages for p in plans), [p.signs for p in plans]
-    signs = np.array([p.signs for p in plans])  # (C, n_stages)
-    # KEEP THIS A NUMPY ARRAY: the step closes over it, and a closed-over
-    # *device* array embeds as an MLIR constant via a device→host fetch at
-    # trace time — on the axon runtime that fetch permanently degrades the
-    # client from pipelined dispatch (~30 µs/call) to synchronous round
-    # trips (~2.2 ms/call) for every executable in the process (bisected
-    # round 2, tools/micro_chain*.py). Host (numpy) constants embed free.
-    residual = np.asarray([p.residual_offset for p in plans], np.float32)
-    chan_rate = plans[0].channel_rate
+    if use_pfb:
+        # chainpfb: same 16-demod workload on the M=4 uniform grid — the
+        # polyphase DFT bank (dsp/pfb.py) replaces the per-channel HB
+        # trees; channel rate (bb/4) and demod cost match `chain`, the
+        # NCO absorbs the same four distinct jitters per channel
+        from sdrangel_tpu.dsp import pfb as pfbmod
+
+        grid = baseband_rate / 4.0
+        jitters = (-0.18 * leaf, -0.06 * leaf, 0.06 * leaf, 0.18 * leaf)
+        offsets = np.array([c * grid + j
+                            for c in (0, 1, 2, 3) for j in jitters])
+        residual = np.asarray(
+            [j for _ in range(4) for j in jitters], np.float32)
+        chan_rate = grid
+        n_stages = 2  # rate-equivalent depth (bb -> bb/4), for the label
+        signs = None
+    else:
+        offsets = np.array([
+            c + j
+            for c in (-3 * leaf, -leaf, leaf, 3 * leaf)
+            for j in (-0.18 * leaf, -0.06 * leaf, 0.06 * leaf, 0.18 * leaf)
+        ])
+        plans = [chanmod.plan_channel(baseband_rate, req_band, o) for o in offsets]
+        n_stages = len(plans[0].signs)
+        assert all(len(p.signs) == n_stages for p in plans), [p.signs for p in plans]
+        signs = np.array([p.signs for p in plans])  # (C, n_stages)
+        # KEEP THIS A NUMPY ARRAY: the step closes over it, and a closed-over
+        # *device* array embeds as an MLIR constant via a device→host fetch at
+        # trace time — on the axon runtime that fetch permanently degrades the
+        # client from pipelined dispatch (~30 µs/call) to synchronous round
+        # trips (~2.2 ms/call) for every executable in the process (bisected
+        # round 2, tools/micro_chain*.py). Host (numpy) constants embed free.
+        residual = np.asarray([p.residual_offset for p in plans], np.float32)
+        chan_rate = plans[0].channel_rate
 
     demod_cfg = demod_nfm.NFMConfig(
         channel_rate=chan_rate,
@@ -150,9 +171,15 @@ def main() -> int:
             if not float_out:  # ii/fi emit int16 Samples (decimators.h)
                 y = jnp.clip(jnp.round(y * 32768.0), -32768, 32767).astype(jnp.int16)
             return casc, cstate, dstate, y
-        # dedup by stage path: identical sign paths share one cascade run
-        # (the reference's per-channel trees share every prefix)
-        cstate, y = chanmod.channelize_bank_unique(cstate, bb, signs)
+        if use_pfb:
+            # one polyphase DFT bank pass extracts all 4 grid channels;
+            # each feeds 4 demods with distinct NCO jitters
+            cstate, yall = pfbmod.analyze(cstate, bb, 4)  # (F, 4)
+            y = jnp.repeat(yall.T, 4, axis=0)  # (16, F)
+        else:
+            # dedup by stage path: identical sign paths share one cascade
+            # run (the reference's per-channel trees share every prefix)
+            cstate, y = chanmod.channelize_bank_unique(cstate, bb, signs)
         dstate, audio = demod_nfm.process(dstate, y, demod_cfg, offset_hz=residual)
         return casc, cstate, dstate, audio
 
@@ -168,11 +195,14 @@ def main() -> int:
     # states built inside jit: eager complex64 creation is unimplemented on
     # some TPU runtimes (see .claude/skills/verify/SKILL.md)
     casc = jax.jit(lambda: dec.init_flat_state(log2) if flat else dec.init_state(log2))()
-    cstate = jax.jit(
-        lambda: chanmod.init_state(
-            n_stages, batch_shape=(chanmod.unique_paths(signs),)
-        )
-    )()
+    if use_pfb:
+        cstate = jax.jit(lambda: pfbmod.make_state(4))()
+    else:
+        cstate = jax.jit(
+            lambda: chanmod.init_state(
+                n_stages, batch_shape=(chanmod.unique_paths(signs),)
+            )
+        )()
     dstate = jax.jit(lambda: demod_nfm.make_state(demod_cfg, batch_shape=(n_channels,)))()
 
     # compile + warmup
@@ -201,6 +231,8 @@ def main() -> int:
         json.dumps(
             {
                 "metric": (
+                    "decimate64+pfb4x4offsets+NFM16 input throughput per chip"
+                    if use_pfb else
                     f"decimate64+channelizer({n_stages}HBx16ch,distinct offsets)"
                     "+NFM16 input throughput per chip"
                     if not decim_only else

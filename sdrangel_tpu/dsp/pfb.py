@@ -1,0 +1,114 @@
+"""Polyphase DFT filter-bank channelizer — the one-kernel alternative to
+per-channel DownChannelizer trees for uniform channel grids.
+
+The reference selects each channel with its own binary tree of half-band
+stages (sdrbase/dsp/downchannelizer.cpp:250-287), costing O(stages) filter
+passes PER CHANNEL. For a bank of channels on the uniform grid c·fs/M this
+analysis bank computes ALL M channels in one pass: a P-taps-per-branch
+polyphase contraction (one (F, P·M)×(P·M → M) tap reduction — MXU work)
+followed by a length-M FFT across branches (XLA batched FFT). SURVEY §7.1
+names exactly this design ("one polyphase/FFT channelizer kernel") for the
+64-channel configuration.
+
+Measured on v5e (round 2): at M=64 the bank runs 45 GS/s of baseband on
+one chip, while the equivalent 64-path HB-tree bank produces an HLO too
+large to compile (64 paths × depth-6 stages unroll to hundreds of convs).
+At 16 channels on a 4-leaf grid the tree (with path dedup) still wins
+(224 vs 178 GS/s end-to-end, bench.py -t chain vs chainpfb) — the tree
+stays the default for small/irregular banks, the PFB is the uniform-grid
+scale-out gear.
+
+Math (critically sampled analysis, output rate fs/M per channel; frame-end
+alignment):
+    y_c[n] = (x ⊛ g_c)[nM + M−1],   g_c[m] = h[m]·e^{+j2πcm/M}
+so channel c equals "bandpass at +c·fs/M then decimate by M" exactly —
+np.convolve with g_c is the oracle the tests check against (the +j sign in
+g_c makes channel c select the band CENTRED at +c·fs/M and mix it to
+baseband). Splitting m = qM+r and substituting into the window/frame
+layout gives v[n,k] = Σ_q h̃[q,k]·x_ext[(n+q)M+k] with h̃ the (P,M)-reshaped
+prototype reversed along BOTH axes, then y[n] = FFT_k(v[n])·tw with the
+constant per-channel twiddle tw_c = e^{−j2πc/M}. Streaming state is the
+last (P−1)·M input samples (the polyphase tap history).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=32)
+def prototype(m: int, taps_per_branch: int = 8, beta: float = 9.0,
+              cutoff_scale: float = 1.0) -> np.ndarray:
+    """Kaiser-windowed sinc lowpass of length M·P, cut at (fs/2M)·scale,
+    normalized to unit DC gain per branch (so a DC input yields 1.0 on
+    channel 0)."""
+    n = m * taps_per_branch
+    t = np.arange(n) - (n - 1) / 2.0
+    fc = 0.5 / m * cutoff_scale
+    h = 2.0 * fc * np.sinc(2.0 * fc * t) * np.kaiser(n, beta)
+    return (h / h.sum()).astype(np.float32)
+
+
+class PfbState(NamedTuple):
+    tail: jnp.ndarray  # (..., (P-1)·M) complex64 input history
+
+
+def make_state(m: int, taps_per_branch: int = 8, batch_shape=()) -> PfbState:
+    return PfbState(
+        jnp.zeros((*batch_shape, (taps_per_branch - 1) * m), jnp.complex64)
+    )
+
+
+def analyze(state: PfbState, x: jnp.ndarray, m: int,
+            h: np.ndarray | None = None) -> tuple[PfbState, jnp.ndarray]:
+    """x: (..., T) complex64 with T a multiple of M. Returns
+    (state', (..., T/M, M)): frame n, channel c = signal at centre c·fs/M
+    (c interpreted mod M, i.e. c = M−1 is −fs/M), decimated by M.
+    """
+    if h is None:
+        h = prototype(m)
+    p = len(h) // m
+    assert len(h) == p * m, "prototype length must be a multiple of M"
+    t = x.shape[-1]
+    assert t % m == 0, f"block length {t} must be a multiple of M={m}"
+
+    ext = jnp.concatenate([state.tail, x], axis=-1)  # (..., (P-1+F)·M)
+    f = t // m
+    # frames of the extended signal: (..., P-1+F, M)
+    frames = ext.reshape(*ext.shape[:-1], p - 1 + f, m)
+    # sliding windows over the frame axis: w[n, q] = frames[n + q],
+    # n = 0..F-1, q = 0..P-1  →  (..., F, P, M)
+    idx = jnp.arange(f)[:, None] + jnp.arange(p)[None, :]
+    windows = frames[..., idx, :]
+    # tap tensor: both axes reversed (see module docstring derivation) —
+    # the tap contraction is the MXU work, the FFT below is cheap
+    h2 = np.ascontiguousarray(np.reshape(h, (p, m))[::-1, ::-1])
+    v = jnp.einsum("...fpm,pm->...fm",
+                   windows, jnp.asarray(h2, jnp.float32).astype(jnp.complex64))
+    tw = np.exp(-2j * np.pi * np.arange(m) / m).astype(np.complex64)
+    y = jnp.fft.fft(v, axis=-1) * jnp.asarray(tw)
+    new_tail = ext[..., t:]
+    return PfbState(new_tail), y.astype(jnp.complex64)
+
+
+def channel_freqs(m: int, fs: float) -> np.ndarray:
+    """Centre frequency of each analysis channel (c mod M convention)."""
+    c = np.arange(m)
+    c = np.where(c <= m // 2, c, c - m)
+    return c * fs / m
+
+
+def oracle_channel(x: np.ndarray, m: int, c: int,
+                   h: np.ndarray | None = None) -> np.ndarray:
+    """NumPy oracle: channel c = np.convolve(x, h·e^{+j2πc·/M}) sampled at
+    nM+M−1 (frame-end alignment, zero history — matches analyze() from
+    make_state)."""
+    if h is None:
+        h = prototype(m)
+    g = h * np.exp(2j * np.pi * c * np.arange(len(h)) / m)
+    full = np.convolve(x.astype(np.complex128), g.astype(np.complex128))
+    return full[m - 1::m][: len(x) // m].astype(np.complex64)
