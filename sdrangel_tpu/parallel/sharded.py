@@ -35,6 +35,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..channels.registry import REGISTRY
 from ..dsp import channelizer as chan
 from ..dsp import decimators as dec
+from ..dsp import pfb as pfbmod
 from ..dsp.hbfilter import DECIMATORS_ORDER
 
 NFM_URI = "sdrangel.channel.nfmdemod"
@@ -107,6 +108,13 @@ class ShardedPipelineConfig:
     fc_pos: str = "cen"
     n_channels: int = 64  # default-bank size (multiple of n_channel)
     chan_stages: int = 0  # extra per-channel ÷2 stages after device cascade
+    #: uniform-grid gear: M > 0 runs ONE polyphase DFT filter bank
+    #: (dsp/pfb.py) over the gathered baseband instead of per-channel
+    #: trees/broadcast; each demod then gathers its grid channel by a
+    #: TRACED index (so live offset changes keep working without a
+    #: rebuild) and absorbs the residual on its NCO. Channel rate becomes
+    #: baseband_rate / pfb_m. Mutually exclusive with chan_stages.
+    pfb_m: int = 0
     block: int = 1 << 20  # device-rate samples per step (global)
     bank: tuple[BankGroup, ...] | None = None  # heterogeneous bank override
     #: split the demod bank over BOTH mesh axes (time × channel) instead of
@@ -154,8 +162,14 @@ class ShardedPipelineConfig:
     @functools.cached_property
     def demod_cfgs(self) -> tuple:
         """Per-group demod configs bound to the post-channelizer rate."""
-        rate = self.baseband_rate / (1 << self.chan_stages)
-        block_in = (self.block >> self.log2_decim) >> self.chan_stages
+        if self.pfb_m:
+            if self.chan_stages:
+                raise ValueError("pfb_m and chan_stages are mutually exclusive")
+            rate = self.baseband_rate / self.pfb_m
+            block_in = (self.block >> self.log2_decim) // self.pfb_m
+        else:
+            rate = self.baseband_rate / (1 << self.chan_stages)
+            block_in = (self.block >> self.log2_decim) >> self.chan_stages
         cfgs = []
         for g in self.groups:
             kind = REGISTRY[g.uri]
@@ -191,15 +205,29 @@ def _validate_bank(cfg: ShardedPipelineConfig) -> None:
             )
 
 
+def grid_split(cfg: ShardedPipelineConfig, offsets: np.ndarray):
+    """PFB-gear helper: absolute channel offsets (Hz) -> (grid index mod M,
+    residual Hz for the demod NCO)."""
+    spacing = cfg.baseband_rate / cfg.pfb_m
+    idx = np.rint(np.asarray(offsets) / spacing).astype(np.int64)
+    residual = (np.asarray(offsets) - idx * spacing).astype(np.float32)
+    return (idx % cfg.pfb_m).astype(np.int32), residual
+
+
 def build_sharded_step(cfg: ShardedPipelineConfig, mesh: Mesh):
-    """Returns (step, init_fn). step(state, x, carry, offsets) -> (state',
-    audio, new_carry); everything is shard_map'ed over the mesh.
+    """Returns (step, init_fn). step(state, x, carry, offsets[, pfb_idx])
+    -> (state', audio, new_carry); everything is shard_map'ed over the mesh.
 
     x: (T, 2) int16 — sharded over 'time'. carry: (2, H) f32 — the previous
     block's tail for shard 0's halo. offsets: per-channel frequency offsets,
     sharded over 'channel'. For a single-group bank, offsets is one (C,)
     array and audio one (C, A) array; for a heterogeneous bank both are
     tuples with one entry per BankGroup.
+
+    With cfg.pfb_m set, pass `pfb_idx` (per-group int32 grid indices,
+    sharded like offsets — see grid_split) and give the demods the residual
+    offsets; the step runs ONE polyphase DFT bank over the gathered
+    baseband and each demod gathers its grid channel by traced index.
     """
     _validate_bank(cfg)
     halo = halo_samples(cfg.log2_decim)
@@ -211,9 +239,11 @@ def build_sharded_step(cfg: ShardedPipelineConfig, mesh: Mesh):
     split = cfg.channel_split  # devices per channel group (see channel_split)
     chan_axes = ("time", "channel") if split > cfg.n_channel else "channel"
 
-    def local_step(state, x_local, carry, offsets):
+    def local_step(state, x_local, carry, offsets, pfb_idx=None):
         # x_local: (T/n_time, 2) int16; carry: (2, H) f32;
         # state/offsets: per-group tuples, local channel slices
+        if cfg.pfb_m:
+            state, pfb_state = state
         xc = (x_local.astype(jnp.float32) / 32768.0)
         xc = (xc[..., 0] + 1j * xc[..., 1]).astype(jnp.complex64)
 
@@ -249,23 +279,44 @@ def build_sharded_step(cfg: ShardedPipelineConfig, mesh: Mesh):
             _, spec = dsp_spectrum.power_spectrum(
                 dsp_spectrum.make_state(scfg), bb, scfg)
 
+        if cfg.pfb_m:
+            # one analysis-bank pass per device over the (replicated)
+            # gathered baseband; demods below gather their grid channel
+            pfb_state, ych = pfbmod.analyze(pfb_state, bb, cfg.pfb_m)
+
         new_states, audios = [], []
         for g, (kind, gcfg) in enumerate(zip(kinds, demod_cfgs)):
             cstate, dstate = state[g]
             cg = counts[g] // split  # local channels of this group
-            xb = jnp.broadcast_to(bb, (cg, bb.shape[-1]))
-            if cfg.chan_stages:
-                signs = np.zeros((cg, cfg.chan_stages), int)
-                cstate, xb = chan.channelize_bank(cstate, xb, signs)
+            if cfg.pfb_m:
+                # (F, M) -> (cg, F) via traced grid indices: live offset
+                # moves re-gather without recompiling
+                xb = jnp.moveaxis(jnp.take(ych, pfb_idx[g], axis=-1), -1, 0)
+            else:
+                xb = jnp.broadcast_to(bb, (cg, bb.shape[-1]))
+                if cfg.chan_stages:
+                    signs = np.zeros((cg, cfg.chan_stages), int)
+                    cstate, xb = chan.channelize_bank(cstate, xb, signs)
             dstate, audio = kind.process(dstate, xb, gcfg, offset_hz=offsets[g])
             new_states.append((cstate, dstate))
             audios.append(audio)
+        out_state = tuple(new_states)
+        if cfg.pfb_m:
+            out_state = (out_state, pfb_state)
         if spec is None:
-            return tuple(new_states), tuple(audios), new_carry
-        return tuple(new_states), tuple(audios), new_carry, spec
+            return out_state, tuple(audios), new_carry
+        return out_state, tuple(audios), new_carry, spec
 
-    state_specs = jax.tree.map(lambda _: P(chan_axes), _state_structure(cfg))
+    state_specs = jax.tree.map(lambda _: P(chan_axes), _group_state_structure(cfg))
+    if cfg.pfb_m:
+        # the PFB tail follows the (replicated) gathered baseband
+        state_specs = (state_specs,
+                       jax.tree.map(lambda _: P(),
+                                    pfbmod.make_state(cfg.pfb_m)))
     group_specs = tuple(P(chan_axes) for _ in cfg.groups)
+    in_specs = (state_specs, P("time"), P(), group_specs)
+    if cfg.pfb_m:
+        in_specs = in_specs + (group_specs,)  # pfb_idx, sharded like offsets
     out_specs = (state_specs, group_specs, P())
     if cfg.spectrum is not None:
         out_specs = out_specs + (P(),)  # the spectrum frame is replicated
@@ -273,7 +324,7 @@ def build_sharded_step(cfg: ShardedPipelineConfig, mesh: Mesh):
         jax.shard_map(
             local_step,
             mesh=mesh,
-            in_specs=(state_specs, P("time"), P(), group_specs),
+            in_specs=in_specs,
             out_specs=out_specs,
             # with channel_split == n_channel the per-channel outputs ARE
             # replicated over 'time' (they derive from the all_gathered
@@ -284,10 +335,17 @@ def build_sharded_step(cfg: ShardedPipelineConfig, mesh: Mesh):
         )
     )
 
-    def step(state, x, carry, offsets):
+    def step(state, x, carry, offsets, pfb_idx=None):
         if single and not isinstance(offsets, (tuple, list)):
             offsets = (offsets,)
-        out = jit_step(state, x, carry, tuple(offsets))
+        if cfg.pfb_m:
+            if pfb_idx is None:
+                raise ValueError("pfb_m set: pass pfb_idx (see grid_split)")
+            if single and not isinstance(pfb_idx, (tuple, list)):
+                pfb_idx = (pfb_idx,)
+            out = jit_step(state, x, carry, tuple(offsets), tuple(pfb_idx))
+        else:
+            out = jit_step(state, x, carry, tuple(offsets))
         state, audio, carry = out[0], out[1], out[2]
         audio = audio[0] if single else audio
         if cfg.spectrum is not None:
@@ -302,7 +360,7 @@ def build_sharded_step(cfg: ShardedPipelineConfig, mesh: Mesh):
     return step, init_fn
 
 
-def _state_structure(cfg: ShardedPipelineConfig):
+def _group_state_structure(cfg: ShardedPipelineConfig):
     """Per-group (channelizer state, demod state), global channel dims."""
     out = []
     for g, gcfg in zip(cfg.groups, cfg.demod_cfgs):
@@ -310,3 +368,10 @@ def _state_structure(cfg: ShardedPipelineConfig):
         cstate = chan.init_state(cfg.chan_stages, batch_shape=(g.count,))
         out.append((cstate, kind.make_state(gcfg, batch_shape=(g.count,))))
     return tuple(out)
+
+
+def _state_structure(cfg: ShardedPipelineConfig):
+    groups = _group_state_structure(cfg)
+    if cfg.pfb_m:
+        return (groups, pfbmod.make_state(cfg.pfb_m))
+    return groups

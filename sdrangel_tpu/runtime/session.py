@@ -87,6 +87,10 @@ class SourceSettings:
     mesh_time: int = 0  # 0 = auto: all devices / mesh_channel
     mesh_channel: int = 1
     sharded_block: int = 0  # device-rate samples per step (0 = auto)
+    # >0: the sharded bank runs the M-channel polyphase DFT filter bank
+    # (dsp/pfb.py uniform-grid gear) instead of per-channel NCO mixing;
+    # channel offsets snap to the grid with the residual on the demod NCO
+    sharded_pfb_m: int = 0
     # >0: acquisition ends itself after N blocks (play-once). Required for
     # clean multi-process sharded shutdown: every process leaves the
     # collective step loop at the same block instead of racing stop()
@@ -516,15 +520,22 @@ class DeviceSet:
                 if not groups:
                     time.sleep(0.05)
                     continue
-                align = (4 << src.log2_decim) * n_time
+                import math as _math
+
+                # shard-length (4·2^k per time shard) and, with the PFB
+                # gear, analysis-frame (M·2^k) divisibility in one align
+                align = (_math.lcm(4, int(src.sharded_pfb_m) or 1)
+                         << src.log2_decim) * n_time
                 block = int(src.sharded_block) or (1 << 17)
                 block = max(block // align, 1) * align
                 from ..dsp import spectrum as dsp_spectrum
 
+                pfb_m = int(src.sharded_pfb_m)
                 cfg = shmod.ShardedPipelineConfig(
                     n_time=n_time, n_channel=n_channel,
                     device_rate=src.sample_rate, log2_decim=src.log2_decim,
                     fc_pos=src.fc_pos, block=block, bank=groups,
+                    pfb_m=pfb_m,
                     spectrum=dsp_spectrum.SpectrumConfig(
                         fft_size=int(src.spectrum_fft_size),
                         averaging_mode="none"),
@@ -579,18 +590,32 @@ class DeviceSet:
                     with self._lock:
                         if self._gen != gen:
                             break  # static change → rebuild between blocks
-                        offsets = tuple(
-                            jax.device_put(
-                                np.asarray(
-                                    [self.channels[i].frequency_offset
-                                     for i in idxs], np.float32),
-                                off_sharding)
+                        raw_offsets = [
+                            np.asarray(
+                                [self.channels[i].frequency_offset
+                                 for i in idxs], np.float32)
                             for idxs in chmap
-                        )
+                        ]
+                    if pfb_m:
+                        # grid index + residual, both live-updatable
+                        split = [shmod.grid_split(cfg, o) for o in raw_offsets]
+                        pfb_idx = tuple(jax.device_put(s[0], off_sharding)
+                                        for s in split)
+                        offsets = tuple(jax.device_put(s[1], off_sharding)
+                                        for s in split)
+                    else:
+                        pfb_idx = None
+                        offsets = tuple(jax.device_put(o, off_sharding)
+                                        for o in raw_offsets)
                     t0 = time.perf_counter()
-                    state, audio, carry, spec = step(
-                        state, read_block(pos_blocks), carry, offsets
-                    )
+                    if pfb_m:
+                        state, audio, carry, spec = step(
+                            state, read_block(pos_blocks), carry, offsets,
+                            pfb_idx)
+                    else:
+                        state, audio, carry, spec = step(
+                            state, read_block(pos_blocks), carry, offsets
+                        )
                     audios = audio if isinstance(audio, tuple) else (audio,)
                     self._publish_sharded(audios, chmap, wav_writers, net_sinks)
                     # SpectrumVis tap: in-graph stateless frame, EMA here

@@ -193,3 +193,41 @@ def test_session_sharded_spectrum_tap(devices):
     peak = int(np.argmax(ds.spectrum))
     expect = 512 // 2 + round(20_000.0 / 96_000.0 * 512)
     assert abs(peak - expect) <= 6, (peak, expect)
+
+
+def test_session_sharded_pfb_gear(devices):
+    """sharded_pfb_m runs the uniform-grid polyphase bank through the
+    session: an FM carrier off the grid centre is recovered (grid channel
+    via traced gather + residual on the NCO), and a mid-run retune to a
+    DIFFERENT grid channel still applies without stop/start."""
+    sess = Session()
+    ds = sess.add_device_set()
+    ds.update_source({
+        "kind": "testsource", "sample_rate": 768_000.0, "log2_decim": 3,
+        "carrier_freq": 26_000.0, "modulation": "fm", "tone_freq": 1000.0,
+        "sharded": True, "mesh_time": 4, "mesh_channel": 2,
+        "sharded_block": 1 << 15, "sharded_pfb_m": 4,
+    })
+    # baseband 96 kHz, M=4 -> grid spacing 24 kHz; 26 kHz = grid 1 + 2 kHz
+    for _ in range(8):
+        ds.add_channel("sdrangel.channel.nfmdemod", {
+            "inputFrequencyOffset": 26_000.0,
+            "squelch_db": -30.0, "squelch_gate_ms": 1.0,
+        })
+    ds.start()
+    try:
+        _wait_blocks(ds, 2)
+        on_tune = np.abs(ds.drain_audio(0))
+        # retune every channel to grid -1 (no carrier there): gate closes
+        for c in range(8):
+            ds.update_channel(c, {"inputFrequencyOffset": -24_000.0})
+        base = ds.blocks_processed
+        _wait_blocks(ds, base + 3)
+        ds.drain_audio(0)
+        _wait_blocks(ds, base + 5)
+        off_tune = np.abs(ds.drain_audio(0))
+    finally:
+        ds.stop()
+    assert not ds.error, ds.error
+    assert on_tune.max() > 0.05
+    assert np.sqrt((off_tune ** 2).mean()) < 0.5 * np.sqrt((on_tune ** 2).mean())
