@@ -57,15 +57,21 @@ QUANT_TYPES = [
 
 def event_text(code: int, quantifier: int | None = None) -> str:
     """Event display text; a quantifier value substitutes into the text's
-    (Q) placeholder with the ISO 14819-2 type description as the unit hint
-    (the reference stores the type column but never renders values)."""
+    Q placeholder with the ISO 14819-2 type description as the unit hint
+    (the reference stores the type column but never renders values).
+
+    The table's placeholder appears in many shapes — "(Q)", "(Q sets of)",
+    "involving Q vehicles", "(Q th)" — so substitution targets the
+    standalone Q token; texts without one get the value appended."""
     text, qt = EVENTS.get(code, (f"event {code}", None))
     if quantifier is None:
         return text
     q = (f"Q={quantifier}" if qt is None
          else f"Q={quantifier} [{QUANT_TYPES[qt]}]")
-    return text.replace("(Q)", f"({q})").replace("Q)", f"{q})") \
-        if "Q" in text else f"{text} ({q})"
+    import re
+
+    sub, n = re.subn(r"\bQ\b", q, text)
+    return sub if n else f"{text} ({q})"
 
 
 def format_quantifier(label: int, value: int) -> str:

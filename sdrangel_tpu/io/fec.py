@@ -26,18 +26,31 @@ _REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__
 _SRC = os.path.join(_REPO, "native", "fec_gf256.cc")
 _SO = os.path.join(_REPO, "native", "libfecgf256.so")
 
-_lib = None
+_lib = None  # CDLL once loaded; False = load failed (don't retry g++ per call)
 
 
 def _load_native():
     global _lib
     if _lib is not None:
+        if _lib is False:
+            raise OSError("native FEC unavailable (earlier build failed)")
         return _lib
-    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
-        subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _SO, _SRC],
-            check=True, capture_output=True,
-        )
+    try:
+        if (not os.path.exists(_SO)
+                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+            # build to a temp path + atomic rename: parallel processes
+            # (pytest-xdist, multi-process sessions) must never CDLL a
+            # half-written .so
+            tmp = f"{_SO}.{os.getpid()}.tmp"
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                 "-o", tmp, _SRC],
+                check=True, capture_output=True,
+            )
+            os.replace(tmp, _SO)
+    except Exception:
+        _lib = False
+        raise
     lib = ctypes.CDLL(_SO)
     u8p = ctypes.POINTER(ctypes.c_uint8)
     lib.fec_encode.argtypes = [u8p, ctypes.c_int32, ctypes.c_int32,

@@ -24,12 +24,23 @@ _lib = None
 def _load():
     global _lib
     if _lib is not None:
+        if _lib is False:
+            raise OSError("native loader unavailable (earlier build failed)")
         return _lib
-    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
-        subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _SO, _SRC],
-            check=True, capture_output=True,
-        )
+    try:
+        if (not os.path.exists(_SO)
+                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+            # temp file + atomic rename: never CDLL a half-written .so
+            tmp = f"{_SO}.{os.getpid()}.tmp"
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                 "-o", tmp, _SRC],
+                check=True, capture_output=True,
+            )
+            os.replace(tmp, _SO)
+    except Exception:
+        _lib = False
+        raise
     lib = ctypes.CDLL(_SO)
     lib.sdriq_open.restype = ctypes.c_void_p
     lib.sdriq_open.argtypes = [ctypes.c_char_p]

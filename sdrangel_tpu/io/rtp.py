@@ -22,6 +22,10 @@ PT_RED = 96  # RFC 2198 redundant audio (dynamic PT)
 _HDR = struct.Struct("!BBHII")  # V/P/X/CC, M/PT, seq, timestamp, ssrc
 
 
+#: RFC 2198 redundant-block length field is 10 bits
+RED_MAX_BLOCK = 0x3FF
+
+
 def build_red_payload(primary: bytes, primary_pt: int,
                       redundant: bytes | None, ts_offset: int) -> bytes:
     """RFC 2198 payload: [1|PT|ts-offset(14)|length(10)] per redundant
@@ -29,8 +33,12 @@ def build_red_payload(primary: bytes, primary_pt: int,
     hdr = b""
     data = b""
     if redundant is not None:
+        if len(redundant) > RED_MAX_BLOCK:
+            raise ValueError(
+                f"RED block {len(redundant)} B exceeds the 10-bit length "
+                f"field ({RED_MAX_BLOCK}); use smaller packets")
         word = (1 << 31) | ((primary_pt & 0x7F) << 24) \
-            | ((ts_offset & 0x3FFF) << 10) | (len(redundant) & 0x3FF)
+            | ((ts_offset & 0x3FFF) << 10) | len(redundant)
         hdr += struct.pack("!I", word)
         data += redundant
     hdr += struct.pack("!B", primary_pt & 0x7F)
@@ -39,16 +47,23 @@ def build_red_payload(primary: bytes, primary_pt: int,
 
 def parse_red_payload(payload: bytes) -> list[tuple[int, int, bytes]]:
     """-> [(payload_type, ts_offset, block)] oldest-first; the final
-    entry (ts_offset 0) is the primary."""
+    entry (ts_offset 0) is the primary. Raises ValueError on malformed
+    input (PT 96 is dynamic — a foreign sender may put anything there)."""
     headers = []
     off = 0
-    while payload[off] & 0x80:
+    while off < len(payload) and payload[off] & 0x80:
+        if off + 4 > len(payload):
+            raise ValueError("truncated RED block header")
         word = struct.unpack_from("!I", payload, off)[0]
         headers.append(((word >> 24) & 0x7F, (word >> 10) & 0x3FFF,
                         word & 0x3FF))
         off += 4
+    if off >= len(payload):
+        raise ValueError("RED payload without a primary header")
     primary_pt = payload[off] & 0x7F
     off += 1
+    if off + sum(h[2] for h in headers) > len(payload):
+        raise ValueError("RED block lengths exceed the payload")
     out = []
     for pt, ts_off, length in headers:
         out.append((pt, ts_off, payload[off:off + length]))
@@ -117,6 +132,9 @@ class RtpAudioSender:
         self.redundant = False  # currently sending RFC 2198 RED
         self.fraction_lost = 0.0  # latest RR feedback
         self._prev_payload: bytes | None = None
+        # RED's redundant-block length field is 10 bits: while redundant,
+        # cap samples/packet so the previous payload always fits
+        self._red_spp = min(self.spp, RED_MAX_BLOCK // (4 if stereo else 2))
 
     def poll_feedback(self) -> None:
         """Drain pending RRs from the RTCP socket and adapt (hysteresis:
@@ -139,12 +157,15 @@ class RtpAudioSender:
         self._pending = np.concatenate([self._pending, pcm])
         sent = 0
         pt = PT_L16_STEREO if self.stereo else PT_L16_MONO
-        while len(self._pending) >= self.spp:
-            chunk, self._pending = self._pending[: self.spp], self._pending[self.spp :]
+        while True:
+            spp = self._red_spp if self.redundant else self.spp
+            if len(self._pending) < spp:
+                break
+            chunk, self._pending = self._pending[:spp], self._pending[spp:]
             payload = chunk.astype(">i2").tobytes()
             if self.redundant:
                 wire = build_red_payload(
-                    payload, pt, self._prev_payload, self.spp)
+                    payload, pt, self._prev_payload, spp)
                 pkt = build_packet(wire, self.seq, self.timestamp,
                                    self.ssrc, PT_RED)
                 self._prev_payload = payload
@@ -154,7 +175,7 @@ class RtpAudioSender:
                                    self.ssrc, pt)
             self._sock.sendto(pkt, self.addr)
             self.seq = (self.seq + 1) & 0xFFFF
-            self.timestamp = (self.timestamp + self.spp) & 0xFFFFFFFF
+            self.timestamp = (self.timestamp + spp) & 0xFFFFFFFF
             self.packet_count += 1
             self.octet_count += len(wire)
             sent += 1
@@ -196,6 +217,8 @@ class RtpAudioReceiver:
         self._last_transit: float | None = None
         self.source_ssrc = 0
         self.recovered = 0  # packets reconstructed from RFC 2198 blocks
+        self._rr_expected_prior = 0  # interval stats (RFC 3550 A.3)
+        self._rr_received_prior = 0
 
     @property
     def port(self) -> int:
@@ -208,8 +231,13 @@ class RtpAudioReceiver:
         info = parse_packet(raw)
         if info["payload_type"] == PT_RED:
             # RFC 2198: recover the immediately-preceding packet from the
-            # redundant block when the sequence shows a single-packet gap
-            blocks = parse_red_payload(info["payload"])
+            # redundant block when the sequence shows a single-packet gap.
+            # PT 96 is dynamic — guard against foreign/malformed payloads.
+            try:
+                blocks = parse_red_payload(info["payload"])
+            except ValueError:
+                blocks = [(PT_L16_MONO, 0, b"")]
+                info["malformed"] = True
             pt, _, primary = blocks[-1]
             info["payload_type"] = pt
             payload = primary
@@ -232,9 +260,14 @@ class RtpAudioReceiver:
             self.base_seq = seq
             self.max_seq = seq
         else:
-            if seq < 0x1000 and self.max_seq > 0xF000:  # wraparound
-                self.cycles += 1 << 16
-            self.max_seq = max(self.max_seq & 0xFFFF, seq)
+            # RFC 3550 A.1 update_seq (simplified): a forward step (mod
+            # 2^16) advances max_seq, bumping cycles exactly once per wrap;
+            # a backward step is a reordered old packet and leaves it alone
+            delta = (seq - self.max_seq) & 0xFFFF
+            if 0 < delta < 0x8000:
+                if seq < self.max_seq:
+                    self.cycles += 1 << 16
+                self.max_seq = seq
         # interarrival jitter in timestamp units (A.8): J += (|D| - J)/16
         arrival = _time.monotonic() * self.clock_rate
         transit = arrival - info["timestamp"]
@@ -255,9 +288,19 @@ class RtpAudioReceiver:
         return max(0, self.expected - self.received)
 
     def receiver_report(self) -> bytes:
-        """Build an RR for the observed source (rtcprrpacket role)."""
+        """Build an RR for the observed source (rtcprrpacket role).
+        fraction_lost is computed over the interval since the previous RR
+        (RFC 3550 A.3), so feedback tracks CURRENT conditions — cumulative
+        loss would keep the sender's RED adaptation latched long after the
+        network recovers."""
         exp = self.expected
-        frac = 0 if exp == 0 else min(255, (self.lost * 256) // max(exp, 1))
+        exp_i = exp - self._rr_expected_prior
+        rec_i = self.received - self._rr_received_prior
+        self._rr_expected_prior = exp
+        self._rr_received_prior = self.received
+        lost_i = exp_i - rec_i
+        frac = 0 if exp_i <= 0 or lost_i <= 0 else min(
+            255, (lost_i * 256) // exp_i)
         return build_rr(self.ssrc, self.source_ssrc, frac, self.lost,
                         self.cycles + self.max_seq, self.jitter)
 

@@ -1201,9 +1201,17 @@ class Session:
 
             if os.path.exists(preset_path):
                 with open(preset_path) as f:
-                    self.presets = {
-                        k: migrate_preset(v) for k, v in json.load(f).items()
-                    }
+                    raw = json.load(f)
+                # tolerate individual unreadable entries (e.g. one preset
+                # saved by a NEWER build): keep them verbatim so they
+                # aren't lost on the next persist, surface the error only
+                # if that preset is actually loaded
+                self.presets = {}
+                for k, v in raw.items():
+                    try:
+                        self.presets[k] = migrate_preset(v)
+                    except Exception:
+                        self.presets[k] = v
 
     def _persist_presets(self) -> None:
         if self.preset_path:

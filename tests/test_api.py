@@ -1165,3 +1165,31 @@ def test_preset_schema_migration(tmp_path):
     # fresh saves stamp the current schema
     s.save_preset("g", "new")
     assert s.presets["g/new"]["schema"] == PRESET_SCHEMA_VERSION
+
+
+def test_preset_store_tolerates_one_newer_entry(tmp_path):
+    """One preset saved by a NEWER build must not brick Session startup:
+    the entry is kept verbatim (not lost on persist) and errors only when
+    actually loaded."""
+    import json
+
+    import pytest
+
+    from sdrangel_tpu.runtime.session import PRESET_SCHEMA_VERSION, Session
+
+    path = str(tmp_path / "presets.json")
+    good = {"schema": PRESET_SCHEMA_VERSION, "group": "g", "name": "ok",
+            "deviceSets": []}
+    future = {"schema": PRESET_SCHEMA_VERSION + 7, "group": "g",
+              "name": "future", "deviceSets": []}
+    with open(path, "w") as f:
+        json.dump({"g/ok": good, "g/future": future}, f)
+
+    s = Session(preset_path=path)  # must not raise
+    s.load_preset("g", "ok")
+    with pytest.raises(ValueError, match="newer"):
+        s.load_preset("g", "future")
+    s.save_preset("g", "another")
+    with open(path) as f:
+        persisted = json.load(f)
+    assert persisted["g/future"]["schema"] == PRESET_SCHEMA_VERSION + 7

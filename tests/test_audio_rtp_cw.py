@@ -181,3 +181,109 @@ def test_rtcp_rr_driven_red_adaptation():
         assert info["payload_type"] == rtp.PT_L16_MONO
     finally:
         tx.close(); rx.close(); relay.close(); fb.close()
+
+
+def test_red_stereo_large_packets_shrink_to_fit():
+    """RED's 10-bit length field: stereo at 480 samples/packet (1920 B)
+    must not silently truncate — the sender shrinks its packet size while
+    redundant so the previous payload always fits."""
+    rx = rtp.RtpAudioReceiver("127.0.0.1", 0, timeout=5.0)
+    tx = rtp.RtpAudioSender("127.0.0.1", rx.port, stereo=True,
+                            samples_per_packet=480, rtcp=False)
+    tx.redundant = True  # force RED
+    try:
+        t = np.arange(1024) / 48000.0
+        audio = np.stack([np.sin(2 * np.pi * 440 * t),
+                          np.cos(2 * np.pi * 440 * t)], axis=-1)
+        n = tx.write(audio.astype(np.float32))
+        assert n >= 4  # smaller packets (<=255 samples each)
+        total = 0
+        first = True
+        for _ in range(n):
+            info, pcm = rx.read_packet()
+            assert info["payload_type"] == rtp.PT_L16_STEREO
+            assert pcm.shape[1] == 2
+            assert len(pcm) * 4 <= rtp.RED_MAX_BLOCK + 4
+            total += len(pcm)
+            first = False
+        assert total >= 1020  # nothing truncated away
+    finally:
+        tx.close(); rx.close()
+
+
+def test_red_oversized_block_raises():
+    import pytest
+
+    with pytest.raises(ValueError, match="10-bit"):
+        rtp.build_red_payload(b"x", rtp.PT_L16_MONO, b"y" * 1200, 160)
+
+
+def test_malformed_red_payload_does_not_crash_receiver():
+    import socket as _socket
+
+    rx = rtp.RtpAudioReceiver("127.0.0.1", 0, timeout=5.0)
+    s = _socket.socket(_socket.AF_INET, _socket.SOCK_DGRAM)
+    try:
+        # a foreign sender using dynamic PT 96 with all-high bytes
+        pkt = rtp.build_packet(b"\xff" * 32, 1, 0, 0xDEAD, rtp.PT_RED)
+        s.sendto(pkt, ("127.0.0.1", rx.port))
+        info, pcm = rx.read_packet()
+        assert info.get("malformed") and len(pcm) == 0
+        # and an empty RED payload
+        s.sendto(rtp.build_packet(b"", 2, 0, 0xDEAD, rtp.PT_RED),
+                 ("127.0.0.1", rx.port))
+        info, pcm = rx.read_packet()
+        assert info.get("malformed") and len(pcm) == 0
+    finally:
+        s.close(); rx.close()
+
+
+def test_sequence_wrap_stats_stay_sane():
+    """RFC 3550 A.1: a 16-bit sequence wrap bumps cycles exactly once;
+    post-wrap packets must not inflate `expected` (which previously
+    latched fraction_lost at 255 and pinned the RED adaptation on)."""
+    rx = rtp.RtpAudioReceiver("127.0.0.1", 0, timeout=5.0)
+    tx = rtp.RtpAudioSender("127.0.0.1", rx.port, samples_per_packet=16,
+                            rtcp=False)
+    tx.seq = 0xFFFE  # two packets before the wrap
+    try:
+        t = np.arange(16 * 50) / 48000.0
+        tx.write(np.sin(2 * np.pi * 440 * t).astype(np.float32))
+        for _ in range(50):
+            rx.read_packet()
+        assert rx.received == 50
+        assert rx.expected == 50, (rx.expected, rx.cycles, rx.max_seq)
+        assert rx.cycles == 1 << 16
+        rr = rtp.parse_rtcp(rx.receiver_report())[0]
+        assert rr["fraction_lost"] == 0
+    finally:
+        tx.close(); rx.close()
+
+
+def test_receiver_report_fraction_is_per_interval():
+    """fraction_lost covers the interval since the previous RR (RFC 3550
+    A.3): a lossy interval followed by a clean one reports high then zero,
+    so the sender's RED hysteresis can actually disengage."""
+    rx = rtp.RtpAudioReceiver("127.0.0.1", 0, timeout=5.0)
+    tx = rtp.RtpAudioSender("127.0.0.1", rx.port, samples_per_packet=16,
+                            rtcp=False)
+    try:
+        tone = np.sin(2 * np.pi * 440 * np.arange(16 * 10) / 48000.0)
+        # interval 1: drop every other packet by skipping seq
+        for i in range(10):
+            if i % 2:
+                tx.seq = (tx.seq + 1) & 0xFFFF  # simulate a loss
+            tx.write(tone[:16].astype(np.float32))
+        for _ in range(10):
+            rx.read_packet()
+        rr1 = rtp.parse_rtcp(rx.receiver_report())[0]
+        assert rr1["fraction_lost"] > 50  # ~33% of the interval
+        # interval 2: clean
+        tx.write(np.tile(tone[:16], 10).astype(np.float32))
+        for _ in range(10):
+            rx.read_packet()
+        rr2 = rtp.parse_rtcp(rx.receiver_report())[0]
+        assert rr2["fraction_lost"] == 0, rr2
+        assert rr2["cumulative_lost"] > 0  # cumulative stays cumulative
+    finally:
+        tx.close(); rx.close()

@@ -136,3 +136,22 @@ def test_quantifier_substitutes_into_event_text():
     assert ev["event"] == 108
     assert "Q=7" in ev["event_text"], ev["event_text"]
     assert "km/h" in ev["event_text"], ev["event_text"]
+
+
+def test_quantifier_substitutes_all_placeholder_shapes():
+    """The ISO table's Q placeholder comes in many shapes; the value must
+    land in all of them (a literal-'(Q)' replace missed 238 codes)."""
+    # "(Q sets of) roadworks..." (event 52)
+    assert "Q=3" in rdstmc.event_text(52, 3)
+    # "multi-vehicle accident (involving Q vehicles)" (203)
+    t = rdstmc.event_text(203, 4)
+    assert "Q=4" in t and "vehicles" in t
+    # no standalone Q at all -> appended
+    assert rdstmc.event_text(101, 2).endswith("(Q=2)")
+    # 'Q' inside a word must NOT be replaced
+    from sdrangel_tpu.channels.rdstmc_events import EVENTS
+    import re
+    for code, (text, qt) in EVENTS.items():
+        if qt is not None:
+            out = rdstmc.event_text(code, 9)
+            assert "Q=9" in out, (code, text, out)
