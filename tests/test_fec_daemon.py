@@ -131,3 +131,73 @@ def test_native_fec_throughput_sane():
     mbps = n * k * L / dt / 1e6
     # a 10 MS/s int16 stream is 40 MB/s of payload; require plenty of slack
     assert mbps > 400, f"{mbps:.0f} MB/s"
+
+
+def test_daemon_auto_fec_adapts_to_loss():
+    """Receiver link-quality feedback drives the sender's nbFECBlocks
+    (auto_fec): starting at 1 parity block over a 10%-block-loss path,
+    frames fail, feedback raises n_fec enough to recover, and a clean
+    path decays it back down. (The reference only displays these stats —
+    sdrdaemonsourcebuffer.h:100-115.)"""
+    import socket as _socket
+
+    from sdrangel_tpu.io import daemon
+
+    rx = daemon.DaemonReceiver("127.0.0.1", 0, timeout=0.2, feedback_every=2)
+    relay = _socket.socket(_socket.AF_INET, _socket.SOCK_DGRAM)
+    relay.bind(("127.0.0.1", 0))
+    relay.setblocking(False)
+    tx = daemon.DaemonSender("127.0.0.1", relay.getsockname()[1],
+                             n_fec=1, auto_fec=True, sample_rate=48000)
+    rng = np.random.default_rng(0)
+    iq = rng.integers(-2048, 2048, size=(daemon.DATA_BLOCKS * 64, 2),
+                      dtype=np.int16)
+    tx_addr = None
+    counter = [0]
+
+    def pump(drop_every):
+        nonlocal tx_addr
+        import time as _time
+        deadline = _time.monotonic() + 0.5
+        while _time.monotonic() < deadline:
+            try:
+                raw, addr = relay.recvfrom(4096)
+            except (BlockingIOError, OSError):
+                _time.sleep(0.005)
+                continue
+            if addr[1] == rx.port:  # receiver feedback -> sender
+                if tx_addr is not None:
+                    relay.sendto(raw, tx_addr)
+                continue
+            tx_addr = addr
+            counter[0] += 1
+            if drop_every and counter[0] % drop_every == 0:
+                continue  # lost block
+            relay.sendto(raw, ("127.0.0.1", rx.port))
+
+    def try_recv():
+        try:
+            return rx.recv_frame()
+        except _socket.timeout:
+            return None
+
+    # phase 1: 10% block loss with 1 parity block -> frames fail,
+    # feedback escalates n_fec until frames decode again
+    got = 0
+    for f in range(26):
+        tx.send_iq(iq)
+        pump(drop_every=10)
+        if try_recv() is not None:
+            got += 1
+    assert tx.n_fec >= 14, tx.n_fec  # covers 10% of a superframe
+    assert got >= 4, (got, tx.n_fec)  # recovered once FEC grew
+    assert rx.assembler.stats.blocks_recovered > 0
+
+    # phase 2: clean path -> n_fec decays (one per feedback interval)
+    high = tx.n_fec
+    for f in range(12):
+        tx.send_iq(iq)
+        pump(drop_every=0)
+        try_recv()
+    assert tx.n_fec < high, (tx.n_fec, high)
+    tx.close(); rx.close(); relay.close()
