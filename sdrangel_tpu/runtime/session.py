@@ -1267,16 +1267,33 @@ class Session:
         }
 
     def summary(self) -> dict:
-        """instanceSummary (webapiadaptersrv.cpp:71-103)."""
+        """instanceSummary (webapiadaptersrv.cpp:71-103): app/version,
+        runtime (jax stands in for Qt), arch/OS, DSP bit widths, PID,
+        logging config, device-set list."""
+        import logging as _logging
+        import platform
+
+        import jax
+
         import sdrangel_tpu
 
+        root = _logging.getLogger()  # the /sdrangel/logging endpoint's target
         return {
             "appname": "sdrangel_tpu",
             "version": sdrangel_tpu.__version__,
+            "jaxVersion": jax.__version__,
+            "architecture": platform.machine(),
+            "os": f"{platform.system()} {platform.release()}",
             "dspRxBits": 16,
             "dspTxBits": 16,
             "pid": __import__("os").getpid(),
             "uptime_s": round(time.time() - self.start_time, 1),
+            "logging": {
+                "consoleLevel": _logging.getLevelName(root.level),
+                "fileName": next(
+                    (h.baseFilename for h in root.handlers
+                     if isinstance(h, _logging.FileHandler)), ""),
+            },
             "devicesetlist": {
                 "devicesetcount": len(self.device_sets),
                 "deviceSets": [
