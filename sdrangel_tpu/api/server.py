@@ -236,6 +236,10 @@ class ApiHandler(BaseHTTPRequestHandler):
                 import wave as _wave
 
                 ds = s.device_sets[int(m.group(1))]
+                if not hasattr(ds, "drain_audio"):  # Tx sets have no Rx audio
+                    return self._json(
+                        400, {"message": "audio drain is an Rx channel "
+                                         "endpoint; this device set is tx"})
                 audio = ds.drain_audio(int(m.group(2)))
                 buf = _io.BytesIO()
                 import numpy as _np
@@ -604,7 +608,17 @@ class ApiHandler(BaseHTTPRequestHandler):
                 s.set_command(name, body["command"], body.get("args", ""))
                 return self._json(201, {"name": name})
             if m := _COMMAND_RUN.match(p):
-                result = s.run_command(m.group(1), self.server.server_address[1])
+                import subprocess
+
+                try:
+                    result = s.run_command(
+                        m.group(1), self.server.server_address[1])
+                except subprocess.TimeoutExpired as e:
+                    return self._json(
+                        504, {"message": f"command timed out after "
+                                         f"{e.timeout:g}s and was killed"})
+                except OSError as e:
+                    return self._json(400, {"message": str(e)})
                 return self._json(200, result)
             if p == "/sdrangel/profile":
                 # capture a JAX profiler trace of the running pipelines
@@ -612,7 +626,9 @@ class ApiHandler(BaseHTTPRequestHandler):
                 # reference has only QElapsedTimer micro-timing)
                 import jax as _jax
 
-                path = body.get("path", "/tmp/sdrangel_tpu_trace")
+                # confined like preset files (arbitrary server-side write
+                # primitive otherwise — Session.server_file_path docstring)
+                path = s.server_file_path(body.get("path", "trace"), "profile")
                 seconds = float(body.get("seconds", 2.0))
                 seconds = max(0.1, min(seconds, 30.0))
                 if not _PROFILE_LOCK.acquire(blocking=False):
@@ -784,16 +800,20 @@ class ApiHandler(BaseHTTPRequestHandler):
                     if body.get("fileName"):
                         from logging.handlers import RotatingFileHandler
 
+                        # confined (rotation RENAMES the target — an
+                        # unconfined path is a destructive primitive)
+                        log_path = s.server_file_path(
+                            body["fileName"], "logs")
                         fh = RotatingFileHandler(
-                            body["fileName"],
+                            log_path,
                             maxBytes=int(body.get("maxBytes", 10 << 20)),
                             backupCount=int(body.get("backupCount", 3)),
                         )
                         fh.setLevel(body.get("fileLevel", level))
                         logging.getLogger().addHandler(fh)
                         _LOG_FILE["handler"] = fh
-                        _LOG_FILE["name"] = body["fileName"]
-                        resp["fileName"] = body["fileName"]
+                        _LOG_FILE["name"] = log_path
+                        resp["fileName"] = log_path
                 return self._json(200, resp)
             return self._error(404, f"unknown path {p}")
         except (_BadRequest, ValueError) as e:

@@ -81,3 +81,8 @@ class BlockFifo:
     def fill(self) -> int:
         with self._lock:
             return len(self._q)
+
+    @property
+    def closed(self) -> bool:
+        with self._lock:
+            return self._closed

@@ -242,9 +242,12 @@ class DeviceSet:
             return
         self._stop.clear()
         self.error = ""
+        # running flips BEFORE the thread starts: a fast-failing worker's
+        # finally (running = False) must not be overwritten afterwards,
+        # which left dead sets stuck "running" and unrestartable
+        self.running = True
         self._thread = threading.Thread(target=self._work, daemon=True)
         self._thread.start()
-        self.running = True
 
     def stop(self) -> None:
         self._stop.set()
@@ -617,7 +620,8 @@ class DeviceSet:
                             state, read_block(pos_blocks), carry, offsets
                         )
                     audios = audio if isinstance(audio, tuple) else (audio,)
-                    self._publish_sharded(audios, chmap, wav_writers, net_sinks)
+                    self._publish_sharded(audios, chmap, wav_writers, net_sinks,
+                                          gen=gen)
                     # SpectrumVis tap: in-graph stateless frame, EMA here
                     frame = np.asarray(spec)
                     if src.spectrum_averaging == "moving" and \
@@ -648,11 +652,16 @@ class DeviceSet:
                     except Exception:
                         pass
 
-    def _publish_sharded(self, audios, chmap, wav_writers, net_sinks) -> None:
+    def _publish_sharded(self, audios, chmap, wav_writers, net_sinks,
+                         gen: int | None = None) -> None:
         """Publish one sharded block: only this process's addressable
         channel rows (audio is sharded over 'channel', replicated over
-        'time' — duplicate replicas dedup by row index)."""
+        'time' — duplicate replicas dedup by row index). `gen` guards
+        against a channel layout change since the block was computed
+        (see _publish_block)."""
         with self._lock:
+            if gen is not None and self._gen != gen:
+                return
             for g, audio in enumerate(audios):
                 rows: dict[int, np.ndarray] = {}
                 for shard in audio.addressable_shards:
@@ -736,6 +745,10 @@ class DeviceSet:
                 # most one block stale (settings still apply every block).
                 pending = None  # device outputs of the previous block
                 while not self._stop.is_set():
+                    if (self.source.run_blocks
+                            and self.blocks_processed >= self.source.run_blocks):
+                        self._stop.set()  # play-once complete (run_blocks)
+                        break
                     with self._lock:
                         if self._gen != gen:
                             break  # static change → rebuild between blocks
@@ -749,7 +762,8 @@ class DeviceSet:
                         recorder[1].write(np.asarray(raw))
                     state, outs = pipe._step(state, jnp.asarray(raw), dyn)
                     if pending is not None:
-                        self._publish_block(pending, wav_writers, net_sinks)
+                        self._publish_block(pending, wav_writers, net_sinks,
+                                            gen=gen)
                     pending = outs
                     dt = time.perf_counter() - t0
                     self.realtime_factor = block_seconds / max(dt, 1e-9)
@@ -757,7 +771,8 @@ class DeviceSet:
                     if self.source.throttle and dt < block_seconds:
                         time.sleep(block_seconds - dt)
                 if pending is not None:  # drain before rebuild/stop
-                    self._publish_block(pending, wav_writers, net_sinks)
+                    self._publish_block(pending, wav_writers, net_sinks,
+                                        gen=gen)
         except Exception as e:  # StError state (dspdevicesourceengine.h:28)
             self.error = f"{type(e).__name__}: {e}"
         finally:
@@ -781,9 +796,16 @@ class DeviceSet:
             if recorder is not None:
                 recorder[1].close()
 
-    def _publish_block(self, outs, wav_writers: dict, net_sinks: dict) -> None:
-        """Drain one block's device outputs into reports/buffers/sinks."""
+    def _publish_block(self, outs, wav_writers: dict, net_sinks: dict,
+                       gen: int | None = None) -> None:
+        """Drain one block's device outputs into reports/buffers/sinks.
+        `gen` is the settings generation the block was computed under:
+        if a structural change (channel add/remove) landed since, the
+        block's channel layout no longer matches self.channels — skip it
+        rather than publish to the wrong (or a missing) channel."""
         with self._lock:
+            if gen is not None and self._gen != gen:
+                return
             self.spectrum = np.asarray(outs["spectrum"])
             self.scope = np.asarray(outs["scope"])
             self.waterfall.append(self.spectrum)
@@ -967,9 +989,12 @@ class TxDeviceSet:
             return
         self._stop.clear()
         self.error = ""
+        # running flips BEFORE the thread starts: a fast-failing worker's
+        # finally (running = False) must not be overwritten afterwards,
+        # which left dead sets stuck "running" and unrestartable
+        self.running = True
         self._thread = threading.Thread(target=self._work, daemon=True)
         self._thread.start()
-        self.running = True
 
     def stop(self) -> None:
         self._stop.set()
@@ -1027,7 +1052,18 @@ class TxDeviceSet:
                         str(text), CWConfig(wpm=wpm, sample_rate=48000.0),
                         loop=True,
                     )
+                # strip the remaining session-level keys (audio egress etc):
+                # validate_settings accepts all of registry.SESSION_KEYS, so
+                # any of them may be present and none belong in the
+                # modulator config constructor
+                settings = {k: v for k, v in settings.items()
+                            if k not in registry.SESSION_KEYS}
                 specs.append(TxChannelSpec(ch.uri, ch.frequency_offset, settings))
+            if not specs:
+                raise ValueError(
+                    "Tx device set has no channels — add a modulator "
+                    "channel before starting"
+                )
             pipe = TxPipeline(device, specs, block_af=4096)
 
             def af(b, c, count):
@@ -1068,9 +1104,16 @@ class TxDeviceSet:
 
             def _drain():
                 while True:
-                    blk = fifo.get(timeout=5.0)
+                    blk = fifo.get(timeout=1.0)
                     if blk is None:
-                        return
+                        # None means timeout OR closed+drained; only the
+                        # latter ends the writer — a plain timeout (e.g.
+                        # the producer stuck in a long first-step compile)
+                        # must not kill it, or the producer deadlocks in
+                        # put() once the fifo fills
+                        if fifo.closed:
+                            return
+                        continue
                     writer.write(blk)
 
             drain_thread = threading.Thread(target=_drain, daemon=True)
@@ -1344,7 +1387,9 @@ class Session:
                         {
                             "uri": ch.uri,
                             "inputFrequencyOffset": ch.frequency_offset,
-                            "settings": ch.settings,
+                            # copy: storing the live dict by reference would
+                            # let later PATCHes silently mutate the preset
+                            "settings": dict(ch.settings),
                         }
                         for ch in ds.channels
                     ],
@@ -1389,6 +1434,28 @@ class Session:
         """instancePresetDelete (webapiadapterinterface.h preset URL table)."""
         del self.presets[f"{group}/{name}"]
         self._persist_presets()
+
+    def server_file_path(self, path: str, kind: str) -> str:
+        """Resolve a REST-supplied server-side path inside the confinement
+        directory for `kind` ("logs", "profile", ...) — the same threat
+        model as _preset_file_path: on an unauthenticated API an
+        unrestricted path is an arbitrary-file-write primitive. Base dir:
+        SDRANGEL_TPU_FILES_DIR env or ~/.sdrangel_tpu; relative paths land
+        in base/kind/, absolute paths must already be inside the base."""
+        import os
+
+        base = os.path.realpath(os.environ.get(
+            "SDRANGEL_TPU_FILES_DIR",
+            os.path.join(os.path.expanduser("~"), ".sdrangel_tpu")))
+        sub = os.path.join(base, kind)
+        os.makedirs(sub, exist_ok=True)
+        resolved = os.path.realpath(
+            path if os.path.isabs(path) else os.path.join(sub, path))
+        if resolved != base and not resolved.startswith(base + os.sep):
+            raise ValueError(
+                f"{kind} path must stay inside {base} (set "
+                f"SDRANGEL_TPU_FILES_DIR to relocate)")
+        return resolved
 
     def _preset_file_path(self, path: str) -> str:
         """Resolve a preset file path inside the presets directory.

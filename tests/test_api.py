@@ -635,11 +635,13 @@ def test_device_report(api):
     assert rep["realtimeFactor"] > 0.0
 
 
-def test_profile_endpoint(api, tmp_path):
+def test_profile_endpoint(api, tmp_path, monkeypatch):
     """POST /sdrangel/profile captures a JAX profiler trace while a device
-    set runs (the framework's tracing surface; SURVEY.md §5)."""
+    set runs (the framework's tracing surface; SURVEY.md §5). Paths are
+    confined to SDRANGEL_TPU_FILES_DIR (Session.server_file_path)."""
     import os
 
+    monkeypatch.setenv("SDRANGEL_TPU_FILES_DIR", str(tmp_path))
     base, _ = api
     _req(base, "/sdrangel/devicesets", "POST")
     _req(base, "/sdrangel/deviceset/0/device/settings", "PATCH",
@@ -964,15 +966,21 @@ def test_audio_prefs(api):
     assert code == 400
 
 
-def test_logging_idempotent_and_rotating(api, tmp_path):
+def test_logging_idempotent_and_rotating(api, tmp_path, monkeypatch):
     """Repeated PUT /sdrangel/logging reconfigures ONE file handler instead
     of stacking duplicates (r1 bug: every PUT added a FileHandler), and the
     handler rotates (loggerwithfile.h:37-44 semantics)."""
     import logging as _logging
 
     base, _ = api
+    monkeypatch.setenv("SDRANGEL_TPU_FILES_DIR", str(tmp_path))
     f1 = str(tmp_path / "a.log")
     f2 = str(tmp_path / "b.log")
+    # confinement: paths outside SDRANGEL_TPU_FILES_DIR refuse (the same
+    # threat model as preset files — rotation RENAMES the target)
+    code, _ = _req(base, "/sdrangel/logging", "PUT",
+                   {"consoleLevel": "INFO", "fileName": "/etc/hosts"})
+    assert code == 400
     root = _logging.getLogger()
     before = len(root.handlers)
     code, _ = _req(base, "/sdrangel/logging", "PUT",
@@ -1193,3 +1201,96 @@ def test_preset_store_tolerates_one_newer_entry(tmp_path):
     with open(path) as f:
         persisted = json.load(f)
     assert persisted["g/future"]["schema"] == PRESET_SCHEMA_VERSION + 7
+
+
+def test_run_blocks_respected_in_regular_mode():
+    """run_blocks ('play once') stops a REGULAR (non-sharded) set too —
+    it was previously honored only by the sharded path."""
+    import time as _time
+
+    from sdrangel_tpu.runtime.session import Session
+
+    s = Session()
+    ds = s.add_device_set()
+    ds.update_source({"kind": "testsource", "sample_rate": 192000.0,
+                      "modulation": "fm", "carrier_freq": 10000.0,
+                      "run_blocks": 3})
+    ds.add_channel("sdrangel.channel.nfmdemod",
+                   {"inputFrequencyOffset": 10000.0})
+    ds.start()
+    t0 = _time.time()
+    while ds.running and _time.time() - t0 < 60:
+        _time.sleep(0.05)
+    assert not ds.running and not ds.error, (ds.running, ds.error)
+    assert 3 <= ds.blocks_processed <= 4, ds.blocks_processed
+
+
+def test_fast_failing_start_is_restartable():
+    """A worker that dies immediately (missing file) must leave
+    running=False so a corrected configuration can start again."""
+    import time as _time
+
+    from sdrangel_tpu.runtime.session import Session
+
+    s = Session()
+    ds = s.add_device_set()
+    ds.update_source({"kind": "filesource", "file_path": "/nonexistent.sdriq"})
+    ds.add_channel("sdrangel.channel.nfmdemod")
+    ds.start()
+    t0 = _time.time()
+    while not ds.error and _time.time() - t0 < 30:
+        _time.sleep(0.02)
+    assert ds.error
+    _time.sleep(0.1)
+    assert not ds.running  # not stuck 'running' with a dead thread
+    # corrected config restarts fine
+    ds.update_source({"kind": "testsource", "sample_rate": 192000.0})
+    ds.error = ""
+    ds.start()
+    assert ds.running
+    ds.stop()
+
+
+def test_preset_not_mutated_by_later_patch():
+    """save_preset snapshots channel settings; later PATCHes must not
+    silently rewrite the saved preset (it stored the live dict)."""
+    from sdrangel_tpu.runtime.session import Session
+
+    s = Session()
+    ds = s.add_device_set()
+    ds.add_channel("sdrangel.channel.nfmdemod", {"volume": 1.0})
+    s.save_preset("g", "snap")
+    ds.update_channel(0, {"volume": 5.0})
+    saved = s.presets["g/snap"]["deviceSets"][0]["channels"][0]["settings"]
+    assert saved.get("volume") == 1.0, saved
+
+
+def test_tx_session_keys_stripped_and_empty_tx_refuses(api):
+    """Tx channels accepting session-level keys (audioUdp etc.) must not
+    crash the modulator config; a Tx set with no channels errors clearly."""
+    import time as _time
+
+    base, _ = api
+    _req(base, "/sdrangel/devicesets", "POST", {"direction": "tx"})
+    # find the tx set index
+    code, body = _req(base, "/sdrangel")
+    tx_idx = next(d["index"] for d in body["devicesetlist"]["deviceSets"]
+                  if d["direction"] == "tx")
+    # no channels: run errors with a clear message (not IndexError)
+    _req(base, f"/sdrangel/deviceset/{tx_idx}/device/run", "POST")
+    for _ in range(100):
+        code, rep = _req(base, f"/sdrangel/deviceset/{tx_idx}")
+        if rep.get("error"):
+            break
+        _time.sleep(0.05)
+    assert "no channels" in rep.get("error", ""), rep
+    _req(base, f"/sdrangel/deviceset/{tx_idx}/device/run", "DELETE")
+
+    # audioUdp (a SESSION_KEY) on a modulator: accepted and harmless
+    code, _ = _req(base, f"/sdrangel/deviceset/{tx_idx}/channel", "POST",
+                   {"channelType": "sdrangel.channeltx.modnfm",
+                    "audioUdp": "127.0.0.1:4242"})
+    assert code == 201
+    # Rx-only audio endpoint on a Tx set: clean 400, not a dropped socket
+    code, body = _req(base, f"/sdrangel/deviceset/{tx_idx}/channel/0/audio")
+    assert code == 400
