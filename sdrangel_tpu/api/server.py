@@ -93,8 +93,10 @@ class ApiHandler(BaseHTTPRequestHandler):
         token hardens non-local binds: --api-token / SDRANGEL_TPU_API_TOKEN."""
         if not self.auth_token:
             return True
+        import hmac
+
         got = self.headers.get("Authorization", "")
-        if got == f"Bearer {self.auth_token}":
+        if hmac.compare_digest(got, f"Bearer {self.auth_token}"):
             return True
         self._error(401, "missing or invalid bearer token")
         return False

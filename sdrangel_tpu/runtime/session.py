@@ -1377,6 +1377,14 @@ class Session:
             "schema": PRESET_SCHEMA_VERSION,
             "group": group,
             "name": name,
+            **self._snapshot(),
+        }
+        self._persist_presets()
+        return self.presets[key]
+
+    def _snapshot(self) -> dict:
+        """The instance state as a preset body (no store side effects)."""
+        return {
             "deviceSets": [
                 {
                     "direction": ds.direction,
@@ -1397,8 +1405,6 @@ class Session:
                 for ds in self.device_sets
             ],
         }
-        self._persist_presets()
-        return self.presets[key]
 
     def load_preset(self, group: str, name: str) -> None:
         preset = migrate_preset(self.presets[f"{group}/{name}"])
@@ -1505,10 +1511,8 @@ class Session:
     # as one document — the reference's instanceConfigGet/Put) ---------------
 
     def config_get(self) -> dict:
-        snap = self.save_preset("__config__", "current")
-        self.presets.pop("__config__/current", None)
-        self._persist_presets()
-        return {k: v for k, v in snap.items() if k not in ("group", "name")}
+        # pure snapshot — no transient preset-store key, no disk writes
+        return {"schema": PRESET_SCHEMA_VERSION, **self._snapshot()}
 
     def config_put(self, config: dict) -> None:
         if "deviceSets" not in config:
