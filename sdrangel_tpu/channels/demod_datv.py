@@ -115,7 +115,7 @@ def resolve_rotation(soft_i: np.ndarray, soft_q: np.ndarray, n_probe_packets: in
     for ri, rot in enumerate(_ROTATIONS):
         sr = s * rot
         soft = qpsk_to_soft_bits(np.real(sr), np.imag(sr))
-        bits = dvbs.viterbi_decode(soft)
+        bits = dvbs.viterbi_decode(soft, hard=False)
         byts = np.packbits(bits)
         # score on 0x47 ONLY: the rate-1/2 code is transparent to a 180°
         # rotation (both generators have odd weight), so the inverted
@@ -145,7 +145,7 @@ def recover_ts(
     probe = (dvbs.INTERLEAVER_DELAY + 4 * dvbs.RS_PACKET) * 8 * 2
 
     def _chain(bits_soft, n_cw):
-        bits = dvbs.viterbi_decode(bits_soft)
+        bits = dvbs.viterbi_decode(bits_soft, hard=False)
         de = dvbs.deinterleave(np.packbits(bits))[dvbs.INTERLEAVER_DELAY:]
         n_cw = min(len(de) // dvbs.RS_PACKET, n_cw)
         data, ok, corrected = [], 0, 0
@@ -173,8 +173,8 @@ def recover_ts(
         for pre in range(kpp if fec_rate != "1/2" else 1):
             sb = sb_raw[pre:]
             if fec_rate != "1/2":
-                sb = dvbs.depuncture(sb, fec_rate)
-            byts = np.packbits(dvbs.viterbi_decode(sb[: probe]))
+                sb = dvbs.depuncture(sb, fec_rate, hard=False)
+            byts = np.packbits(dvbs.viterbi_decode(sb[: probe], hard=False))
             sync47 = int((byts == dvbs.SYNC_BYTE).sum())
             candidates.append((sync47, ri, pre))
     candidates.sort(reverse=True)
@@ -186,7 +186,7 @@ def recover_ts(
         s_full = sc * _ROTATIONS[ri]
         soft_full = qpsk_to_soft_bits(np.real(s_full), np.imag(s_full))[pre:]
         if fec_rate != "1/2":
-            soft_full = dvbs.depuncture(soft_full, fec_rate)
+            soft_full = dvbs.depuncture(soft_full, fec_rate, hard=False)
         for bit_off in range(0, 64, 2):
             _, ok, _ = _chain(soft_full[bit_off : bit_off + probe], 3)
             if best is None or ok > best[0]:

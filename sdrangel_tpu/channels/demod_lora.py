@@ -61,16 +61,12 @@ class LoRaConfig:
 class LoRaState(NamedTuple):
     nco: nco.NCOState
     resamp: resampler.ResamplerState
-    frame_carry: jnp.ndarray  # partial symbol chips carried across blocks
-    carry_len: jnp.ndarray  # () int32 valid chips in frame_carry
 
 
 def make_state(cfg: LoRaConfig, batch_shape=()) -> LoRaState:
     return LoRaState(
         nco=nco.make_nco(batch_shape),
         resamp=resampler.init_state(cfg.resamp_plan, batch_shape),
-        frame_carry=jnp.zeros((*batch_shape, cfg.n_bins), jnp.complex64),
-        carry_len=jnp.zeros((), jnp.int32),
     )
 
 
@@ -81,13 +77,20 @@ class LoRaOutputs(NamedTuple):
 
 
 def process(state: LoRaState, x: jnp.ndarray, cfg: LoRaConfig) -> tuple[LoRaState, LoRaOutputs]:
-    """Chip-aligned demod: the block design keeps chips/block a multiple of
-    2^SF so frames stay aligned (the carry covers resampler transients)."""
+    """Chip-aligned demod. The registry's block_factor sizes blocks so
+    chips/block is an exact multiple of 2^SF — frames stay aligned across
+    blocks with no partial-symbol carry (a non-multiple block_in would
+    silently drop the remainder chips and desynchronize framing)."""
     inc = jnp.asarray(nco.freq_to_increment(-cfg.input_offset, cfg.channel_rate))
     nco_state, xm = nco.mix_block(state.nco, x, inc)
     resamp_state, chips = resampler.resample_block(state.resamp, xm, cfg.resamp_plan)
 
     n = cfg.n_bins
+    if chips.shape[-1] % n:
+        raise ValueError(
+            f"block yields {chips.shape[-1]} chips — not a multiple of "
+            f"2^SF={n}; dropped remainder chips would desynchronize "
+            f"symbol framing (size block_in via the registry block_factor)")
     f = chips.shape[-1] // n
     frames = chips[..., : f * n].reshape(*chips.shape[:-1], f, n)
     dechirped = frames * jnp.asarray(cfg.base_downchirp)
@@ -96,7 +99,7 @@ def process(state: LoRaState, x: jnp.ndarray, cfg: LoRaConfig) -> tuple[LoRaStat
     mags = jnp.max(spec, axis=-1)
     snr = mags / jnp.maximum(jnp.mean(spec, axis=-1), 1e-12)
 
-    new_state = LoRaState(nco_state, resamp_state, state.frame_carry, state.carry_len)
+    new_state = LoRaState(nco_state, resamp_state)
     return new_state, LoRaOutputs(symbols, mags.astype(jnp.float32), snr.astype(jnp.float32))
 
 

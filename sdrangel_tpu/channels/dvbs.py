@@ -59,14 +59,18 @@ def _branch_tables():
 _NXT, _OUTS = _branch_tables()
 
 
-def viterbi_decode(soft: np.ndarray) -> np.ndarray:
+def viterbi_decode(soft: np.ndarray, hard: bool | None = None) -> np.ndarray:
     """Rate-1/2 Viterbi with full traceback.
 
     soft: (2T,) float in [-1, 1] (soft bit likelihoods, +1 = bit 1) or
-    hard 0/1. Returns (T,) decoded bits. Vectorized over the 64 states; the
-    time loop is host NumPy (transport-layer rates)."""
+    hard 0/1. `hard` says which explicitly; None falls back to a heuristic
+    that can misread an all-non-negative soft block as hard bits — pass it
+    when you know. Returns (T,) decoded bits. Vectorized over the 64
+    states; the time loop is host NumPy (transport-layer rates)."""
     soft = np.asarray(soft, dtype=np.float64)
-    if soft.max() > 1.0 or soft.min() >= 0.0:  # hard bits -> bipolar
+    if hard is None:
+        hard = bool(soft.max() > 1.0 or soft.min() >= 0.0)
+    if hard:  # hard bits -> bipolar
         soft = soft * 2.0 - 1.0
     t = len(soft) // 2
     pairs = soft[: 2 * t].reshape(t, 2)
@@ -130,16 +134,19 @@ def puncture(coded: np.ndarray, rate: str) -> np.ndarray:
     return np.asarray(keep, dtype=coded.dtype)
 
 
-def depuncture(received: np.ndarray, rate: str) -> np.ndarray:
+def depuncture(received: np.ndarray, rate: str,
+               hard: bool | None = None) -> np.ndarray:
     """Re-insert erasures (soft 0) at the punctured positions so the plain
-    rate-1/2 Viterbi decodes any DVB rate."""
+    rate-1/2 Viterbi decodes any DVB rate. `hard` as in viterbi_decode."""
     px, py = PUNCTURE[rate]
     period = len(px)
     kept_per_period = sum(px) + sum(py)
     n_periods = len(received) // kept_per_period
     out = np.zeros(2 * period * n_periods, dtype=np.float64)
     r = np.asarray(received, dtype=np.float64)
-    if r.min() >= 0.0 and r.max() <= 1.0:
+    if hard is None:
+        hard = bool(r.min() >= 0.0 and r.max() <= 1.0)
+    if hard:
         r = r * 2.0 - 1.0
     src = 0
     for p_i in range(n_periods):
@@ -332,7 +339,11 @@ def rs_decode(codeword: np.ndarray) -> tuple[np.ndarray, int]:
 # ---------------------------------------------------------------------------
 
 def _prbs_bytes(n: int) -> np.ndarray:
-    reg = 0b100101010000000
+    """EN 300 421 §4.4 PRBS (1 + x^14 + x^15), init '100101010000000'
+    loaded s1..s15: output bit = s14 ^ s15, shifted back into s1. The
+    sequence starts 0000 0011 ... — first output byte 0x03 (the spec's
+    published start)."""
+    reg = 0b000000010101001  # s1 in bit 0 .. s15 in bit 14
     out = np.empty(n, dtype=np.uint8)
     for i in range(n):
         byte = 0
@@ -344,7 +355,13 @@ def _prbs_bytes(n: int) -> np.ndarray:
     return out
 
 
-_PRBS_GROUP = _prbs_bytes(8 * TS_PACKET)
+#: XOR table over an 8-packet group: the FIRST PRBS byte applies to the
+#: first byte AFTER the inverted sync (EN 300 421 §4.4: group offset g>=1
+#: gets PRBS[g-1]); at subsequent sync positions the PRBS keeps running
+#: but its output is disabled.
+_PRBS_XOR = np.zeros(8 * TS_PACKET, np.uint8)
+_PRBS_XOR[1:] = _prbs_bytes(8 * TS_PACKET - 1)
+_PRBS_XOR[:: TS_PACKET] = 0
 
 
 def scramble(packets: np.ndarray) -> np.ndarray:
@@ -353,9 +370,7 @@ def scramble(packets: np.ndarray) -> np.ndarray:
     pk = packets.reshape(-1, TS_PACKET).copy()
     for g in range(0, len(pk), 8):
         group = pk[g : g + 8]
-        prbs = _PRBS_GROUP[: group.size].reshape(group.shape).copy()
-        prbs[:, 0] = 0  # sync bytes not scrambled
-        group ^= prbs
+        group ^= _PRBS_XOR[: group.size].reshape(group.shape)
         group[0, 0] = 0xB8 if group[0, 0] == SYNC_BYTE else group[0, 0]
     return pk.reshape(-1)
 

@@ -121,8 +121,11 @@ def process(
         scalar = jnp.real(filt) + jnp.imag(filt)  # udpsrc.cpp USB/LSB sum
         iq_out = filt
     elif cfg.fmt == "nfm":
+        # fs/(2*dev): discriminator_delta works in units of pi, so full
+        # deviation maps to ±1.0 — the same convention as demod_nfm (the
+        # reference's 2*pi constant belongs to its atan2-based discri)
         discri_state, demod, _ = phasediscri.discriminator_delta(
-            state.discri, ci, cfg.output_sample_rate / (2.0 * np.pi * cfg.fm_deviation)
+            state.discri, ci, cfg.output_sample_rate / (2.0 * cfg.fm_deviation)
         )
         scalar = jnp.where(gate, demod, 0.0)
         iq_out = ci

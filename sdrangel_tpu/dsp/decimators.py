@@ -472,6 +472,7 @@ def decimate_flat_iq(
         window_strides=(1,),
         padding="VALID",
         dimension_numbers=("NWC", "WIO", "NWC"),
+        precision=_CONV_PRECISION,  # same fidelity policy as every other conv
     )  # (N, T/2^k, 2)
     y = out.reshape(*batch_shape, out.shape[-2], 2)
     return FlatIqState(ext[..., x_iq.shape[-2] :, :]), y

@@ -62,10 +62,20 @@ def power_spectrum(
     x: (..., T) complex64, T a multiple of fft_size. Returns (state',
     spectrum (..., fft_size) f32) — the latest frame's display values with
     the selected averaging, buckets reordered negative-first
-    (spectrumvis.cpp:137-146).
+    (spectrumvis.cpp:137-146). With cfg.overlap set, frames advance by
+    fft_size - overlap samples (SpectrumVis's refill semantics) — more
+    frames per block, overlapping windows.
     """
     n = cfg.fft_size
-    frames = x[..., : (x.shape[-1] // n) * n].reshape(*x.shape[:-1], -1, n)
+    if cfg.overlap:
+        if not 0 < cfg.overlap < n:
+            raise ValueError(f"overlap must be in (0, fft_size); got {cfg.overlap}")
+        hop = n - cfg.overlap
+        n_frames = (x.shape[-1] - n) // hop + 1
+        idx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(n)[None, :]
+        frames = x[..., idx]
+    else:
+        frames = x[..., : (x.shape[-1] // n) * n].reshape(*x.shape[:-1], -1, n)
     w = jnp.asarray(cfg.win)
     spec = jnp.fft.fft(frames * w, axis=-1)
     p = (jnp.real(spec) ** 2 + jnp.imag(spec) ** 2).astype(jnp.float32)

@@ -127,9 +127,13 @@ class SuperframeAssembler:
         # bound decoder slots (jitter window) on INGEST: frames that never
         # reach DATA_BLOCKS (heavy loss) must still decide as failed here,
         # or the link-quality feedback would stay silent exactly when the
-        # link is at its worst
+        # link is at its worst. Eviction order is INSERTION order (dict),
+        # not frame-index sort — wrap-safe at 2^32, and never evicts the
+        # frame the current datagram may be about to complete.
         if len(self.slots) > 8:
-            for old in sorted(self.slots)[:-4]:
+            for old in list(self.slots)[:-4]:
+                if old == fi:
+                    continue
                 self._account(self.slots[old],
                               self._slot_nfec.get(old, 0), ok=False)
                 self.stats.frames_failed += 1
@@ -228,7 +232,8 @@ class DaemonSender:
         )
         for g in grams:
             self._sock.sendto(g, self.addr)
-        self.frame_index += 1
+        # '<I' wire field: a continuous stream wraps after ~65 days
+        self.frame_index = (self.frame_index + 1) & 0xFFFFFFFF
         return len(grams)
 
     def close(self):

@@ -268,12 +268,17 @@ class RtpAudioReceiver:
                 if seq < self.max_seq:
                     self.cycles += 1 << 16
                 self.max_seq = seq
-        # interarrival jitter in timestamp units (A.8): J += (|D| - J)/16
-        arrival = _time.monotonic() * self.clock_rate
-        transit = arrival - info["timestamp"]
+        # interarrival jitter in timestamp units (A.8): J += (|D| - J)/16.
+        # Transit differences are taken mod 2^32 (RFC 3550 uses 32-bit
+        # modular arithmetic precisely so the RTP timestamp wrap — ~24.8 h
+        # at 48 kHz — doesn't inject a 2^32 jump into the EMA).
+        arrival = int(_time.monotonic() * self.clock_rate) & 0xFFFFFFFF
+        transit = (arrival - info["timestamp"]) & 0xFFFFFFFF
         if self._last_transit is not None:
-            d = abs(transit - self._last_transit)
-            self.jitter += (d - self.jitter) / 16.0
+            d = (transit - self._last_transit) & 0xFFFFFFFF
+            if d >= 1 << 31:
+                d -= 1 << 32
+            self.jitter += (abs(d) - self.jitter) / 16.0
         self._last_transit = transit
         return info, pcm
 

@@ -69,8 +69,18 @@ def read_block(mm: np.ndarray, start: int, count: int, wrap: bool = True) -> np.
     n = mm.shape[0]
     if not wrap and start + count > n:
         raise EOFError
-    idx = (start + np.arange(count)) % n
-    return mm[idx]
+    start %= n
+    if start + count <= n:  # hot path: one straight memcpy, no index array
+        return np.asarray(mm[start : start + count])
+    # wrap seam (or count > file): piecewise slices, still no gather
+    parts = []
+    pos, left = start, count
+    while left:
+        take = min(left, n - pos)
+        parts.append(mm[pos : pos + take])
+        left -= take
+        pos = (pos + take) % n
+    return np.concatenate(parts, axis=0)
 
 
 def to_complex64(block: np.ndarray, sample_size: int = 16) -> np.ndarray:

@@ -125,3 +125,26 @@ def test_recover_ts_rates_and_rotations():
                 for g in got
             )
             assert match == len(got) > 10, (rate, r, match, len(got))
+
+
+def test_energy_dispersal_spec_vectors():
+    """EN 300 421 §4.4: PRBS (1+x^14+x^15, init 100101010000000) output
+    starts 0x03 0xF6 ... and the FIRST PRBS byte applies to the first byte
+    AFTER the inverted sync; sync positions are gated (PRBS keeps running,
+    output disabled)."""
+    from sdrangel_tpu.channels.dvbs import (
+        _PRBS_XOR, _prbs_bytes, TS_PACKET, scramble)
+
+    seq = _prbs_bytes(4)
+    assert list(seq) == [0x03, 0xF6, 0x08, 0x34]
+    assert _PRBS_XOR[0] == 0 and _PRBS_XOR[1] == 0x03
+    assert all(_PRBS_XOR[k * TS_PACKET] == 0 for k in range(8))
+    # gating consumes the PRBS byte: offset 189 gets seq[188], not seq[187]
+    assert _PRBS_XOR[TS_PACKET + 1] == _prbs_bytes(TS_PACKET + 1)[TS_PACKET]
+
+    pk = np.zeros(8 * TS_PACKET, np.uint8)
+    pk[::TS_PACKET] = 0x47
+    out = scramble(pk)
+    assert out[0] == 0xB8               # inverted first sync
+    assert out[1] == 0x03               # first data byte ^ PRBS[0]
+    assert all(out[k * TS_PACKET] == 0x47 for k in range(1, 8))

@@ -54,3 +54,34 @@ def test_linear_mode_unit_tone():
     _, spec = spectrum.power_spectrum(st, jnp.asarray(x), cfg)
     # |X[k]|^2 / N^2 = amp^2 at the tone bin for a rectangular window
     assert abs(float(np.asarray(spec).max()) - 1.0) < 0.05
+
+
+def test_overlap_frames():
+    """cfg.overlap advances frames by fft_size - overlap (SpectrumVis
+    refill semantics) — previously accepted but ignored."""
+    import jax
+
+    from sdrangel_tpu.dsp import spectrum as sp
+
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal(4096) + 1j * rng.standard_normal(4096)).astype(
+        np.complex64)
+    # averaging over MORE frames with 50% overlap: compare fixed-average
+    # counts by inspecting the state's frame count after one block
+    cfg0 = sp.SpectrumConfig(fft_size=1024, averaging_mode="fixed",
+                             averaging_n=1 << 30)
+    cfg1 = sp.SpectrumConfig(fft_size=1024, averaging_mode="fixed",
+                             averaging_n=1 << 30, overlap=512)
+    run0 = jax.jit(lambda s, xx: sp.power_spectrum(s, xx, cfg0))
+    run1 = jax.jit(lambda s, xx: sp.power_spectrum(s, xx, cfg1))
+    s0, _ = run0(sp.make_state(cfg0), jnp.asarray(x))
+    s1, _ = run1(sp.make_state(cfg1), jnp.asarray(x))
+    assert int(s0.avg_count) == 4      # 4096/1024 disjoint frames
+    assert int(s1.avg_count) == 7      # (4096-1024)/512 + 1 overlapped
+
+    # a tone's bin is identical either way (windowed FFT per frame)
+    t = np.arange(4096)
+    tone = np.exp(2j * np.pi * 0.125 * t).astype(np.complex64)
+    _, v0 = run0(sp.make_state(cfg0), jnp.asarray(tone))
+    _, v1 = run1(sp.make_state(cfg1), jnp.asarray(tone))
+    assert np.argmax(np.asarray(v0)) == np.argmax(np.asarray(v1))
