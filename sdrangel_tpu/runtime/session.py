@@ -74,6 +74,7 @@ class SourceSettings:
     spectrum_fft_size: int = 1024
     spectrum_averaging: str = "moving"  # none | moving | fixed
     spectrum_averaging_n: int = 8
+    spectrum_overlap: int = 0  # frames advance by fft_size - overlap
     # Rx IQ record: non-empty -> the running device stream is recorded to
     # this .sdriq path (the FileRecord direct-sink role, filerecord.h:17-23)
     record_file: str = ""
@@ -294,6 +295,7 @@ class DeviceSet:
                 fft_size=int(src.spectrum_fft_size),
                 averaging_mode=src.spectrum_averaging,
                 averaging_n=int(src.spectrum_averaging_n),
+                overlap=int(src.spectrum_overlap),
             ),
         )
         if src.kind == "daemonsource":
