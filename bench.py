@@ -54,15 +54,19 @@ def main() -> int:
 
     ap = argparse.ArgumentParser(description="sdrangel_tpu bench (sdrangelbench role)")
     ap.add_argument("-t", "--test", default="chain",
-                    choices=["chain", "chainpfb", "decimateii", "decimateinfii",
-                             "decimatesupii", "decimateif", "decimatefi",
-                             "decimateff"],
+                    choices=["chain", "chainpfb", "chain64", "decimateii",
+                             "decimateinfii", "decimatesupii", "decimateif",
+                             "decimatefi", "decimateff"],
                     help="chain = decimate + per-channel channelizer + NFM16; "
                          "chainpfb = same workload with the polyphase DFT "
                          "filter bank replacing the per-channel HB trees "
-                         "(dsp/pfb.py); decimate* = cascade only: ii/infii/"
-                         "supii are the int16->int16 placements, if/fi/ff "
-                         "the float-path dtype matrix (mainbench.cpp:112-191)")
+                         "(dsp/pfb.py); chain64 = the 64-channel flagship: "
+                         "/4 cascade then one PFB-64 pass feeding 64 NFM "
+                         "demods at 48 kHz each (a per-channel tree bank "
+                         "at this count fails to even compile); decimate* "
+                         "= cascade only: ii/infii/supii are the int16->"
+                         "int16 placements, if/fi/ff the float-path dtype "
+                         "matrix (mainbench.cpp:112-191)")
     ap.add_argument("-n", "--nb-samples", type=int, default=0,
                     help="device samples per step (default: 2^SDRANGEL_BENCH_LOG2BLOCK)")
     ap.add_argument("-r", "--repeat", type=int, default=30, help="steps per pass")
@@ -86,11 +90,21 @@ def main() -> int:
     # 2^24 default: repeated A/B vs 2^23 post-dispatch-fix measured
     # 138-233 vs ~118 GS/s (bigger blocks amortize the ~30 µs/step
     # dispatch floor); 2^25 showed no further gain
-    block = args.nb_samples or (1 << int(os.environ.get("SDRANGEL_BENCH_LOG2BLOCK", "24")))
+    # chain64 keeps 16x more baseband after its /4 cascade: 2^24 device
+    # samples made the 64-channel graph compile past the tunnel's patience;
+    # 2^22 compiles in ~2 min and measured 39.8 GS/s (vs_baseline 716)
+    default_log2block = "22" if args.test == "chain64" else "24"
+    block = args.nb_samples or (
+        1 << int(os.environ.get("SDRANGEL_BENCH_LOG2BLOCK", default_log2block)))
     assert block % (4 << log2) == 0, "nb-samples must be a multiple of 4*2^l"
     fc_pos = {"decimateinfii": "inf", "decimatesupii": "sup"}.get(args.test, "cen")
-    decim_only = args.test not in ("chain", "chainpfb")
-    use_pfb = args.test == "chainpfb"
+    decim_only = args.test not in ("chain", "chainpfb", "chain64")
+    use_pfb = args.test in ("chainpfb", "chain64")
+    if args.test == "chain64":
+        # flagship wideband bank: light device cascade (/4), the PFB pulls
+        # ALL 64 x 48 kHz channels from the 3.072 MHz baseband in one pass
+        log2 = 2
+        n_channels = 64
     float_in = args.test in ("decimatefi", "decimateff")
     float_out = args.test in ("decimateif", "decimateff")
     device_rate = 12_288_000.0
@@ -111,17 +125,22 @@ def main() -> int:
         # chainpfb: same 16-demod workload on the M=4 uniform grid — the
         # polyphase DFT bank (dsp/pfb.py) replaces the per-channel HB
         # trees; channel rate (bb/4) and demod cost match `chain`, the
-        # NCO absorbs the same four distinct jitters per channel
+        # NCO absorbs distinct jitters per demod.
+        # chain64: M=64 — ONE analysis pass pulls all 64 x 48 kHz channels
+        # from the 3.072 MHz baseband, one NFM demod per grid channel.
         from sdrangel_tpu.dsp import pfb as pfbmod
 
-        grid = baseband_rate / 4.0
-        jitters = (-0.18 * leaf, -0.06 * leaf, 0.06 * leaf, 0.18 * leaf)
-        offsets = np.array([c * grid + j
-                            for c in (0, 1, 2, 3) for j in jitters])
-        residual = np.asarray(
-            [j for _ in range(4) for j in jitters], np.float32)
+        pfb_m = 64 if args.test == "chain64" else 4
+        pfb_reps = n_channels // pfb_m  # demods per grid channel
+        grid = baseband_rate / pfb_m
+        if pfb_reps > 1:  # chainpfb: the chain's 4 distinct jitters per leaf
+            jitters = (-0.18 * leaf, -0.06 * leaf, 0.06 * leaf, 0.18 * leaf)
+            residual = np.asarray(
+                [jitters[i % pfb_reps] for i in range(n_channels)], np.float32)
+        else:  # chain64: one demod per grid channel, distinct small jitters
+            residual = np.linspace(-4000.0, 4000.0, n_channels).astype(np.float32)
         chan_rate = grid
-        n_stages = 2  # rate-equivalent depth (bb -> bb/4), for the label
+        n_stages = int(np.log2(pfb_m))  # rate-equivalent depth, for the label
         signs = None
     else:
         offsets = np.array([
@@ -172,10 +191,10 @@ def main() -> int:
                 y = jnp.clip(jnp.round(y * 32768.0), -32768, 32767).astype(jnp.int16)
             return casc, cstate, dstate, y
         if use_pfb:
-            # one polyphase DFT bank pass extracts all 4 grid channels;
-            # each feeds 4 demods with distinct NCO jitters
-            cstate, yall = pfbmod.analyze(cstate, bb, 4)  # (F, 4)
-            y = jnp.repeat(yall.T, 4, axis=0)  # (16, F)
+            # one polyphase DFT bank pass extracts all grid channels
+            cstate, yall = pfbmod.analyze(cstate, bb, pfb_m)  # (F, M)
+            y = (jnp.repeat(yall.T, pfb_reps, axis=0)
+                 if pfb_reps > 1 else yall.T)  # (n_channels, F)
         else:
             # dedup by stage path: identical sign paths share one cascade
             # run (the reference's per-channel trees share every prefix)
@@ -196,7 +215,7 @@ def main() -> int:
     # some TPU runtimes (see .claude/skills/verify/SKILL.md)
     casc = jax.jit(lambda: dec.init_flat_state(log2) if flat else dec.init_state(log2))()
     if use_pfb:
-        cstate = jax.jit(lambda: pfbmod.make_state(4))()
+        cstate = jax.jit(lambda: pfbmod.make_state(pfb_m))()
     else:
         cstate = jax.jit(
             lambda: chanmod.init_state(
@@ -231,7 +250,8 @@ def main() -> int:
         json.dumps(
             {
                 "metric": (
-                    "decimate64+pfb4x4offsets+NFM16 input throughput per chip"
+                    f"decimate{1 << log2}+pfb{pfb_m}+NFM{n_channels} "
+                    "input throughput per chip"
                     if use_pfb else
                     f"decimate64+channelizer({n_stages}HBx16ch,distinct offsets)"
                     "+NFM16 input throughput per chip"
