@@ -115,6 +115,15 @@ class ShardedPipelineConfig:
     #: rebuild) and absorbs the residual on its NCO. Channel rate becomes
     #: baseband_rate / pfb_m. Mutually exclusive with chan_stages.
     pfb_m: int = 0
+    #: Ulysses-style axis swap (SURVEY §5): instead of all_gathering the
+    #: full baseband to every device, each time-shard runs the PFB on its
+    #: OWN baseband segment (with a (P-1)·M halo via the same ppermute
+    #: ring) and a lax.all_to_all trades the frame axis for the channel
+    #: axis — each device receives all frames of ITS grid channels only.
+    #: ICI traffic drops n_time-fold vs the all_gather. Requires a single
+    #: bank group with count == pfb_m and the identity channel↔grid
+    #: mapping (demod i owns grid channel i); residual offsets stay traced.
+    pfb_all_to_all: bool = False
     block: int = 1 << 20  # device-rate samples per step (global)
     bank: tuple[BankGroup, ...] | None = None  # heterogeneous bank override
     #: split the demod bank over BOTH mesh axes (time × channel) instead of
@@ -188,6 +197,20 @@ class ShardedPipelineConfig:
 
 
 def _validate_bank(cfg: ShardedPipelineConfig) -> None:
+    if cfg.pfb_all_to_all:
+        if not cfg.pfb_m:
+            raise ValueError("pfb_all_to_all requires pfb_m")
+        if len(cfg.groups) != 1 or cfg.groups[0].count != cfg.pfb_m:
+            raise ValueError(
+                "pfb_all_to_all needs a single bank group with count == "
+                "pfb_m (demod i owns grid channel i)")
+        full = cfg.n_time * cfg.n_channel
+        if cfg.pfb_m % full:
+            raise ValueError(
+                f"pfb_m={cfg.pfb_m} must divide over the mesh "
+                f"(n_time*n_channel={full})")
+        if cfg.channel_split != full:
+            raise ValueError("pfb_all_to_all splits channels over BOTH axes")
     for g in cfg.groups:
         kind = REGISTRY.get(g.uri)
         if kind is None:
@@ -214,6 +237,108 @@ def grid_split(cfg: ShardedPipelineConfig, offsets: np.ndarray):
     return (idx % cfg.pfb_m).astype(np.int32), residual
 
 
+def _pfb_with_halo(bb_ext: jnp.ndarray, m: int, p: int) -> jnp.ndarray:
+    """Zero-state PFB analysis over [(P-1)·M halo | local]; drops the
+    halo-driven head frames so outputs equal the streaming analysis
+    restricted to the local frame range (same trick as
+    _cascade_with_halo)."""
+    state = pfbmod.make_state(m, p, batch_shape=bb_ext.shape[:-1])
+    _, y = pfbmod.analyze(state, bb_ext, m)
+    return y[..., p - 1:, :]
+
+
+def build_a2a_step(cfg: ShardedPipelineConfig, mesh: Mesh):
+    """The pfb_all_to_all gear: time-sharded decimation + time-sharded PFB
+    analysis (both with ppermute halos) + lax.all_to_all trading frames for
+    channels — the Ulysses axis swap. step(state, x, carry, residuals) ->
+    (state', audio, carry'); carry = (cascade tail (2,H), pfb tail (2,P-1·M)).
+
+    residuals: (M,) Hz, sharded over BOTH mesh axes in grid order (device
+    (t,c) owns grid channels [(t·n_channel+c)·sz, +sz), sz = M/(nt·nc) —
+    exactly the slice the all_to_all hands it)."""
+    _validate_bank(cfg)
+    halo = halo_samples(cfg.log2_decim)
+    n_time, n_channel = cfg.n_time, cfg.n_channel
+    m = cfg.pfb_m
+    p_taps = 8  # prototype taps/branch (pfbmod.prototype default)
+    ph = (p_taps - 1) * m  # baseband-rate PFB halo
+    kind = REGISTRY[cfg.groups[0].uri]
+    gcfg = cfg.demod_cfgs[0]
+    sz = m // (n_time * n_channel)
+
+    def local_step(state, x_local, carry, residuals):
+        casc_carry, pfb_carry = carry
+        xc = (x_local.astype(jnp.float32) / 32768.0)
+        xc = (xc[..., 0] + 1j * xc[..., 1]).astype(jnp.complex64)
+
+        t_idx = jax.lax.axis_index("time")
+        perm = [(i, (i + 1) % n_time) for i in range(n_time)]
+
+        def ring_halo(sig, h, host_carry):
+            """ppermute the tail; shard 0 swaps the ring wrap for the
+            host-fed carry and the wrap becomes the next block's carry."""
+            tail = sig[-h:]
+            recv = jax.lax.ppermute(tail, "time", perm)
+            carry_c = (host_carry[0] + 1j * host_carry[1]).astype(jnp.complex64)
+            left = jnp.where(t_idx == 0, carry_c, recv)
+            new_carry_c = jax.lax.psum(
+                jnp.where(t_idx == 0, recv, jnp.zeros_like(recv)), "time")
+            new_carry = jnp.stack(
+                [jnp.real(new_carry_c), jnp.imag(new_carry_c)])
+            return jnp.concatenate([left, sig]), new_carry
+
+        if halo:
+            ext, new_casc = ring_halo(xc, halo, casc_carry)
+            bb_local = _cascade_with_halo(ext, cfg.log2_decim, cfg.fc_pos, halo)
+        else:
+            bb_local, new_casc = xc, casc_carry
+
+        # PFB over the LOCAL baseband segment with its own halo ring
+        bb_ext, new_pfb = ring_halo(bb_local, ph, pfb_carry)
+        y_local = _pfb_with_halo(bb_ext, m, p_taps)  # (F_local, M)
+
+        # the axis swap: frames for channels — each device receives all
+        # frames of its M/n_time channel chunk (n_time x less ICI than
+        # all_gathering the full baseband)
+        y_t = jax.lax.all_to_all(
+            y_local, "time", split_axis=1, concat_axis=0, tiled=True
+        )  # (F_total, M/n_time)
+        c_idx = jax.lax.axis_index("channel")
+        mine = jax.lax.dynamic_slice_in_dim(
+            y_t, c_idx * sz, sz, axis=1)  # (F_total, sz)
+        xb = jnp.moveaxis(mine, -1, 0)  # (sz, F_total)
+
+        cstate, dstate = state[0]
+        dstate, audio = kind.process(dstate, xb, gcfg, offset_hz=residuals)
+        return ((cstate, dstate),), (audio,), (new_casc, new_pfb)
+
+    chan_axes = ("time", "channel")
+    state_specs = jax.tree.map(lambda _: P(chan_axes), _group_state_structure(cfg))
+    carry_specs = (P(), P())
+    jit_step = jax.jit(
+        jax.shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(state_specs, P("time"), carry_specs, P(chan_axes)),
+            out_specs=(state_specs, (P(chan_axes),), carry_specs),
+            check_vma=False,
+        )
+    )
+
+    def step(state, x, carry, residuals):
+        state, audio, carry = jit_step(state, x, carry, residuals)
+        return state, audio[0], carry
+
+    def init_fn():
+        def impl():
+            return (_group_state_structure(cfg),
+                    (jnp.zeros((2, max(halo, 1)), jnp.float32),
+                     jnp.zeros((2, ph), jnp.float32)))
+        return jax.jit(impl)()
+
+    return step, init_fn
+
+
 def build_sharded_step(cfg: ShardedPipelineConfig, mesh: Mesh):
     """Returns (step, init_fn). step(state, x, carry, offsets[, pfb_idx])
     -> (state', audio, new_carry); everything is shard_map'ed over the mesh.
@@ -228,7 +353,11 @@ def build_sharded_step(cfg: ShardedPipelineConfig, mesh: Mesh):
     sharded like offsets — see grid_split) and give the demods the residual
     offsets; the step runs ONE polyphase DFT bank over the gathered
     baseband and each demod gathers its grid channel by traced index.
+    With cfg.pfb_all_to_all, dispatches to build_a2a_step (its step takes
+    (state, x, (casc_carry, pfb_carry), residuals)).
     """
+    if cfg.pfb_all_to_all:
+        return build_a2a_step(cfg, mesh)
     _validate_bank(cfg)
     halo = halo_samples(cfg.log2_decim)
     n_time = cfg.n_time

@@ -436,3 +436,53 @@ def test_sharded_pfb_matches_single_device(devices):
         np.testing.assert_allclose(
             np.asarray(am), np.asarray(as_), atol=2e-5,
             err_msg=f"block {b}")
+
+
+def test_pfb_all_to_all_matches_all_gather_gear(devices):
+    """The Ulysses axis swap (pfb_all_to_all: time-sharded PFB + frames-for-
+    channels all_to_all) equals the all_gather PFB gear over multiple blocks
+    — both halos (cascade + PFB) seam-exact."""
+    kw = dict(log2_decim=3, block=1 << 15, pfb_m=8)
+    cfg_a2a = sharded.ShardedPipelineConfig(
+        n_time=2, n_channel=2, n_channels=8, pfb_all_to_all=True, **kw)
+    cfg_ref = sharded.ShardedPipelineConfig(
+        n_time=2, n_channel=2, n_channels=8, **kw)
+    mesh = sharded.make_mesh(2, 2, devices)
+    step_a, init_a = sharded.build_sharded_step(cfg_a2a, mesh)
+    step_r, init_r = sharded.build_sharded_step(cfg_ref, mesh)
+
+    src = testsource.TestSourceConfig(
+        sample_rate=cfg_a2a.device_rate, carrier_freq=390_000.0,
+        modulation="fm", tone_freq=700.0, fm_deviation=4000.0, amplitude=0.4,
+    )
+    iq = testsource.generate(src, cfg_a2a.block * 3)
+    # identity mapping: demod i owns grid channel i; residuals by grid
+    idx = np.arange(8, dtype=np.int32)
+    spacing = cfg_a2a.baseband_rate / 8
+    residual = (390_000.0 - np.round(390_000.0 / spacing) * spacing
+                ) * np.ones(8, np.float32)
+
+    sa, ca = init_a()
+    sr, cr = init_r()
+    for b in range(3):
+        raw = _to_int16(iq[b * cfg_a2a.block : (b + 1) * cfg_a2a.block])
+        sa, aa, ca = step_a(sa, jnp.asarray(raw), ca, jnp.asarray(residual))
+        sr, ar, cr = step_r(sr, jnp.asarray(raw), cr,
+                            jnp.asarray(residual), jnp.asarray(idx))
+        np.testing.assert_allclose(
+            np.asarray(aa), np.asarray(ar), atol=2e-5, err_msg=f"block {b}")
+
+
+def test_pfb_all_to_all_validation(devices):
+    import pytest
+
+    with pytest.raises(ValueError, match="single bank group"):
+        cfg = sharded.ShardedPipelineConfig(
+            n_time=2, n_channel=2, pfb_m=8, pfb_all_to_all=True,
+            bank=(sharded.BankGroup(sharded.NFM_URI, 4),
+                  sharded.BankGroup("sdrangel.channel.amdemod", 4)))
+        sharded.build_sharded_step(cfg, sharded.make_mesh(2, 2, devices))
+    with pytest.raises(ValueError, match="pfb_m"):
+        cfg = sharded.ShardedPipelineConfig(
+            n_time=2, n_channel=2, pfb_all_to_all=True, n_channels=8)
+        sharded.build_sharded_step(cfg, sharded.make_mesh(2, 2, devices))
