@@ -134,14 +134,24 @@ def test_session_sharded_testsource_and_live_offset(devices):
             ds.update_channel(c, {"inputFrequencyOffset": -40_000.0})
         base = ds.blocks_processed
         _wait_blocks(ds, base + 3)
-        ds.drain_audio(0)
-        _wait_blocks(ds, base + 5)
-        off_tune = np.abs(ds.drain_audio(0))
+        ds.drain_audio(0)  # discard the pre/mid-retune blocks
+        # accumulate post-retune audio until non-trivial (a fast pipeline
+        # can satisfy both waits instantly, racing the publisher — an
+        # empty drain here made the RMS nan)
+        parts = []
+        t0 = time.time()
+        while sum(a.size for a in parts) < 2048 and time.time() - t0 < 60:
+            a = ds.drain_audio(0)
+            if a.size:
+                parts.append(a)
+            time.sleep(0.02)
+        off_tune = np.abs(np.concatenate(parts))
     finally:
         ds.stop()
     assert not ds.error, ds.error
     # tuned on the FM carrier the tone is loud; far off it collapses
     assert on_tune.max() > 0.05
+    assert off_tune.size >= 2048
     assert np.sqrt((off_tune ** 2).mean()) < 0.5 * np.sqrt((on_tune ** 2).mean())
 
 
@@ -223,11 +233,18 @@ def test_session_sharded_pfb_gear(devices):
             ds.update_channel(c, {"inputFrequencyOffset": -24_000.0})
         base = ds.blocks_processed
         _wait_blocks(ds, base + 3)
-        ds.drain_audio(0)
-        _wait_blocks(ds, base + 5)
-        off_tune = np.abs(ds.drain_audio(0))
+        ds.drain_audio(0)  # discard pre/mid-retune blocks
+        parts = []
+        t0 = time.time()
+        while sum(a.size for a in parts) < 2048 and time.time() - t0 < 60:
+            a = ds.drain_audio(0)
+            if a.size:
+                parts.append(a)
+            time.sleep(0.02)
+        off_tune = np.abs(np.concatenate(parts))
     finally:
         ds.stop()
     assert not ds.error, ds.error
     assert on_tune.max() > 0.05
+    assert off_tune.size >= 2048
     assert np.sqrt((off_tune ** 2).mean()) < 0.5 * np.sqrt((on_tune ** 2).mean())
