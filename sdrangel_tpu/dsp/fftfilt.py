@@ -217,4 +217,9 @@ def run_asym(
     else:
         h[:hop] = h_opp_np[:hop]
         h[hop:] = h_in_np[hop:]
+    # runAsym's loops cover bins 1..flen2-1 of each half, so the Nyquist bin
+    # passes unfiltered (fftfilt.cpp:344-361, same quirk as runSSB); DC always
+    # takes the in-band filter (fftfilt.cpp:352 regardless of usb).
+    h[hop] = 1.0
+    h[0] = h_in_np[0]
     return run_filt(state, x, jnp.asarray(h))

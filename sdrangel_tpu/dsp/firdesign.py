@@ -101,9 +101,12 @@ def fir_apply(
     batch_shape = lanes.shape[:-1]
     lhs = lanes.reshape(-1, 1, lanes.shape[-1])
     rhs = taps.astype(jnp.float32).reshape(1, 1, -1)
+    from .decimators import _CONV_PRECISION
+
     out = jax.lax.conv_general_dilated(
         lhs, rhs, window_strides=(1,), padding="VALID",
         dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=_CONV_PRECISION,  # TPU default bf16 noise-floors the audio
     )
     out = out.reshape(*batch_shape, out.shape[-1])
     if is_complex:

@@ -142,11 +142,60 @@ def make_plan(
         # interpolator.h:39-52) — conv mode only.
         assert q <= 256, f"upsampling denominator too large: {q}"
 
-    if q <= 16 or in_rate < out_rate:
-        # conv mode: one dilated+strided XLA conv, no gather tables
+    if q <= 16 and in_rate >= out_rate:
+        # Rx decimation, simple ratio: reference-grade EXACT-delay polyphase.
+        # The legs are the reference's own prototype (createPolyphaseLowPass,
+        # interpolator.cpp:20-110 — per-output span
+        # nb_taps_per_phase*phase_steps input samples, per-leg unit DC).
+        # When q divides phase_steps the exact delays r/q coincide with
+        # reference phase legs r*steps/q, so integer and simple rational
+        # ratios are reference-parity (r2 used a short generic lowpass here —
+        # the reference-golden harness caught the response mismatch).
+        # Executed through the same windows+einsum machinery as the general
+        # gather mode: a direct lax.conv with a ≥64-tap kernel compiles
+        # pathologically on TPU (measured again here: the 72-tap conv hung a
+        # 590 s compile; see .claude/skills/verify/SKILL.md).
+        if phase_steps % q == 0:
+            legs16 = create_polyphase_lowpass(
+                phase_steps, 1.0, phase_steps * in_rate, cutoff, nb_taps_per_phase
+            )
+            legs = legs16[:: phase_steps // q]  # (q, per_leg)
+        else:
+            legs = create_polyphase_lowpass(
+                q, 1.0, q * in_rate, cutoff, nb_taps_per_phase * phase_steps / q
+            )
+        per_leg = legs.shape[1]
+        block_out = block_in * q // p
+        j = np.arange(block_out, dtype=np.int64)
+        # Output j reads the window starting p//q-ish samples after j·p/q;
+        # the +1 anchor (p>q only; at ratio 1 it is just an output lag and
+        # would over-read the block tail) reproduces the reference's
+        # window-ends-at-the-consumed-sample convention — pinned by the
+        # goldens at 133 dB vs the actual reference interpolator
+        # (tests/test_reference_golden.py interp_96k_48k).
+        shift = 1 if p > q else 0
+        return ResamplerPlan(
+            in_rate=in_rate,
+            out_rate=out_rate,
+            block_in=block_in,
+            block_out=block_out,
+            ntaps=per_leg,
+            phase_steps=q,
+            taps=legs.astype(np.float32),
+            start_idx=((j * p) // q + shift).astype(np.int32),
+            phase=((j * p) % q).astype(np.int32),
+            mode="gather",
+            p=p,
+            q=q,
+        )
+    if in_rate < out_rate:
+        # Tx interpolation: dilated+strided XLA conv with a short generic
+        # kernel (no reference golden — the reference reuses the same legs,
+        # but kernels of 72*q taps would dominate compile/run time at large
+        # upsampling factors).
         from . import firdesign
 
-        ntaps = 8 * max(p, q) + 1  # span ≥8 input samples at the dilated rate
+        ntaps = 8 * max(p, q) + 1  # span ≥8 input samples at dilated rate
         proto = firdesign.lowpass(ntaps, cutoff / (q * in_rate)).astype(np.float64)
         proto *= q  # compensate zero-stuffing loss
         # init_state allocates ntaps-1 tail samples; the conv needs
@@ -222,6 +271,8 @@ def _resample_conv(
     lanes = jnp.stack([jnp.real(ext), jnp.imag(ext)], axis=0)
     lhs = lanes.reshape(-1, 1, ext.shape[-1])
     rhs = jnp.asarray(plan.conv_taps).reshape(1, 1, -1)
+    from .decimators import _CONV_PRECISION
+
     out = jax.lax.conv_general_dilated(
         lhs,
         rhs,
@@ -229,6 +280,10 @@ def _resample_conv(
         padding=((0, 0),),  # explicit VALID (string padding rejected with lhs_dilation)
         lhs_dilation=(plan.q,),
         dimension_numbers=("NCH", "OIH", "NCH"),
+        # the TPU conv default is bf16 — a flat ~-56 dB/bin noise floor on
+        # the demod audio (measured on hardware: 16 dB chain SNR vs 55 on
+        # f32 CPU); track the decimators' precision policy
+        precision=_CONV_PRECISION,
     )
     out = out[..., -plan.block_out :]  # constant head trim keeps streaming alignment
     out = out.reshape(2, *batch_shape, plan.block_out)
@@ -296,7 +351,10 @@ def _resample_polyphase_conv(
         for s in range(r)
     ]
     windows = jnp.concatenate(chunks, axis=-1)[..., :l_full]  # (2, ..., m', L)
-    out = jnp.einsum("...ml,ql->...mq", windows, k_mat)  # (2, ..., m', q)
+    from .decimators import _CONV_PRECISION
+
+    out = jnp.einsum("...ml,ql->...mq", windows, k_mat,
+                     precision=_CONV_PRECISION)  # (2, ..., m', q)
     out = out.reshape(2, *batch_shape, plan.block_out)
     y = (out[0] + 1j * out[1]).astype(jnp.complex64)
     return ResamplerState(ext[..., plan.block_in :]), y

@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""Build and run the reference-code golden generator.
+
+Compiles native/ref_golden_gen.cc together with the ACTUAL reference DSP
+sources from /root/reference/sdrbase (behind the native/qtshim/QtGlobal
+typedef shim — the only non-reference code in the binary besides the driver)
+and regenerates tests/goldens/.
+
+The goldens are checked into git so the test suite never needs the reference
+tree or a compiler; re-run this tool only to extend or audit the set.
+
+Usage: python tools/gen_reference_goldens.py [output_dir]
+"""
+
+from __future__ import annotations
+
+import pathlib
+import subprocess
+import sys
+import tempfile
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+REF = pathlib.Path("/root/reference")
+
+REF_SOURCES = [
+    "sdrbase/dsp/nco.cpp",
+    "sdrbase/dsp/interpolator.cpp",
+    "sdrbase/dsp/fftfilt.cpp",
+    "sdrbase/dsp/hbfiltertraits.cpp",
+    "sdrbase/dsp/ctcssdetector.cpp",
+    "sdrbase/dsp/afsquelch.cpp",
+    "sdrbase/dsp/decimatorsif.cpp",
+    "sdrbase/dsp/decimatorsfi.cpp",
+    "sdrbase/dsp/decimatorsff.cpp",
+]
+
+
+def main() -> int:
+    out_dir = pathlib.Path(sys.argv[1]) if len(sys.argv) > 1 else REPO / "tests" / "goldens"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    if not REF.is_dir():
+        print("reference tree not found at /root/reference", file=sys.stderr)
+        return 1
+
+    with tempfile.TemporaryDirectory() as td:
+        binary = pathlib.Path(td) / "ref_golden_gen"
+        cmd = [
+            "g++", "-O2", "-std=c++14", "-Dsdrangel_STATIC",
+            "-I", str(REPO / "native" / "qtshim"),
+            "-I", str(REF / "sdrbase"),
+            "-I", str(REF / "exports"),
+            str(REPO / "native" / "ref_golden_gen.cc"),
+            str(REPO / "native" / "ref_golden_gen_u.cc"),
+            *[str(REF / s) for s in REF_SOURCES],
+            "-o", str(binary),
+        ]
+        print(" ".join(cmd))
+        subprocess.run(cmd, check=True)
+        subprocess.run([str(binary), str(out_dir)], check=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
