@@ -116,14 +116,20 @@ class ShardedPipelineConfig:
     #: baseband_rate / pfb_m. Mutually exclusive with chan_stages.
     pfb_m: int = 0
     #: Ulysses-style axis swap (SURVEY §5): instead of all_gathering the
-    #: full baseband to every device, each time-shard runs the PFB on its
-    #: OWN baseband segment (with a (P-1)·M halo via the same ppermute
-    #: ring) and a lax.all_to_all trades the frame axis for the channel
-    #: axis — each device receives all frames of ITS grid channels only.
-    #: ICI traffic drops n_time-fold vs the all_gather. Requires a single
-    #: bank group with count == pfb_m and the identity channel↔grid
-    #: mapping (demod i owns grid channel i); residual offsets stay traced.
+    #: full baseband to every device, every device runs the PFB on its OWN
+    #: frame chunk (time-sharded via the ppermute halo ring, then frame-
+    #: sliced over the channel axis — the analysis is computed exactly once
+    #: across the mesh) and ONE lax.all_to_all over BOTH axes trades frames
+    #: for channels — device d receives all frames of grid channels
+    #: [d·M/D, (d+1)·M/D), D = n_time·n_channel. ICI traffic drops
+    #: n_time·n_channel-fold vs the all_gather. Banks may be heterogeneous
+    #: (counts divisible by D); each demod's grid channel must live in its
+    #: device's chunk (the session places channels grid-sorted and passes
+    #: traced local indices — arbitrary within-chunk permutations and
+    #: residual offsets retune live without a rebuild).
     pfb_all_to_all: bool = False
+    #: PFB prototype taps per branch (dsp/pfb.prototype) for both gears.
+    pfb_taps: int = 12
     block: int = 1 << 20  # device-rate samples per step (global)
     bank: tuple[BankGroup, ...] | None = None  # heterogeneous bank override
     #: split the demod bank over BOTH mesh axes (time × channel) instead of
@@ -200,15 +206,16 @@ def _validate_bank(cfg: ShardedPipelineConfig) -> None:
     if cfg.pfb_all_to_all:
         if not cfg.pfb_m:
             raise ValueError("pfb_all_to_all requires pfb_m")
-        if len(cfg.groups) != 1 or cfg.groups[0].count != cfg.pfb_m:
-            raise ValueError(
-                "pfb_all_to_all needs a single bank group with count == "
-                "pfb_m (demod i owns grid channel i)")
         full = cfg.n_time * cfg.n_channel
         if cfg.pfb_m % full:
             raise ValueError(
                 f"pfb_m={cfg.pfb_m} must divide over the mesh "
                 f"(n_time*n_channel={full})")
+        for g in cfg.groups:
+            if g.count % full:
+                raise ValueError(
+                    f"pfb_all_to_all group {g.uri} count {g.count} must be "
+                    f"a multiple of n_time*n_channel={full}")
         if cfg.channel_split != full:
             raise ValueError("pfb_all_to_all splits channels over BOTH axes")
     for g in cfg.groups:
@@ -243,35 +250,82 @@ def _pfb_with_halo(bb_ext: jnp.ndarray, m: int, p: int) -> jnp.ndarray:
     restricted to the local frame range (same trick as
     _cascade_with_halo)."""
     state = pfbmod.make_state(m, p, batch_shape=bb_ext.shape[:-1])
-    _, y = pfbmod.analyze(state, bb_ext, m)
+    _, y = pfbmod.analyze(state, bb_ext, m, pfbmod.prototype(m, p))
     return y[..., p - 1:, :]
 
 
-def build_a2a_step(cfg: ShardedPipelineConfig, mesh: Mesh):
-    """The pfb_all_to_all gear: time-sharded decimation + time-sharded PFB
-    analysis (both with ppermute halos) + lax.all_to_all trading frames for
-    channels — the Ulysses axis swap. step(state, x, carry, residuals) ->
-    (state', audio, carry'); carry = (cascade tail (2,H), pfb tail (2,P-1·M)).
+def a2a_placement(cfg: ShardedPipelineConfig, offsets_per_group):
+    """Host-side channel placement for the pfb_all_to_all gear.
 
-    residuals: (M,) Hz, sharded over BOTH mesh axes in grid order (device
-    (t,c) owns grid channels [(t·n_channel+c)·sz, +sz), sz = M/(nt·nc) —
-    exactly the slice the all_to_all hands it)."""
+    Each device receives grid channels [d·M/D, (d+1)·M/D) after the axis
+    swap, so a demod must be placed on the device owning its grid channel.
+    Sorts each group's channels by grid chunk and checks feasibility (every
+    device must receive exactly count/D channels of every group).
+
+    Returns (orders, local_idx, residuals): `orders[g]` is the permutation
+    applied to group g (audio comes back in this order — invert host-side),
+    `local_idx[g]` the per-channel index into the owning device's grid
+    chunk (traced; live retunes within the chunk need no rebuild),
+    `residuals[g]` the sorted residual offsets.
+    """
+    d_total = cfg.n_time * cfg.n_channel
+    sz = cfg.pfb_m // d_total
+    orders, locals_, residuals = [], [], []
+    for g, offs in zip(cfg.groups, offsets_per_group):
+        idx, res = grid_split(cfg, np.asarray(offs))
+        dev = idx // sz
+        order = np.argsort(dev, kind="stable").astype(np.int64)
+        cg = g.count // d_total
+        dev_sorted = dev[order]
+        want = np.repeat(np.arange(d_total), cg)
+        if not np.array_equal(dev_sorted, want):
+            raise ValueError(
+                f"group {g.uri}: grid channels {sorted(set(idx.tolist()))} "
+                f"cannot be balanced over {d_total} devices "
+                f"({cg}/device needed); retune or use the all_gather gear")
+        orders.append(order)
+        locals_.append((idx[order] % sz).astype(np.int32))
+        residuals.append(res[order].astype(np.float32))
+    return orders, locals_, residuals
+
+
+def build_a2a_step(cfg: ShardedPipelineConfig, mesh: Mesh):
+    """The pfb_all_to_all gear: time-sharded decimation (ppermute halo) +
+    frame-sharded PFB analysis (each device analyzes its own frame chunk —
+    the M-channel analysis is computed exactly ONCE across the mesh) + one
+    lax.all_to_all over BOTH mesh axes trading frames for channels — the
+    Ulysses axis swap. step(state, x, carry, residuals[, local_idx]) ->
+    (state', audio, carry'); carry = (cascade tail (2,H), pfb tail (2,(P-1)M)).
+
+    residuals: per-group (count,) Hz, sharded over BOTH mesh axes in
+    placement order (see a2a_placement). local_idx: per-group (count,)
+    int32 indices into the owning device's grid chunk (traced — live
+    retunes within the chunk recompile nothing); None = identity (the
+    single-group count==M flagship)."""
     _validate_bank(cfg)
     halo = halo_samples(cfg.log2_decim)
     n_time, n_channel = cfg.n_time, cfg.n_channel
+    d_total = n_time * n_channel
     m = cfg.pfb_m
-    p_taps = 8  # prototype taps/branch (pfbmod.prototype default)
+    p_taps = cfg.pfb_taps
     ph = (p_taps - 1) * m  # baseband-rate PFB halo
-    kind = REGISTRY[cfg.groups[0].uri]
-    gcfg = cfg.demod_cfgs[0]
-    sz = m // (n_time * n_channel)
+    kinds = [REGISTRY[g.uri] for g in cfg.groups]
+    demod_cfgs = cfg.demod_cfgs
+    single = len(cfg.groups) == 1
+    sz = m // d_total
+    bb_total = cfg.block >> cfg.log2_decim
+    if bb_total % (n_time * m * n_channel):
+        raise ValueError(
+            f"block {cfg.block}: baseband frames ({bb_total}/{m}) must split "
+            f"over n_time*n_channel={d_total} for the frame-sharded analysis")
 
-    def local_step(state, x_local, carry, residuals):
+    def local_step(state, x_local, carry, residuals, local_idx):
         casc_carry, pfb_carry = carry
         xc = (x_local.astype(jnp.float32) / 32768.0)
         xc = (xc[..., 0] + 1j * xc[..., 1]).astype(jnp.complex64)
 
         t_idx = jax.lax.axis_index("time")
+        c_idx = jax.lax.axis_index("channel")
         perm = [(i, (i + 1) % n_time) for i in range(n_time)]
 
         def ring_halo(sig, h, host_carry):
@@ -293,41 +347,77 @@ def build_a2a_step(cfg: ShardedPipelineConfig, mesh: Mesh):
         else:
             bb_local, new_casc = xc, casc_carry
 
-        # PFB over the LOCAL baseband segment with its own halo ring
+        # PFB halo ring over the time axis, then slice THIS column's frame
+        # sub-chunk — the bb is identical across the channel axis, so the
+        # columns split the frames instead of repeating the analysis
+        # (r2 computed the full local analysis on every column).
         bb_ext, new_pfb = ring_halo(bb_local, ph, pfb_carry)
-        y_local = _pfb_with_halo(bb_ext, m, p_taps)  # (F_local, M)
+        f_col = bb_local.shape[-1] // m // n_channel
+        seg = jax.lax.dynamic_slice_in_dim(
+            bb_ext, c_idx * (f_col * m), f_col * m + ph, axis=-1)
+        y_piece = _pfb_with_halo(seg, m, p_taps)  # (F_col, M)
 
-        # the axis swap: frames for channels — each device receives all
-        # frames of its M/n_time channel chunk (n_time x less ICI than
-        # all_gathering the full baseband)
-        y_t = jax.lax.all_to_all(
-            y_local, "time", split_axis=1, concat_axis=0, tiled=True
-        )  # (F_total, M/n_time)
-        c_idx = jax.lax.axis_index("channel")
-        mine = jax.lax.dynamic_slice_in_dim(
-            y_t, c_idx * sz, sz, axis=1)  # (F_total, sz)
-        xb = jnp.moveaxis(mine, -1, 0)  # (sz, F_total)
+        # the axis swap: ONE all_to_all over BOTH axes — device d receives
+        # all frames of grid channels [d·sz, (d+1)·sz). Frame order is
+        # (time, channel)-lexicographic = the global frame order.
+        mine = jax.lax.all_to_all(
+            y_piece, ("time", "channel"), split_axis=1, concat_axis=0,
+            tiled=True)  # (F_total, sz)
 
-        cstate, dstate = state[0]
-        dstate, audio = kind.process(dstate, xb, gcfg, offset_hz=residuals)
-        return ((cstate, dstate),), (audio,), (new_casc, new_pfb)
+        new_states, audios = [], []
+        for g, (kind, gcfg) in enumerate(zip(kinds, demod_cfgs)):
+            cstate, dstate = state[g]
+            if local_idx is None:  # identity: demod i of chunk = channel i
+                xb = jnp.moveaxis(mine, -1, 0)  # (sz, F_total)
+            else:
+                xb = jnp.moveaxis(
+                    jnp.take(mine, local_idx[g], axis=-1), -1, 0)
+            dstate, audio = kind.process(dstate, xb, gcfg,
+                                         offset_hz=residuals[g])
+            new_states.append((cstate, dstate))
+            audios.append(audio)
+        return tuple(new_states), tuple(audios), (new_casc, new_pfb)
 
     chan_axes = ("time", "channel")
     state_specs = jax.tree.map(lambda _: P(chan_axes), _group_state_structure(cfg))
     carry_specs = (P(), P())
-    jit_step = jax.jit(
-        jax.shard_map(
-            local_step,
-            mesh=mesh,
-            in_specs=(state_specs, P("time"), carry_specs, P(chan_axes)),
-            out_specs=(state_specs, (P(chan_axes),), carry_specs),
-            check_vma=False,
-        )
-    )
+    group_specs = tuple(P(chan_axes) for _ in cfg.groups)
 
-    def step(state, x, carry, residuals):
-        state, audio, carry = jit_step(state, x, carry, residuals)
-        return state, audio[0], carry
+    def make_jit(with_idx: bool):
+        base_specs = (state_specs, P("time"), carry_specs, group_specs)
+        if with_idx:
+            fn, in_specs = local_step, base_specs + (group_specs,)
+        else:
+            def fn(st, x, ca, res):
+                return local_step(st, x, ca, res, None)
+            in_specs = base_specs
+        return jax.jit(
+            jax.shard_map(
+                fn,
+                mesh=mesh,
+                in_specs=in_specs,
+                out_specs=(state_specs, group_specs, carry_specs),
+                check_vma=False,
+            )
+        )
+
+    jits: dict = {}
+
+    def step(state, x, carry, residuals, local_idx=None):
+        if single and not isinstance(residuals, (tuple, list)):
+            residuals = (residuals,)
+        if single and local_idx is not None and not isinstance(
+                local_idx, (tuple, list)):
+            local_idx = (local_idx,)
+        key = local_idx is not None
+        if key not in jits:
+            jits[key] = make_jit(key)
+        if key:
+            state, audio, carry = jits[key](
+                state, x, carry, tuple(residuals), tuple(local_idx))
+        else:
+            state, audio, carry = jits[key](state, x, carry, tuple(residuals))
+        return state, audio[0] if single else audio, carry
 
     def init_fn():
         def impl():
@@ -409,9 +499,32 @@ def build_sharded_step(cfg: ShardedPipelineConfig, mesh: Mesh):
                 dsp_spectrum.make_state(scfg), bb, scfg)
 
         if cfg.pfb_m:
-            # one analysis-bank pass per device over the (replicated)
-            # gathered baseband; demods below gather their grid channel
-            pfb_state, ych = pfbmod.analyze(pfb_state, bb, cfg.pfb_m)
+            # frame-sharded analysis over the (replicated) gathered baseband:
+            # device d analyzes frame chunk d only, then the chunks are
+            # all_gathered back — the M-channel analysis is computed exactly
+            # once across the mesh (r2 ran the FULL analysis on every
+            # device, n_time·n_channel× redundant flops). The carried conv
+            # tail stays replicated: every device rebuilds it from the
+            # gathered bb identically.
+            m = cfg.pfb_m
+            p_taps = cfg.pfb_taps
+            ph = (p_taps - 1) * m
+            f_total = bb.shape[-1] // m
+            d_total = cfg.n_time * cfg.n_channel
+            ext = jnp.concatenate([pfb_state.tail, bb], axis=-1)
+            if f_total % d_total == 0:
+                f_dev = f_total // d_total
+                d_lin = (jax.lax.axis_index("time") * cfg.n_channel
+                         + jax.lax.axis_index("channel"))
+                seg = jax.lax.dynamic_slice_in_dim(
+                    ext, d_lin * (f_dev * m), f_dev * m + ph, axis=-1)
+                y_piece = _pfb_with_halo(seg, m, p_taps)  # (F_dev, M)
+                ych = jax.lax.all_gather(
+                    y_piece, ("time", "channel"), axis=0, tiled=True)
+            else:  # odd frame counts: replicated analysis fallback
+                _, ych = pfbmod.analyze(
+                    pfb_state, bb, m, pfbmod.prototype(m, p_taps))
+            pfb_state = pfbmod.PfbState(ext[..., bb.shape[-1]:])
 
         new_states, audios = [], []
         for g, (kind, gcfg) in enumerate(zip(kinds, demod_cfgs)):
@@ -441,7 +554,7 @@ def build_sharded_step(cfg: ShardedPipelineConfig, mesh: Mesh):
         # the PFB tail follows the (replicated) gathered baseband
         state_specs = (state_specs,
                        jax.tree.map(lambda _: P(),
-                                    pfbmod.make_state(cfg.pfb_m)))
+                                    pfbmod.make_state(cfg.pfb_m, cfg.pfb_taps)))
     group_specs = tuple(P(chan_axes) for _ in cfg.groups)
     in_specs = (state_specs, P("time"), P(), group_specs)
     if cfg.pfb_m:
@@ -502,5 +615,5 @@ def _group_state_structure(cfg: ShardedPipelineConfig):
 def _state_structure(cfg: ShardedPipelineConfig):
     groups = _group_state_structure(cfg)
     if cfg.pfb_m:
-        return (groups, pfbmod.make_state(cfg.pfb_m))
+        return (groups, pfbmod.make_state(cfg.pfb_m, cfg.pfb_taps))
     return groups

@@ -476,13 +476,66 @@ def test_pfb_all_to_all_matches_all_gather_gear(devices):
 def test_pfb_all_to_all_validation(devices):
     import pytest
 
-    with pytest.raises(ValueError, match="single bank group"):
+    with pytest.raises(ValueError, match="multiple of n_time"):
         cfg = sharded.ShardedPipelineConfig(
             n_time=2, n_channel=2, pfb_m=8, pfb_all_to_all=True,
-            bank=(sharded.BankGroup(sharded.NFM_URI, 4),
-                  sharded.BankGroup("sdrangel.channel.amdemod", 4)))
+            bank=(sharded.BankGroup(sharded.NFM_URI, 3),))
         sharded.build_sharded_step(cfg, sharded.make_mesh(2, 2, devices))
     with pytest.raises(ValueError, match="pfb_m"):
         cfg = sharded.ShardedPipelineConfig(
             n_time=2, n_channel=2, pfb_all_to_all=True, n_channels=8)
         sharded.build_sharded_step(cfg, sharded.make_mesh(2, 2, devices))
+
+
+def test_pfb_all_to_all_heterogeneous_matches_all_gather(devices):
+    """r3: the a2a gear runs heterogeneous banks with arbitrary grid
+    mappings (a2a_placement + traced local indices) and still equals the
+    all_gather gear."""
+    kw = dict(log2_decim=3, block=1 << 15, pfb_m=8)
+    bank = (sharded.BankGroup(sharded.NFM_URI, 4,
+                              {"squelch_db": -100.0, "squelch_gate_ms": 1.0}),
+            sharded.BankGroup("sdrangel.channel.amdemod", 4))
+    cfg_a2a = sharded.ShardedPipelineConfig(
+        n_time=2, n_channel=2, bank=bank, pfb_all_to_all=True, **kw)
+    cfg_ref = sharded.ShardedPipelineConfig(
+        n_time=2, n_channel=2, bank=bank, **kw)
+    mesh = sharded.make_mesh(2, 2, devices)
+    step_a, init_a = sharded.build_sharded_step(cfg_a2a, mesh)
+    step_r, init_r = sharded.build_sharded_step(cfg_ref, mesh)
+
+    src = testsource.TestSourceConfig(
+        sample_rate=cfg_a2a.device_rate, carrier_freq=390_000.0,
+        modulation="fm", tone_freq=700.0, fm_deviation=4000.0, amplitude=0.4,
+    )
+    iq = testsource.generate(src, cfg_a2a.block * 3)
+    spacing = cfg_a2a.baseband_rate / 8
+    # NON-identity mapping (device chunks are [0,1],[2,3],[4,5],[6,7]:
+    # each group lands one channel per device, out of order, with distinct
+    # residuals)
+    offs_nfm = np.array([5, 1, 6, 2]) * spacing + 3000.0
+    offs_am = np.array([3, 0, 7, 4]) * spacing - 2000.0
+    orders, local_idx, residuals = sharded.a2a_placement(
+        cfg_a2a, (offs_nfm, offs_am))
+    idx_nfm, res_nfm = sharded.grid_split(cfg_ref, offs_nfm)
+    idx_am, res_am = sharded.grid_split(cfg_ref, offs_am)
+
+    sa, ca = init_a()
+    sr, cr = init_r()
+    for b in range(3):
+        raw = _to_int16(iq[b * cfg_a2a.block : (b + 1) * cfg_a2a.block])
+        sa, aa, ca = step_a(
+            sa, jnp.asarray(raw), ca,
+            tuple(jnp.asarray(r) for r in residuals),
+            tuple(jnp.asarray(i) for i in local_idx))
+        sr, ar, cr = step_r(
+            sr, jnp.asarray(raw), cr,
+            (jnp.asarray(res_nfm), jnp.asarray(res_am)),
+            (jnp.asarray(idx_nfm), jnp.asarray(idx_am)))
+        for g, order in enumerate(orders):
+            # a2a audio is in placement order; undo the permutation
+            got = np.asarray(aa[g])
+            unperm = np.empty_like(got)
+            unperm[order] = got
+            np.testing.assert_allclose(
+                unperm, np.asarray(ar[g]), atol=2e-5,
+                err_msg=f"block {b} group {g}")
