@@ -38,6 +38,11 @@ class ChannelKind:
     meters: Callable[[Any, Any, dict], dict] | None = None  # (new_state,
     # cfg, dyn) -> report meters computed from the kernel's own state (e.g.
     # the squelch gate, nfmdemod.h:153-170 getters)
+    data_keys: tuple = ()  # data kinds: the adapter's output array names
+    # (documented in the per-kind report schema; asserted against the
+    # adapter in tests/test_openapi.py)
+    host_report_keys: tuple = ()  # extra host-side report sections (e.g.
+    # "datv" stats, "dsd" frame-sync report)
 
 
 REGISTRY: dict[str, ChannelKind] = {}
@@ -252,33 +257,40 @@ def _register_data_kinds() -> None:
     register(ChannelKind(
         "sdrangel.channel.chanalyzer", chanalyzer.ChanAnalyzerConfig,
         chanalyzer.make_state, chanalyzer.process, needs_fft_hop=True,
-        output="data", needs_audio_ratio=False, adapter=_chanalyzer_adapter))
+        output="data", needs_audio_ratio=False, adapter=_chanalyzer_adapter,
+        data_keys=("iq_real", "iq_imag", "spectrum", "channelPowerDB")))
     register(ChannelKind(
         "sdrangel.channel.lorademod", demod_lora.LoRaConfig,
         demod_lora.make_state, demod_lora.process,
         block_factor=_lora_block_factor,
-        output="data", needs_audio_ratio=False, adapter=_lora_adapter))
+        output="data", needs_audio_ratio=False, adapter=_lora_adapter,
+        data_keys=("symbols", "magnitudes", "snr_est")))
     register(ChannelKind(
         "sdrangel.channel.dsddemod", demod_dsd.DSDConfig,
         demod_dsd.make_state, demod_dsd.process,
         block_factor=_dsd_block_factor,
-        output="data", needs_audio_ratio=True, adapter=_dsd_adapter))
+        output="data", needs_audio_ratio=True, adapter=_dsd_adapter,
+        data_keys=("dibits", "soft_symbols", "squelch_open"),
+        host_report_keys=("dsd",)))
     register(ChannelKind(
         "sdrangel.channel.demodatv", demod_atv.ATVConfig,
         demod_atv.make_state, demod_atv.process,
         block_factor=_atv_block_factor, needs_fft_hop=True,
-        output="data", needs_audio_ratio=False, adapter=_atv_adapter))
+        output="data", needs_audio_ratio=False, adapter=_atv_adapter,
+        data_keys=("lines", "sync_phase", "sync_quality")))
     register(ChannelKind(
         "sdrangel.channel.demoddatv", demod_datv.DATVConfig,
         demod_datv.make_state, demod_datv.process,
         block_factor=_datv_block_factor, needs_fft_hop=True,
-        output="data", needs_audio_ratio=False, adapter=_datv_adapter))
+        output="data", needs_audio_ratio=False, adapter=_datv_adapter,
+        data_keys=("soft_i", "soft_q"), host_report_keys=("datv",)))
     from . import udpsrc as _udpsrc
 
     register(ChannelKind(
         "sdrangel.channel.udpsrc", _udpsrc.UdpSrcConfig,
         _udpsrc.make_state, _udpsrc.process, needs_fft_hop=True,
         output="data", needs_audio_ratio=True, adapter=_udpsrc_adapter,
+        data_keys=("iq_real", "iq_imag", "scalar", "squelch"),
         dynamic_fields=frozenset({"offset_hz", "squelch_db"})))
 
 
@@ -289,3 +301,28 @@ def _udpsrc_adapter(outs) -> dict:
 
 
 _register_data_kinds()
+
+
+def report_schema(uri: str) -> dict:
+    """Per-kind channel *report* schema (the role of the reference's
+    per-plugin SWG*Report yamls, swagger/sdrangel/api/swagger/include/).
+    Audio kinds report the standard meter set; data kinds add their
+    adapter's array names and any host-side report sections."""
+    base = {
+        "channelPowerDB": {"type": "number"},
+        "squelch": {"type": "boolean"},
+        "audioSampleRate": {"type": "number"},
+        "audioSamples": {"type": "integer"},
+    }
+    kind = REGISTRY.get(uri)
+    if kind is None or kind.output != "data":
+        return {"type": "object", "properties": base}
+    props = dict(base)
+    props["dataBlocks"] = {"type": "integer"}
+    props["dataKeys"] = {
+        "type": "array", "items": {"type": "string"},
+        "enum": [list(kind.data_keys)],
+    }
+    for key in kind.host_report_keys:
+        props[key] = {"type": "object"}
+    return {"type": "object", "properties": props}

@@ -833,6 +833,8 @@ class DeviceSet:
                     ch.data_blocks += 1
                     if ch.uri == "sdrangel.channel.demoddatv":
                         self._datv_host_decode(i, ch)
+                    elif ch.uri == "sdrangel.channel.dsddemod":
+                        self._dsd_host_sync(ch)
                     entry = self._data_sinks.get(id(ch))
                     if entry is not None:
                         (_, _, fmt), sink = entry
@@ -876,6 +878,20 @@ class DeviceSet:
         if not parts:
             return np.zeros(0, dtype=np.float32)
         return np.concatenate(parts, axis=0)  # frame axis (mono or stereo)
+
+    def _dsd_host_sync(self, ch: ChannelState) -> None:
+        """Frame-sync scan over the DSD dibit stream (the first stage DSDcc
+        performs for the reference, dsddecoder.h:61-63 getSyncType /
+        getFrameTypeText): DMR/YSF/D-Star sync correlation + frame typing,
+        published in the channel report."""
+        from ..channels import dsdsync
+
+        searcher = getattr(ch, "_dsd_sync", None)
+        if searcher is None:
+            searcher = dsdsync.SyncSearcher()
+            ch._dsd_sync = searcher
+        searcher.feed(ch.latest_data["dibits"].reshape(-1))
+        ch.host_report = {"dsd": searcher.report()}
 
     #: soft bits to buffer before the one-shot DATV host FEC pass
     _DATV_DECODE_BITS = 120_000
@@ -935,13 +951,21 @@ class DeviceSet:
 
 @dataclasses.dataclass
 class SinkSettings:
-    """Tx device sink settings (the filesink/DAC role)."""
+    """Tx device sink settings (the filesink/DAC role, or the
+    sdrdaemonsink network role with kind="daemonsink")."""
 
+    kind: str = "filesink"  # filesink (.sdriq) | daemonsink (UDP superframes)
     file_path: str = "/tmp/sdrangel_tpu_tx.sdriq"
     sample_rate: float = 384000.0
     center_frequency: float = 0.0
     log2_interp: int = 0
     throttle: bool = False  # True = real-time pacing (a DAC-clock stand-in)
+    # daemonsink extras (plugins/samplesink/sdrdaemonsink role): stream the
+    # modulated IQ as FEC superframes to a remote daemonsource
+    daemon_address: str = "127.0.0.1"
+    daemon_port: int = 9094
+    daemon_fec: int = 4
+    daemon_auto_fec: bool = False  # receiver feedback drives nbFECBlocks
 
 
 class TxDeviceSet:
@@ -1089,14 +1113,43 @@ class TxDeviceSet:
             state = pipe.init_state()
             import jax.numpy as jnp
 
-            # continuous filesink: header first, payload appended per block
-            # (dspdevicesinkengine work() never stops on its own; the r1
-            # 64-block break is gone — the stream runs until stop())
-            writer = sdriq.SdriqWriter(
-                self.sink.file_path,
-                sample_rate=int(self.sink.sample_rate),
-                center_frequency=int(self.sink.center_frequency),
-            )
+            # sink back end: continuous filesink (.sdriq, header first then
+            # per-block payload) or the sdrdaemonsink role — modulated IQ
+            # chunked into FEC superframes over UDP (io/daemon.DaemonSender;
+            # plugins/samplesink/sdrdaemonsink in the reference)
+            daemon_mode = self.sink.kind == "daemonsink"
+            writer = sender = None
+            if daemon_mode:
+                from ..io.daemon import DaemonSender
+
+                sender = DaemonSender(
+                    self.sink.daemon_address, int(self.sink.daemon_port),
+                    n_fec=int(self.sink.daemon_fec),
+                    center_frequency=int(self.sink.center_frequency),
+                    sample_rate=int(self.sink.sample_rate),
+                    auto_fec=bool(self.sink.daemon_auto_fec),
+                )
+                room = sender.payload_room // 4  # IQ samples per superframe
+                carry = [np.zeros((0, 2), np.int16)]
+
+                def write_blk(blk):
+                    if np.iscomplexobj(blk):
+                        blk = np.stack(
+                            [np.clip(np.round(blk.real * 32768.0), -32768, 32767),
+                             np.clip(np.round(blk.imag * 32768.0), -32768, 32767)],
+                            axis=-1).astype(np.int16)
+                    buf = np.concatenate([carry[0], blk], axis=0)
+                    n_full = buf.shape[0] // room
+                    for k in range(n_full):
+                        sender.send_iq(buf[k * room:(k + 1) * room])
+                    carry[0] = buf[n_full * room:]
+            else:
+                writer = sdriq.SdriqWriter(
+                    self.sink.file_path,
+                    sample_rate=int(self.sink.sample_rate),
+                    center_frequency=int(self.sink.center_frequency),
+                )
+                write_blk = writer.write
 
             # SampleSourceFifo role (samplesourcefifo.h): device blocks flow
             # through a bounded FIFO to a writer thread, so device compute,
@@ -1116,7 +1169,7 @@ class TxDeviceSet:
                         if fifo.closed:
                             return
                         continue
-                    writer.write(blk)
+                    write_blk(blk)
 
             drain_thread = threading.Thread(target=_drain, daemon=True)
             drain_thread.start()
@@ -1144,12 +1197,16 @@ class TxDeviceSet:
             finally:
                 fifo.close()
                 drain_thread.join(timeout=30.0)
-            writer.close()
+            if writer is not None:
+                writer.close()
         except Exception as e:
             self.error = f"{type(e).__name__}: {e}"
         finally:
             try:
-                writer.close()
+                if writer is not None:
+                    writer.close()
+                if sender is not None:
+                    sender.close()
             except Exception:
                 pass
             for src in udp_srcs.values():
