@@ -317,195 +317,13 @@ class ApiHandler(BaseHTTPRequestHandler):
                     out[k] = np.round(a[..., -2048:], 5).tolist()
                 return self._json(200, {"dataBlocks": ch.data_blocks, "data": out})
             if p == "/sdrangel/openapi":
-                # minimal OpenAPI 3 document of the implemented path layout
-                # (the reference ships a full swagger.yaml; this is the
-                # machine-discoverable subset actually served here)
-                paths = {
-                    "/sdrangel": {"get": {"summary": "instance summary"}},
-                    "/sdrangel/devicesets": {
-                        "get": {"summary": "device set list"},
-                        "post": {"summary": "add device set (body: {direction})"},
-                        "delete": {"summary": "remove last device set"},
-                    },
-                    "/sdrangel/devices": {"get": {"summary": "available source kinds"}},
-                    "/sdrangel/channels": {"get": {"summary": "available channel types"}},
-                    "/sdrangel/deviceset/{i}": {"get": {"summary": "one device set"}},
-                    "/sdrangel/deviceset/{i}/device/settings": {
-                        "get": {}, "put": {}, "patch": {}},
-                    "/sdrangel/deviceset/{i}/device/report": {"get": {}},
-                    "/sdrangel/deviceset/{i}/device/run": {
-                        "post": {"summary": "start"}, "delete": {"summary": "stop"}},
-                    "/sdrangel/deviceset/{i}/spectrum": {"get": {}},
-                    "/sdrangel/deviceset/{i}/spectrum/waterfall": {"get": {}},
-                    "/sdrangel/deviceset/{i}/spectrum/histogram": {"get": {}},
-                    "/sdrangel/deviceset/{i}/scope": {"get": {}},
-                    "/sdrangel/deviceset/{i}/channel": {
-                        "post": {"summary": "add channel (body: {channelType,...})"}},
-                    "/sdrangel/deviceset/{i}/channel/{j}": {"delete": {}},
-                    "/sdrangel/deviceset/{i}/channel/{j}/settings": {
-                        "get": {}, "put": {}, "patch": {}},
-                    "/sdrangel/deviceset/{i}/channel/{j}/report": {"get": {}},
-                    "/sdrangel/deviceset/{i}/channel/{j}/audio": {
-                        "get": {"summary": "drain demod audio as WAV"}},
-                    "/sdrangel/deviceset/{i}/channel/{j}/data": {
-                        "get": {"summary": "latest data-channel block "
-                                           "(chanalyzer/LoRa/DSD/ATV/DATV)"}},
-                    "/sdrangel/presets": {"get": {}},
-                    "/sdrangel/preset": {"post": {"summary": "save"},
-                                         "delete": {}},
-                    "/sdrangel/preset/{group}/{name}": {"delete": {}},
-                    "/sdrangel/preset/load": {"post": {}},
-                    "/sdrangel/preset/file": {
-                        "put": {"summary": "import preset from file"},
-                        "post": {"summary": "export preset to file"}},
-                    "/sdrangel/config": {
-                        "get": {"summary": "whole-instance config"},
-                        "put": {"summary": "apply an instance config"}},
-                    "/sdrangel/command/{name}": {"get": {}, "delete": {}},
-                    "/sdrangel/logging": {"get": {}, "put": {}},
-                    "/sdrangel/audio": {
-                        "get": {"summary": "audio egress list + prefs"},
-                        "patch": {"summary": "set audio prefs"}},
-                    "/sdrangel/location": {"get": {}, "put": {}},
-                    "/sdrangel/profile": {
-                        "post": {"summary": "capture a JAX profiler trace "
-                                            "(body: {seconds, path})"}},
-                    "/sdrangel/openapi": {"get": {}},
-                    "/sdrangel/deviceset": {
-                        "post": {"summary": "add device set (?tx=1 for sink)"},
-                        "delete": {"summary": "remove last device set"}},
-                    "/sdrangel/deviceset/{i}/device": {
-                        "put": {"summary": "select device kind "
-                                           "(body: {hwType})"}},
-                    "/sdrangel/deviceset/{i}/focus": {
-                        "patch": {"summary": "GUI focus — 400 in server "
-                                             "instance"}},
-                    "/sdrangel/deviceset/{i}/channels/report": {
-                        "get": {"summary": "all channel reports of a set"}},
-                    "/sdrangel/audio/input/parameters": {
-                        "patch": {}, "delete": {}},
-                    "/sdrangel/audio/output/parameters": {
-                        "patch": {}, "delete": {}},
-                    "/sdrangel/audio/input/cleanup": {"patch": {}},
-                    "/sdrangel/audio/output/cleanup": {"patch": {}},
-                    "/sdrangel/dvserial": {
-                        "get": {}, "patch": {"summary": "?dvserial=1"}},
-                }
-                # response schemas for the main DTOs (the reference serves a
-                # full swagger.yaml; these mirror its SWG* response models)
-                _ref = lambda n: {"$ref": f"#/components/schemas/{n}"}
-                schemas = {
-                    "ErrorResponse": {
-                        "type": "object",
-                        "properties": {"message": {"type": "string"}},
-                        "required": ["message"]},
-                    "InstanceSummary": {
-                        "type": "object",
-                        "properties": {
-                            "version": {"type": "string"},
-                            "appname": {"type": "string"},
-                            "uptime": {"type": "number"},
-                            "devicesetlist": _ref("DeviceSetList")}},
-                    "DeviceSetList": {
-                        "type": "object",
-                        "properties": {
-                            "devicesetcount": {"type": "integer"},
-                            "deviceSets": {"type": "array",
-                                           "items": _ref("DeviceSet")}}},
-                    "DeviceSet": {
-                        "type": "object",
-                        "properties": {
-                            "index": {"type": "integer"},
-                            "direction": {"type": "string",
-                                          "enum": ["rx", "tx"]},
-                            "state": {"type": "string"},
-                            "channelcount": {"type": "integer"},
-                            "channels": {"type": "array",
-                                         "items": _ref("ChannelSummary")}}},
-                    "ChannelSummary": {
-                        "type": "object",
-                        "properties": {
-                            "index": {"type": "integer"},
-                            "channelType": {"type": "string"},
-                            "inputFrequencyOffset": {"type": "number"}}},
-                    "DeviceReport": {
-                        "type": "object",
-                        "properties": {
-                            "state": {"type": "string",
-                                      "enum": ["idle", "running", "error"]},
-                            "error": {"type": "string"},
-                            "sampleRate": {"type": "number"},
-                            "centerFrequency": {"type": "number"},
-                            "blocksProcessed": {"type": "integer"},
-                            "realtimeFactor": {"type": "number"}}},
-                    "ChannelReport": {
-                        "type": "object",
-                        "properties": {
-                            "channelPowerDB": {"type": "number"},
-                            "squelch": {"type": "boolean"},
-                            "audioSampleRate": {"type": "number"},
-                            "audioSamples": {"type": "integer"}}},
-                    "Spectrum": {
-                        "type": "object",
-                        "properties": {
-                            "fftSize": {"type": "integer"},
-                            "spectrum": {"type": "array",
-                                         "items": {"type": "number"}}}},
-                    "AudioDevices": {
-                        "type": "object",
-                        "properties": {
-                            "nbOutputDevices": {"type": "integer"},
-                            "outputs": {"type": "array",
-                                        "items": {"type": "object"}},
-                            "audioSampleRate": {"type": "integer"},
-                            "inputParameters": {"type": "object"},
-                            "outputParameters": {"type": "object"}}},
-                    "LoggingInfo": {
-                        "type": "object",
-                        "properties": {
-                            "consoleLevel": {"type": "string"},
-                            "fileLevel": {"type": "string"},
-                            "fileName": {"type": "string"}}},
-                    "LocationInformation": {
-                        "type": "object",
-                        "properties": {"latitude": {"type": "number"},
-                                       "longitude": {"type": "number"}}},
-                    "SuccessResponse": {
-                        "type": "object",
-                        "properties": {"message": {"type": "string"}}},
-                }
-                # attach response refs to the path table
-                _resp = {
-                    "/sdrangel": ("get", "InstanceSummary"),
-                    "/sdrangel/devicesets": ("get", "DeviceSetList"),
-                    "/sdrangel/deviceset/{i}": ("get", "DeviceSet"),
-                    "/sdrangel/deviceset/{i}/device/report":
-                        ("get", "DeviceReport"),
-                    "/sdrangel/deviceset/{i}/channel/{j}/report":
-                        ("get", "ChannelReport"),
-                    "/sdrangel/deviceset/{i}/spectrum": ("get", "Spectrum"),
-                    "/sdrangel/audio": ("get", "AudioDevices"),
-                    "/sdrangel/logging": ("get", "LoggingInfo"),
-                    "/sdrangel/location": ("get", "LocationInformation"),
-                }
-                for path, (verb, schema) in _resp.items():
-                    paths[path][verb]["responses"] = {
-                        "200": {"description": "OK",
-                                "content": {"application/json": {
-                                    "schema": _ref(schema)}}},
-                        "default": {"description": "error",
-                                    "content": {"application/json": {
-                                        "schema": _ref("ErrorResponse")}}},
-                    }
+                # OpenAPI 3 document of the implemented path layout +
+                # per-kind settings/report schemas, built from the code
+                # (api/openapi.py; route<->doc drift is test-enforced)
+                from . import openapi
                 import sdrangel_tpu as _pkg
 
-                return self._json(
-                    200,
-                    {"openapi": "3.0.0",
-                     "info": {"title": "sdrangel_tpu", "version": _pkg.__version__},
-                     "paths": paths,
-                     "components": {"schemas": schemas}},
-                )
+                return self._json(200, openapi.build_document(_pkg.__version__))
             if p == "/sdrangel/devices":
                 from ..runtime.session import SOURCE_KINDS
 
