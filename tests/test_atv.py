@@ -3,6 +3,7 @@ pattern; verify line slicing and pattern recovery."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from sdrangel_tpu.channels import demod_atv
 
@@ -213,3 +214,119 @@ def test_atv_vestigial_sideband_spectrum_and_loopback():
     # the AM case — require a clear but not pristine correlation
     rho = np.corrcoef(np.arange(active.size), active)[0, 1]
     assert rho > 0.6, rho
+
+
+# ---------------------------------------------------------------------------
+# Frame assembly: interleave + HSkip semantics (VERDICT r2 #8;
+# atvdemod.h:446-541 processClassic/processHSkip)
+# ---------------------------------------------------------------------------
+
+def _synth_standard(cfg, n_frames, row_level):
+    """Synthetic baseband video per the standard's field structure: hsync
+    tip + black porch + per-row content level; interleaved standards send
+    two fields (even rows then odd rows) with the second field's vsync
+    broad pulses starting mid-line."""
+    std = cfg.std
+    spl = cfg.samples_per_line
+    vis = cfg.visible_lines
+    hs = max(2, int(0.073 * spl))
+
+    def make_line(content, broad=False, half=False):
+        # every line carries a white reference at its tail so the demod's
+        # per-block envelope normalization is constant across blocks
+        line = np.full(spl, 0.35, np.float32)
+        if broad:
+            line[:] = 0.4
+            if half:  # second field: broad pulses start mid-line
+                line[spl // 2:] = 0.0
+                line[: int(0.2 * spl)] = 0.0
+            else:
+                line[: int(0.7 * spl)] = 0.0
+            line[spl // 2 - 6: spl // 2] = 1.0
+            return line
+        line[:hs] = 0.0
+        line[hs:] = content
+        line[-6:] = 1.0
+        return line
+
+    lines = []
+    if cfg.standard == "hskip":
+        for f in range(n_frames):
+            # skipped hsync marks the frame boundary
+            nos = np.full(spl, 0.5, np.float32)
+            nos[-6:] = 1.0
+            lines.append(nos)
+            for r in range(std.lines - 1):
+                lines.append(make_line(row_level(f, r)))
+    elif std.interleaved:
+        n_black = std.black_lines // 2
+        for f in range(n_frames):
+            for half, rows in ((False, range(0, vis, 2)), (True, range(1, vis, 2))):
+                for _ in range(n_black):
+                    lines.append(make_line(0.0, broad=True, half=half))
+                for r in rows:
+                    lines.append(make_line(row_level(f, r)))
+    else:
+        for f in range(n_frames):
+            for _ in range(std.black_lines):
+                lines.append(make_line(0.0, broad=True))
+            for r in range(vis):
+                lines.append(make_line(row_level(f, r)))
+    return np.concatenate(lines)
+
+
+@pytest.mark.parametrize("standard,lines_override", [
+    ("shortinterleaved", 0), ("short", 0), ("hskip", 0), ("405", 91),
+])
+def test_atv_frame_assembly_per_standard(standard, lines_override):
+    """Line-count + row-order recovery on synthetic interleaved frames.
+    405 runs with a reduced line count (geometry scales per config) to keep
+    the test fast; its interleave structure is the same as PAL."""
+    from sdrangel_tpu.channels import atvframe, demod_atv
+
+    line_rate = 15625.0
+    kw = dict(standard=standard)
+    if lines_override:
+        kw.update(lines=lines_override, fps=line_rate / lines_override)
+    cfg = demod_atv.ATVConfig(
+        channel_rate=line_rate * 64, modulation="am", **kw)
+    std = cfg.std
+    vis = cfg.visible_lines
+
+    def row_level(f, r):
+        return 0.3 + 0.6 * (r / max(vis - 1, 1))
+
+    video = _synth_standard(cfg, 4, row_level)
+    # AM: carrier amplitude = video level (plus headroom offset)
+    n = np.arange(len(video))
+    iq = (0.1 + 0.85 * video) * np.exp(2j * np.pi * 0.11 * n)
+    iq = iq.astype(np.complex64)
+
+    block = cfg.samples_per_line * 32
+    st = demod_atv.make_state(cfg)
+    asm = atvframe.FrameAssembler(cfg)
+    frames = []
+    import jax.numpy as jnp
+
+    for b in range(len(iq) // block):
+        st, outs = demod_atv.process(st, jnp.asarray(iq[b * block:(b + 1) * block]), cfg)
+        frames += asm.feed(np.asarray(outs.lines))
+
+    assert asm.frames >= 2, f"{standard}: only {asm.frames} frames"
+    frame = frames[-1]
+    if standard == "hskip":
+        assert frame.shape[0] == std.lines - 1, frame.shape
+        return
+    expected = vis if std.interleaved else vis
+    assert abs(frame.shape[0] - (expected // 2 * 2 if std.interleaved else expected)) <= 1, (
+        standard, frame.shape, expected)
+    if std.interleaved:
+        assert asm.field_order_detected
+    # row order: content level increases monotonically with the row index
+    hs = max(2, int(0.073 * cfg.samples_per_line))
+    levels = frame[:, hs + 4:-10].mean(axis=1)
+    diffs = np.diff(levels)
+    frac_up = float(np.mean(diffs > -0.01))
+    assert frac_up > 0.9, (
+        f"{standard}: rows out of order (weave broken), "
+        f"monotonic fraction {frac_up:.2f}")

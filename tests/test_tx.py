@@ -279,3 +279,97 @@ def test_tx_grouped_banks_mixed_kinds(tmp_path):
     for c in range(3):
         a = np.concatenate(audio[c])[4096:]
         assert _tone_snr(a, tones[c], 48000.0) > 8.0, (c, tones[c])
+
+
+@pytest.mark.slow
+def test_daemonsink_tx_to_daemonsource_rx_over_lossy_relay(tmp_path):
+    """sdrdaemonsink role (VERDICT r2 #5): a Tx session streams modulated IQ
+    as FEC superframes (sink kind "daemonsink") through a lossy UDP relay
+    into an Rx session's daemonsource device set; the NFM demod recovers the
+    tone through the losses."""
+    import socket as _socket
+    import threading as _t
+    import time
+
+    from sdrangel_tpu.runtime.session import Session
+
+    # lossy relay: drop every 9th datagram (within FEC budget)
+    relay = _socket.socket(_socket.AF_INET, _socket.SOCK_DGRAM)
+    relay.bind(("127.0.0.1", 0))
+    relay.settimeout(0.2)
+    relay_port = relay.getsockname()[1]
+    rx_port = 19961
+    stop = _t.Event()
+
+    def pump():
+        k = 0
+        while not stop.is_set():
+            try:
+                raw, _ = relay.recvfrom(4096)
+            except (TimeoutError, OSError):
+                continue
+            k += 1
+            if k % 9 == 0:
+                continue
+            relay.sendto(raw, ("127.0.0.1", rx_port))
+
+    pump_t = _t.Thread(target=pump, daemon=True)
+    pump_t.start()
+
+    # Tx session: NFM modulator at +20 kHz, daemonsink to the relay
+    s_tx = Session()
+    ds_tx = s_tx.add_device_set("tx")
+    ds_tx.update_source({
+        "kind": "daemonsink", "sample_rate": 96_000.0, "log2_interp": 1,
+        "daemon_address": "127.0.0.1", "daemon_port": relay_port,
+        "daemon_fec": 6, "throttle": True,
+    })
+    ds_tx.add_channel("sdrangel.channeltx.modnfm",
+                      {"inputFrequencyOffset": 20_000.0,
+                       "toneFrequency": 1000.0, "fm_deviation": 5000.0})
+
+    # Rx session: daemonsource + NFM demod at +20 kHz
+    s_rx = Session()
+    ds_rx = s_rx.add_device_set("rx")
+    ds_rx.update_source({"kind": "daemonsource", "daemon_port": rx_port,
+                         "sample_rate": 96_000.0})
+    ds_rx.add_channel("sdrangel.channel.nfmdemod",
+                      {"inputFrequencyOffset": 20_000.0,
+                       "squelch_db": -60.0, "squelch_gate_ms": 1.0})
+
+    # Tx first: its jit compile takes tens of seconds and the daemonsource
+    # reader raises after a 5 s receive timeout if nothing arrives
+    ds_tx.start()
+    deadline = time.time() + 120
+    while time.time() < deadline and ds_tx.blocks_processed < 3 and not ds_tx.error:
+        time.sleep(0.5)
+    assert not ds_tx.error, ds_tx.error
+    ds_rx.start()
+    deadline = time.time() + 240
+    audio = np.zeros(0, np.float32)
+    try:
+        while time.time() < deadline:
+            time.sleep(0.5)
+            if ds_tx.error or ds_rx.error:
+                break
+            got = ds_rx.drain_audio(0)
+            if got.size:
+                audio = np.concatenate([audio, got.ravel()])
+            if audio.size >= 48000:
+                break
+    finally:
+        ds_tx.stop()
+        ds_rx.stop()
+        stop.set()
+        pump_t.join(timeout=3)
+        relay.close()
+    assert not ds_tx.error, ds_tx.error
+    assert not ds_rx.error, ds_rx.error
+    assert audio.size >= 24000, f"only {audio.size} audio samples"
+    a = audio[audio.size // 3:]
+    a = a - a.mean()
+    spec = np.abs(np.fft.rfft(a * np.hanning(len(a)))) ** 2
+    freqs = np.fft.rfftfreq(len(a), 1.0 / 48000.0)
+    tone = np.abs(freqs - 1000.0) < 10 * 48000.0 / len(a)
+    snr = 10 * np.log10(spec[tone].sum() / max(spec[~tone & (freqs > 100)].sum(), 1e-30))
+    assert snr > 15.0, f"daemonsink->daemonsource audio SNR {snr:.1f} dB"
