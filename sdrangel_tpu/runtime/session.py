@@ -310,7 +310,15 @@ class DeviceSet:
             def reader(pos, count):  # network stream — position-independent
                 buf = pending[0]
                 while buf.shape[0] < count:
-                    iq, _meta = rx.recv_frame()
+                    try:
+                        iq, _meta = rx.recv_frame()
+                    except (TimeoutError, OSError):
+                        # stream gap (sender still compiling, link down, or
+                        # shutdown): a network source emits silence instead
+                        # of killing the device set — "running, no signal",
+                        # like the reference's daemon source; the worker's
+                        # stop flag ends the run at the block boundary
+                        iq = np.zeros((count - buf.shape[0], 2), np.int16)
                     buf = np.concatenate([buf, iq], axis=0)
                 pending[0] = buf[count:]
                 return buf[:count]
