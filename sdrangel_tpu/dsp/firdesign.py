@@ -85,14 +85,21 @@ def fir_apply(
         n_fft = 1 << int(np.ceil(np.log2(ext.shape[-1] + l_taps - 1)))
         # valid correlation == linear convolution with reversed taps,
         # sliced at the L-1 offset
+        if not (is_complex or jnp.iscomplexobj(taps)):
+            # real signal x real taps: half-spectrum FFTs — halves the HBM
+            # traffic of the dominant chain64 tail stage (+50 us -> ~+25 us
+            # for the 301-tap audio bandpass over (64, 16384), measured via
+            # tools/chain64_ladder.py)
+            tf = jnp.fft.rfft(taps[::-1].astype(jnp.float32), n_fft)
+            xf = jnp.fft.rfft(ext.astype(jnp.float32), n_fft, axis=-1)
+            full = jnp.fft.irfft(xf * tf, n_fft, axis=-1)
+            y = full[..., l_taps - 1 : l_taps - 1 + x.shape[-1]]
+            return FirState(ext[..., x.shape[-1] :]), y.astype(jnp.float32)
         tf = jnp.fft.fft(taps[::-1].astype(jnp.complex64), n_fft)
         xf = jnp.fft.fft(ext.astype(jnp.complex64), n_fft, axis=-1)
         full = jnp.fft.ifft(xf * tf, axis=-1)
         y = full[..., l_taps - 1 : l_taps - 1 + x.shape[-1]]
-        if not (is_complex or jnp.iscomplexobj(taps)):
-            y = jnp.real(y).astype(jnp.float32)
-        else:
-            y = y.astype(jnp.complex64)
+        y = y.astype(jnp.complex64)
         return FirState(ext[..., x.shape[-1] :]), y
     if is_complex:
         lanes = jnp.stack([jnp.real(ext), jnp.imag(ext)], axis=0)

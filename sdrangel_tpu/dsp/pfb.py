@@ -89,18 +89,18 @@ def analyze(state: PfbState, x: jnp.ndarray, m: int,
     f = t // m
     # frames of the extended signal: (..., P-1+F, M)
     frames = ext.reshape(*ext.shape[:-1], p - 1 + f, m)
-    # sliding windows over the frame axis: w[n, q] = frames[n + q],
-    # n = 0..F-1, q = 0..P-1  →  (..., F, P, M)
-    idx = jnp.arange(f)[:, None] + jnp.arange(p)[None, :]
-    windows = frames[..., idx, :]
-    # tap tensor: both axes reversed (see module docstring derivation) —
-    # the tap contraction is the MXU work, the FFT below is cheap
+    # tap tensor: both axes reversed (see module docstring derivation)
     h2 = np.ascontiguousarray(np.reshape(h, (p, m))[::-1, ::-1])
-    from .decimators import _CONV_PRECISION
-
-    v = jnp.einsum("...fpm,pm->...fm",
-                   windows, jnp.asarray(h2, jnp.float32).astype(jnp.complex64),
-                   precision=_CONV_PRECISION)
+    # polyphase contraction v[n, k] = Σ_q h2[q, k] · frames[n+q, k] — the
+    # contraction is DIAGONAL in the branch k, so it is P slice-multiply-
+    # adds, not a matmul. r2 formed explicit (F, P, M) windows by advanced
+    # indexing; that gather cost ~130 s of TPU compile alone (bisected via
+    # tools/chain64_ladder.py) for identical arithmetic. The slice form
+    # compiles in seconds and fuses into one memory-bound kernel.
+    v = None
+    for q in range(p):
+        term = frames[..., q:q + f, :] * jnp.asarray(h2[q], jnp.float32)
+        v = term if v is None else v + term
     tw = np.exp(-2j * np.pi * np.arange(m) / m).astype(np.complex64)
     y = jnp.fft.fft(v, axis=-1) * jnp.asarray(tw)
     new_tail = ext[..., t:]
@@ -124,3 +124,46 @@ def oracle_channel(x: np.ndarray, m: int, c: int,
     g = h * np.exp(2j * np.pi * c * np.arange(len(h)) / m)
     full = np.convolve(x.astype(np.complex128), g.astype(np.complex128))
     return full[m - 1::m][: len(x) // m].astype(np.complex64)
+
+
+def analyze_select(state: PfbState, x: jnp.ndarray, m: int, sel,
+                   h: np.ndarray | None = None) -> tuple[PfbState, jnp.ndarray]:
+    """analyze() restricted to grid channels `sel` (static index array).
+
+    When only C << M channels are wanted, the length-M FFT across branches
+    (which materializes all M channels — (F, M) complex in HBM) is replaced
+    by one (F, M) x (M, C) partial-DFT matmul on the MXU, writing only the
+    wanted (F, C). For the chain64 flagship (C=64 of M=256) this removes
+    three quarters of the channelizer's output traffic.
+    """
+    if h is None:
+        h = prototype(m)
+    p = len(h) // m
+    t = x.shape[-1]
+    assert t % m == 0, f"block length {t} must be a multiple of M={m}"
+    f = t // m
+    ext = jnp.concatenate([state.tail, x], axis=-1)
+    frames = ext.reshape(*ext.shape[:-1], p - 1 + f, m)
+    h2 = np.ascontiguousarray(np.reshape(h, (p, m))[::-1, ::-1])
+    v = None
+    for q in range(p):
+        term = frames[..., q:q + f, :] * jnp.asarray(h2[q], jnp.float32)
+        v = term if v is None else v + term
+    sel = np.asarray(sel)
+    k = np.arange(m)
+    # DFT row for channel c, including the per-channel twiddle tw_c
+    w = np.exp(-2j * np.pi * np.outer(k, sel) / m) * np.exp(
+        -2j * np.pi * sel / m)[None, :]
+    # complex matmul composed as ONE real f32 matmul (a complex einsum
+    # lowered ~2x slower on TPU, measured via bench -t chain64):
+    # [vr vi] (F, 2M) @ [[Wr Wi], [-Wi Wr]] (2M, 2C) -> [yr yi]
+    wr, wi = w.real.astype(np.float32), w.imag.astype(np.float32)
+    w2 = np.block([[wr, wi], [-wi, wr]])
+    from .decimators import _CONV_PRECISION
+
+    xr = jnp.concatenate([jnp.real(v), jnp.imag(v)], axis=-1)  # (..., F, 2M)
+    y2 = jnp.einsum("...fk,kc->...fc", xr, jnp.asarray(w2),
+                    precision=_CONV_PRECISION)  # (..., F, 2C)
+    c = len(sel)
+    y = (y2[..., :c] + 1j * y2[..., c:]).astype(jnp.complex64)
+    return PfbState(ext[..., t:]), y

@@ -212,3 +212,16 @@ def test_pfb_gear_matches_tree_gear_demod_snr():
     assert snr_pfb > 25.0, f"pfb snr {snr_pfb:.1f}"
     assert snr_pfb >= snr_tree - 1.0, (
         f"PFB gear ({snr_pfb:.1f} dB) worse than tree gear ({snr_tree:.1f} dB)")
+
+
+def test_analyze_select_matches_full_analysis():
+    """analyze_select == analyze restricted to the selected channels
+    (the chain64 flagship uses the select path's math via plain FFT+take;
+    the partial-DFT variant must stay exact)."""
+    m = 32
+    x = _noise(m * 40, seed=9)
+    sel = np.array([0, 5, 31, 16, 250 % m])
+    _, yfull = pfb.analyze(pfb.make_state(m), x, m)
+    _, ysel = pfb.analyze_select(pfb.make_state(m), x, m, sel)
+    np.testing.assert_allclose(
+        np.asarray(ysel), np.asarray(yfull)[..., sel], atol=2e-4)
