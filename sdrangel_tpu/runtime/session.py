@@ -92,6 +92,11 @@ class SourceSettings:
     # (dsp/pfb.py uniform-grid gear) instead of per-channel NCO mixing;
     # channel offsets snap to the grid with the residual on the demod NCO
     sharded_pfb_m: int = 0
+    # with sharded_pfb_m: run the Ulysses axis-swap gear (pfb_all_to_all —
+    # frame-sharded analysis + one all_to_all; D-fold less ICI than the
+    # all_gather gear). Channels are placed by grid chunk (a2a_placement);
+    # the baseband spectrum tap is unavailable in this gear.
+    sharded_pfb_a2a: bool = False
     # >0: acquisition ends itself after N blocks (play-once). Required for
     # clean multi-process sharded shutdown: every process leaves the
     # collective step loop at the same block instead of racing stop()
@@ -537,8 +542,9 @@ class DeviceSet:
 
                 # shard-length (4·2^k per time shard) and, with the PFB
                 # gear, analysis-frame (M·2^k) divisibility in one align
+                a2a = bool(src.sharded_pfb_a2a) and bool(src.sharded_pfb_m)
                 align = (_math.lcm(4, int(src.sharded_pfb_m) or 1)
-                         << src.log2_decim) * n_time
+                         << src.log2_decim) * n_time * (n_channel if a2a else 1)
                 block = int(src.sharded_block) or (1 << 17)
                 block = max(block // align, 1) * align
                 from ..dsp import spectrum as dsp_spectrum
@@ -548,8 +554,8 @@ class DeviceSet:
                     n_time=n_time, n_channel=n_channel,
                     device_rate=src.sample_rate, log2_decim=src.log2_decim,
                     fc_pos=src.fc_pos, block=block, bank=groups,
-                    pfb_m=pfb_m,
-                    spectrum=dsp_spectrum.SpectrumConfig(
+                    pfb_m=pfb_m, pfb_all_to_all=a2a,
+                    spectrum=None if a2a else dsp_spectrum.SpectrumConfig(
                         fft_size=int(src.spectrum_fft_size),
                         averaging_mode="none"),
                 )
@@ -609,39 +615,56 @@ class DeviceSet:
                                  for i in idxs], np.float32)
                             for idxs in chmap
                         ]
-                    if pfb_m:
+                    t0 = time.perf_counter()
+                    row_orders = None
+                    if a2a:
+                        # placement by grid chunk; traced residuals + local
+                        # indices (live retunes within a chunk are free;
+                        # cross-chunk moves re-place — demod state follows
+                        # the slot, so a retune glitch equals the reference
+                        # channel-move behaviour)
+                        orders, local_idx, residuals = shmod.a2a_placement(
+                            cfg, raw_offsets)
+                        res_t = tuple(jax.device_put(r, off_sharding)
+                                      for r in residuals)
+                        idx_t = tuple(jax.device_put(i, off_sharding)
+                                      for i in local_idx)
+                        state, audio, carry = step(
+                            state, read_block(pos_blocks), carry, res_t, idx_t)
+                        audios = audio if isinstance(audio, tuple) else (audio,)
+                        row_orders = orders  # audio row r = channel order[r]
+                        spec = None
+                    elif pfb_m:
                         # grid index + residual, both live-updatable
                         split = [shmod.grid_split(cfg, o) for o in raw_offsets]
                         pfb_idx = tuple(jax.device_put(s[0], off_sharding)
                                         for s in split)
                         offsets = tuple(jax.device_put(s[1], off_sharding)
                                         for s in split)
-                    else:
-                        pfb_idx = None
-                        offsets = tuple(jax.device_put(o, off_sharding)
-                                        for o in raw_offsets)
-                    t0 = time.perf_counter()
-                    if pfb_m:
                         state, audio, carry, spec = step(
                             state, read_block(pos_blocks), carry, offsets,
                             pfb_idx)
+                        audios = audio if isinstance(audio, tuple) else (audio,)
                     else:
+                        offsets = tuple(jax.device_put(o, off_sharding)
+                                        for o in raw_offsets)
                         state, audio, carry, spec = step(
                             state, read_block(pos_blocks), carry, offsets
                         )
-                    audios = audio if isinstance(audio, tuple) else (audio,)
+                        audios = audio if isinstance(audio, tuple) else (audio,)
                     self._publish_sharded(audios, chmap, wav_writers, net_sinks,
-                                          gen=gen)
-                    # SpectrumVis tap: in-graph stateless frame, EMA here
-                    frame = np.asarray(spec)
-                    if src.spectrum_averaging == "moving" and \
-                            self.spectrum is not None and \
-                            len(self.spectrum) == len(frame):
-                        frame = ((1.0 - spec_alpha) * self.spectrum
-                                 + spec_alpha * frame)
-                    self.spectrum = frame
-                    self.waterfall.append(frame)
-                    del self.waterfall[: -self.waterfall_keep]
+                                          gen=gen, row_orders=row_orders)
+                    if spec is not None:
+                        # SpectrumVis tap: in-graph stateless frame, EMA here
+                        frame = np.asarray(spec)
+                        if src.spectrum_averaging == "moving" and \
+                                self.spectrum is not None and \
+                                len(self.spectrum) == len(frame):
+                            frame = ((1.0 - spec_alpha) * self.spectrum
+                                     + spec_alpha * frame)
+                        self.spectrum = frame
+                        self.waterfall.append(frame)
+                        del self.waterfall[: -self.waterfall_keep]
                     dt = time.perf_counter() - t0
                     self.realtime_factor = block_seconds / max(dt, 1e-9)
                     pos_blocks += 1
@@ -663,12 +686,14 @@ class DeviceSet:
                         pass
 
     def _publish_sharded(self, audios, chmap, wav_writers, net_sinks,
-                         gen: int | None = None) -> None:
+                         gen: int | None = None, row_orders=None) -> None:
         """Publish one sharded block: only this process's addressable
         channel rows (audio is sharded over 'channel', replicated over
         'time' — duplicate replicas dedup by row index). `gen` guards
         against a channel layout change since the block was computed
-        (see _publish_block)."""
+        (see _publish_block). With the a2a gear, audio rows are in grid-
+        placement order: `row_orders[g][row]` maps back to the group's
+        channel position (a2a_placement)."""
         with self._lock:
             if gen is not None and self._gen != gen:
                 return
@@ -680,7 +705,8 @@ class DeviceSet:
                     for r in range(data.shape[0]):
                         rows.setdefault(r0 + r, data[r])
                 for row, a in sorted(rows.items()):
-                    ci = chmap[g][row]
+                    pos = int(row_orders[g][row]) if row_orders is not None else row
+                    ci = chmap[g][pos]
                     ch = self.channels[ci]
                     # power proxy: post-demod audio RMS (the sharded step
                     # doesn't return per-channel magsq; the single-device

@@ -248,3 +248,54 @@ def test_session_sharded_pfb_gear(devices):
     assert on_tune.max() > 0.05
     assert off_tune.size >= 2048
     assert np.sqrt((off_tune ** 2).mean()) < 0.5 * np.sqrt((on_tune ** 2).mean())
+
+
+def test_session_sharded_a2a_gear(devices):
+    """sharded_pfb_a2a runs the Ulysses axis-swap gear through the session:
+    channels placed by grid chunk (a2a_placement), audio un-permuted before
+    publishing; FM carriers on two different grid channels both recover
+    audio."""
+    sess = Session()
+    ds = sess.add_device_set()
+    ds.update_source({
+        "kind": "testsource", "sample_rate": 768_000.0, "log2_decim": 3,
+        "carrier_freq": 26_000.0, "modulation": "fm", "tone_freq": 1000.0,
+        "sharded": True, "mesh_time": 4, "mesh_channel": 2,
+        "sharded_block": 1 << 15, "sharded_pfb_m": 8,
+        "sharded_pfb_a2a": True,
+    })
+    # baseband 96 kHz, M=8 -> grid spacing 12 kHz; 26 kHz = grid 2 + 2 kHz.
+    # 8 channels over 8 devices: every device chunk (1 grid slot each) must
+    # receive one demod -> spread the offsets across all 8 grid slots, with
+    # channel 2 on the carrier's grid.
+    for g in range(8):
+        c = g if g <= 4 else g - 8
+        off = c * 12_000.0 + (2_000.0 if g == 2 else 500.0)
+        ds.add_channel("sdrangel.channel.nfmdemod", {
+            "inputFrequencyOffset": off,
+            "squelch_db": -40.0, "squelch_gate_ms": 1.0,
+        })
+    ds.start()
+    try:
+        _wait_blocks(ds, 3)
+        parts = []
+        t0 = time.time()
+        while sum(a.size for a in parts) < 4096 and time.time() - t0 < 60:
+            a = ds.drain_audio(2)
+            if a.size:
+                parts.append(a)
+            time.sleep(0.1)
+        audio = np.concatenate(parts) if parts else np.zeros(1)
+        # channel 2 sits on the carrier grid slot: 1 kHz tone present
+        a = audio - audio.mean()
+        spec = np.abs(np.fft.rfft(a * np.hanning(len(a)))) ** 2
+        freqs = np.fft.rfftfreq(len(a), 1.0 / 48000.0)
+        tone = np.abs(freqs - 1000.0) < 8 * 48000.0 / len(a)
+        snr = 10 * np.log10(spec[tone].sum() / max(spec[~tone & (freqs > 100)].sum(), 1e-30))
+        assert snr > 10.0, f"a2a session audio SNR {snr:.1f} dB"
+        # a quiet channel (no carrier on its grid): squelch shut
+        quiet = ds.drain_audio(5)
+        if quiet.size:
+            assert np.abs(quiet).max() < 0.05
+    finally:
+        ds.stop()
