@@ -100,16 +100,25 @@ def main() -> int:
     fc_pos = {"decimateinfii": "inf", "decimatesupii": "sup"}.get(args.test, "cen")
     decim_only = args.test not in ("chain", "chainpfb", "chain64")
     use_pfb = args.test in ("chainpfb", "chain64")
+    chain64_mode = os.environ.get("SDRANGEL_CHAIN64", "pfb256")
     if args.test == "chain64":
-        # flagship wideband bank (r3): ONE PFB-256 pass at the device rate
-        # replaces the /4 cascade + PFB-64 — the polyphase bank IS the
-        # decimator (noble identity), critically sampling the full
-        # 12.288 MHz span into 256 x 48 kHz grid channels in a single
-        # HBM traversal; the 64 channels of the flagship band (+-1.536 MHz
-        # around DC) feed the batched NFM-64 demod tail. Channel
-        # selectivity is the 12-taps/branch prototype (-90 dB adjacent,
-        # test_pfb) — better than the r2 cascade+PFB-64 path it replaces.
-        log2 = 0
+        # flagship wideband bank. Two formulations, A/B via SDRANGEL_CHAIN64:
+        #   pfb256 — ONE PFB-256 pass at the device rate: the polyphase
+        #            bank IS the decimator (noble identity), critically
+        #            sampling the 12.288 MHz span into 256 x 48 kHz grid
+        #            channels; the 64 channels of the flagship band
+        #            (+-1.536 MHz around DC) feed the batched NFM-64 tail.
+        #   dec4   — layout-native flat /4 cascade (decimate_flat_iq: no
+        #            transposes, int16 ingest fused into the conv) then a
+        #            PFB-64 over the 3.072 MHz baseband keeping ALL 64
+        #            channels (no select): the FFT works on a quarter of
+        #            the PFB-256 traffic.
+        # Channel selectivity in both is the 12-taps/branch prototype
+        # (-90 dB adjacent, test_pfb) — better than the r2 HB-tree path.
+        if chain64_mode == "dec4":
+            log2 = 2
+        else:
+            log2 = 0
         n_channels = 64
     float_in = args.test in ("decimatefi", "decimateff")
     float_out = args.test in ("decimateif", "decimateff")
@@ -136,13 +145,16 @@ def main() -> int:
         # from the 3.072 MHz baseband, one NFM demod per grid channel.
         from sdrangel_tpu.dsp import pfb as pfbmod
 
-        pfb_m = 256 if args.test == "chain64" else 4
+        pfb_m = (256 if chain64_mode != "dec4" else 64) \
+            if args.test == "chain64" else 4
         pfb_reps = max(n_channels // pfb_m, 1)  # demods per grid channel
         grid = baseband_rate / pfb_m
         if args.test == "chain64":
             # the 64 grid slots of the +-1.536 MHz flagship band, distinct
-            # small jitters absorbed by each demod's NCO
-            chan_sel = np.array([c % pfb_m for c in range(-32, 32)], np.int32)
+            # small jitters absorbed by each demod's NCO. dec4 keeps every
+            # channel of the PFB-64 (the whole grid IS the band).
+            chan_sel = (None if pfb_m == n_channels else
+                        np.array([c % pfb_m for c in range(-32, 32)], np.int32))
             residual = np.linspace(-4000.0, 4000.0, n_channels).astype(np.float32)
         else:  # chainpfb: the chain's 4 distinct jitters per leaf
             chan_sel = None
@@ -185,14 +197,24 @@ def main() -> int:
     # staged cascade for A/B.
     flat = bool(int(os.environ.get("SDRANGEL_BENCH_FLAT", "1")))
 
+    chain64_iq = args.test == "chain64" and chain64_mode == "dec4"
+
     def step(casc, cstate, dstate, raw):
-        if float_in:  # decimatefi/ff: float cascade input (mainbench.cpp:140+)
+        if chain64_iq:
+            # layout-native path: int16 (T, 2) -> f32 scale fuses into the
+            # NWC conv read; complex only materializes at the /4 rate
+            xf = raw.astype(jnp.float32) * (1.0 / 32768.0)
+            casc, bb_iq = dec.decimate_flat_iq(casc, xf, log2)
+            bb = (bb_iq[..., 0] + 1j * bb_iq[..., 1]).astype(jnp.complex64)
+        elif float_in:  # decimatefi/ff: float cascade input (mainbench.cpp:140+)
             x = (raw[..., 0] + 1j * raw[..., 1]).astype(jnp.complex64)
         else:
             x = raw.astype(jnp.float32) * (1.0 / 32768.0)
             x = (x[..., 0] + 1j * x[..., 1]).astype(jnp.complex64)
-        if log2 == 0:
-            bb = x  # chain64: the PFB itself is the decimator
+        if chain64_iq:
+            pass  # bb computed above
+        elif log2 == 0:
+            bb = x  # chain64/pfb256: the PFB itself is the decimator
         elif flat:
             casc, bb = dec.decimate_flat_any(casc, x, log2, fc_pos)
         else:
@@ -211,7 +233,13 @@ def main() -> int:
                 # 50.3 GS/s for FFT+select — the batched FFT-256 beats an
                 # MXU matmul that must read the same v anyway.)
                 cstate, yall = pfbmod.analyze(cstate, bb, pfb_m)
-                y = jnp.moveaxis(yall[..., jnp.asarray(chan_sel)], -1, 0)
+                # the ±32-around-DC band is two contiguous runs of the FFT
+                # output ([M-32:M] then [0:64-32]) — slice+concat instead of
+                # a gather (TPU gathers cost compile time and a relayout)
+                half = n_channels // 2
+                y = jnp.concatenate(
+                    [yall[..., pfb_m - half:], yall[..., :half]], axis=-1)
+                y = jnp.moveaxis(y, -1, 0)
             else:
                 # one polyphase DFT bank pass extracts all grid channels
                 cstate, yall = pfbmod.analyze(cstate, bb, pfb_m)  # (F, M)
@@ -235,7 +263,9 @@ def main() -> int:
         raw = jnp.asarray(rng.integers(-2048, 2048, size=(block, 2), dtype=np.int16))
     # states built inside jit: eager complex64 creation is unimplemented on
     # some TPU runtimes (see .claude/skills/verify/SKILL.md)
-    casc = jax.jit(lambda: dec.init_flat_state(log2) if flat else dec.init_state(log2))()
+    casc = jax.jit(
+        lambda: dec.init_flat_iq_state(log2) if chain64_iq
+        else (dec.init_flat_state(log2) if flat else dec.init_state(log2)))()
     if use_pfb:
         cstate = jax.jit(lambda: pfbmod.make_state(pfb_m))()
     else:
