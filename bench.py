@@ -90,10 +90,13 @@ def main() -> int:
     # 2^24 default: repeated A/B vs 2^23 post-dispatch-fix measured
     # 138-233 vs ~118 GS/s (bigger blocks amortize the ~30 µs/step
     # dispatch floor); 2^25 showed no further gain
-    # chain64 keeps 16x more baseband after its /4 cascade: 2^24 device
-    # samples made the 64-channel graph compile past the tunnel's patience;
-    # 2^22 compiles in ~2 min and measured 39.8 GS/s (vs_baseline 716)
-    default_log2block = "22" if args.test == "chain64" else "24"
+    # chain64 runs 2^24 like the 16-channel chain: the r2 "compiles past
+    # the tunnel's patience" blocker was the squelch scan's minor-axis
+    # associative_scan (60+ s at 2^22, unbounded at 2^24 — see
+    # dsp/scanops.py); with the two-level scan the whole 64-channel
+    # program compiles + first-steps in 8.1 s and measured 204.0 GS/s at
+    # 2^24 (vs 64.1 at 2^22 — the step cost barely grows with block size)
+    default_log2block = "24"
     block = args.nb_samples or (
         1 << int(os.environ.get("SDRANGEL_BENCH_LOG2BLOCK", default_log2block)))
     assert block % (4 << log2) == 0, "nb-samples must be a multiple of 4*2^l"

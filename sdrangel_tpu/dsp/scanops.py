@@ -4,12 +4,56 @@ The reference walks samples one by one (squelch gate counters, AGC ramps —
 nfmdemod.cpp:178-240, agc.cpp:98-175). On TPU a per-sample loop would leave
 the VPU idle; these helpers re-express the recurrences as log-depth
 associative scans.
+
+Execution shape (r3): every associative_scan here runs as a TWO-LEVEL scan
+over (chunks, K) with the scanned axis moved to a MAJOR position. A single
+associative_scan along the minor (lane) axis slices lanes at stride 2 per
+level — embedded in a large program the TPU backend took 60+ s of compile
+for the chain64 step and ~50 us/step more at runtime (bisected:
+tools/micro_scan.py — the scan ALONE compiles in 1-3 s;
+tools/micro_squelch_compile.py — in-context minor/major/barrier variants
+all compile 63-73 s, the two-level form 5.3 s and runs 66 us vs 110-130).
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+
+def _two_level_scan(compose, elems, identity):
+    """Inclusive associative scan of a tuple of (..., T) arrays along the
+    last axis, executed as chunk-level + cross-chunk scans with every
+    lax.associative_scan running on a major (non-lane) axis.
+
+    identity: tuple of scalars such that compose(identity, g) == g and
+    applying identity leaves the carry unchanged (used for the exclusive
+    chunk prefix). Returns the scanned tuple, (..., T) layout.
+    """
+    t = elems[0].shape[-1]
+    b = elems[0].shape[:-1]
+    k = 512
+    while k > 1 and t % k:  # largest power-of-two chunk dividing T
+        k //= 2
+    if t // max(k, 1) < 2 or k < 8:
+        # short/odd blocks: one scan, moved off the lane axis
+        em = tuple(jnp.moveaxis(e, -1, 0) for e in elems)
+        out = jax.lax.associative_scan(compose, em, axis=0)
+        return tuple(jnp.moveaxis(o, 0, -1) for o in out)
+    c = t // k
+    em = tuple(jnp.moveaxis(e.reshape(*b, c, k), -1, 0) for e in elems)  # (K, ..., C)
+    within = jax.lax.associative_scan(compose, em, axis=0)
+    # chunk-total tuples (..., C) -> exclusive scan over chunks (major axis)
+    ct = tuple(jnp.moveaxis(w[-1], -1, 0) for w in within)  # (C, ...)
+    pre = jax.lax.associative_scan(compose, ct, axis=0)
+    pre = tuple(
+        jnp.concatenate([jnp.full_like(p[:1], i), p[:-1]])
+        for p, i in zip(pre, identity)
+    )
+    # combine: chunk prefix (broadcast over K) composed with within-chunk
+    pre_b = tuple(jnp.moveaxis(p, 0, -1)[None] for p in pre)  # (1, ..., C)
+    full = compose(pre_b, within)  # (K, ..., C)
+    return tuple(jnp.moveaxis(f, 0, -1).reshape(*b, t) for f in full)
 
 
 def _clamp_compose(f, g):
@@ -32,60 +76,27 @@ def saturating_counter(
     recurrence is an associative scan over (a, l, h) triples — log-depth on
     the VPU instead of a length-T serial loop.
 
-    Execution (r3): TWO-LEVEL scan over (chunks, K) with every
-    associative_scan running along a MAJOR axis. A single
-    associative_scan along the minor (lane) axis slices lanes at stride 2
-    per level — in a large surrounding program the TPU backend took 60+ s
-    of compile for the chain64 step and ~50 us/step more at runtime
-    (bisected: tools/micro_squelch_compile.py — 2level 5.3 s / 66 us vs
-    63-73 s / 110-130 us for minor/major/barrier variants at 2^22).
-
     deltas: (..., T); init: (...,) counter entering the block.
     Returns (..., T) float32 counter series (after each step).
     """
     a = deltas.astype(jnp.float32)
-    t = a.shape[-1]
-    k = 512
-    while k > 1 and t % k:  # largest power-of-two chunk dividing T
-        k //= 2
-    if t // max(k, 1) < 2 or k < 8:
-        # short blocks: one scan, moved off the lane axis
-        am = jnp.moveaxis(a, -1, 0)
-        l = jnp.full_like(am, jnp.float32(lo))
-        h = jnp.full_like(am, jnp.float32(hi))
-        aa, ll, hh = jax.lax.associative_scan(_clamp_compose, (am, l, h), axis=0)
-        return jnp.moveaxis(jnp.clip(init[None] + aa, ll, hh), 0, -1)
-    b = a.shape[:-1]
-    c = t // k
-    am = jnp.moveaxis(a.reshape(*b, c, k), -1, 0)  # (K, ..., C)
-    l = jnp.full_like(am, jnp.float32(lo))
-    h = jnp.full_like(am, jnp.float32(hi))
-    aa, ll, hh = jax.lax.associative_scan(_clamp_compose, (am, l, h), axis=0)
-    # chunk-total triples (..., C) -> scan over chunks (major axis again)
-    ct = (jnp.moveaxis(aa[-1], -1, 0), jnp.moveaxis(ll[-1], -1, 0),
-          jnp.moveaxis(hh[-1], -1, 0))  # (C, ...)
-    pa, plo, phi = jax.lax.associative_scan(_clamp_compose, ct, axis=0)
-    # exclusive prefix: identity map (0, -inf, +inf) for chunk 0
-    z = jnp.zeros_like(pa[:1])
-    pa = jnp.concatenate([z, pa[:-1]])
-    plo = jnp.concatenate([jnp.full_like(z, -jnp.inf), plo[:-1]])
-    phi = jnp.concatenate([jnp.full_like(z, jnp.inf), phi[:-1]])
-    s0 = jnp.clip(init[None] + pa, plo, phi)  # (C, ...) count entering chunk
-    s0 = jnp.moveaxis(s0, 0, -1)  # (..., C)
-    out = jnp.clip(s0[None] + aa, ll, hh)  # (K, ..., C)
-    return jnp.moveaxis(out, 0, -1).reshape(*b, t)
+    l = jnp.full_like(a, jnp.float32(lo))
+    h = jnp.full_like(a, jnp.float32(hi))
+    aa, ll, hh = _two_level_scan(
+        _clamp_compose, (a, l, h), (0.0, -jnp.inf, jnp.inf)
+    )
+    return jnp.clip(init[..., None] + aa, ll, hh)
+
+
+def _ema_compose(f, g):
+    df, af = f
+    dg, ag = g
+    return df * dg, af * dg + ag
 
 
 def ema(x: jnp.ndarray, alpha: float, init: jnp.ndarray) -> jnp.ndarray:
     """y[t] = (1-alpha)*y[t-1] + alpha*x[t] as an associative scan."""
-    t = x.shape[-1]
     decay = jnp.full(x.shape, 1.0 - alpha, dtype=jnp.float32)
     add = (x * alpha).astype(jnp.float32)
-
-    def compose(f, g):
-        df, af = f
-        dg, ag = g
-        return df * dg, af * dg + ag
-
-    d, a = jax.lax.associative_scan(compose, (decay, add), axis=-1)
+    d, a = _two_level_scan(_ema_compose, (decay, add), (1.0, 0.0))
     return init[..., None] * d + a
