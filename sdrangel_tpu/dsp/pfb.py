@@ -10,13 +10,15 @@ followed by a length-M FFT across branches (XLA batched FFT). SURVEY §7.1
 names exactly this design ("one polyphase/FFT channelizer kernel") for the
 64-channel configuration.
 
-Measured on v5e (round 2): at M=64 the bank runs 45 GS/s of baseband on
-one chip, while the equivalent 64-path HB-tree bank produces an HLO too
-large to compile (64 paths × depth-6 stages unroll to hundreds of convs).
-At 16 channels on a 4-leaf grid the tree (with path dedup) still wins
-(224 vs 178 GS/s end-to-end, bench.py -t chain vs chainpfb) — the tree
-stays the default for small/irregular banks, the PFB is the uniform-grid
-scale-out gear.
+Measured on hardware (r2/r3): at M=64 the bank runs 45 GS/s of baseband
+in one pass, while the equivalent 64-path HB-tree bank produces an HLO
+too large to compile (64 paths × depth-6 stages unroll to hundreds of
+convs). At 16 channels on a 4-leaf grid the r2 comparison had the tree
+winning (224 vs 178 GS/s end-to-end) — r3 traced that entirely to XLA's
+FFT custom call on the tiny M=4 branch axis; with explicit butterflies
+for M≤4 (_dft_branches) the PFB chain measures 301 vs the tree's 234
+(bench.py -t chainpfb vs chain, 2^24). The tree remains for irregular
+(non-uniform-grid) banks; the PFB is the uniform-grid gear at every M.
 
 Math (critically sampled analysis, output rate fs/M per channel; frame-end
 alignment):
@@ -102,9 +104,25 @@ def analyze(state: PfbState, x: jnp.ndarray, m: int,
         term = frames[..., q:q + f, :] * jnp.asarray(h2[q], jnp.float32)
         v = term if v is None else v + term
     tw = np.exp(-2j * np.pi * np.arange(m) / m).astype(np.complex64)
-    y = jnp.fft.fft(v, axis=-1) * jnp.asarray(tw)
+    y = _dft_branches(v, m) * jnp.asarray(tw)
     new_tail = ext[..., t:]
     return PfbState(new_tail), y.astype(jnp.complex64)
+
+
+def _dft_branches(v: jnp.ndarray, m: int) -> jnp.ndarray:
+    """DFT across the branch (last) axis. m=2/4 use explicit butterflies —
+    XLA's FFT custom call on a tiny minor axis with a huge batch costs more
+    than the three adds it replaces (bench -t chainpfb: the M=4 grid)."""
+    if m == 2:
+        return jnp.stack([v[..., 0] + v[..., 1], v[..., 0] - v[..., 1]], axis=-1)
+    if m == 4:
+        s02 = v[..., 0] + v[..., 2]
+        d02 = v[..., 0] - v[..., 2]
+        s13 = v[..., 1] + v[..., 3]
+        d13 = v[..., 1] - v[..., 3]
+        return jnp.stack(
+            [s02 + s13, d02 - 1j * d13, s02 - s13, d02 + 1j * d13], axis=-1)
+    return jnp.fft.fft(v, axis=-1)
 
 
 def channel_freqs(m: int, fs: float) -> np.ndarray:
