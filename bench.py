@@ -53,7 +53,12 @@ def main() -> int:
     import argparse
 
     ap = argparse.ArgumentParser(description="sdrangel_tpu bench (sdrangelbench role)")
-    ap.add_argument("-t", "--test", default="chain",
+    # default gear: chainpfb — the same logical workload as `chain`
+    # (decimate /64 -> 16 channels at distinct offsets -> NFM x16) executed
+    # with the polyphase DFT bank, which r3 measured strictly better than
+    # the HB-tree bank (301 vs 234 GS/s at 2^24) with better channel
+    # filtering (-90 dB adjacent vs -55.4); the tree stays via -t chain
+    ap.add_argument("-t", "--test", default="chainpfb",
                     choices=["chain", "chainpfb", "chain64", "decimateii",
                              "decimateinfii", "decimatesupii", "decimateif",
                              "decimatefi", "decimateff"],
