@@ -286,7 +286,21 @@ def test_daemonsink_tx_to_daemonsource_rx_over_lossy_relay(tmp_path):
     """sdrdaemonsink role (VERDICT r2 #5): a Tx session streams modulated IQ
     as FEC superframes (sink kind "daemonsink") through a lossy UDP relay
     into an Rx session's daemonsource device set; the NFM demod recovers the
-    tone through the losses."""
+    tone through the losses.
+
+    The path is real-time (throttled UDP pacing + a 5 s receive timeout in
+    the daemonsource reader), so a loaded machine can starve it — one retry
+    before failing, like the other wall-clock-sensitive transport tests."""
+    for attempt in range(2):
+        try:
+            _daemonsink_lossy_relay_roundtrip(tmp_path)
+            return
+        except AssertionError:
+            if attempt == 1:
+                raise
+
+
+def _daemonsink_lossy_relay_roundtrip(tmp_path):
     import socket as _socket
     import threading as _t
     import time
