@@ -295,7 +295,7 @@ def test_daemonsink_tx_to_daemonsource_rx_over_lossy_relay(tmp_path):
         try:
             _daemonsink_lossy_relay_roundtrip(tmp_path)
             return
-        except AssertionError:
+        except (AssertionError, OSError):
             if attempt == 1:
                 raise
 
@@ -313,7 +313,12 @@ def _daemonsink_lossy_relay_roundtrip(tmp_path):
     relay.bind(("127.0.0.1", 0))
     relay.settimeout(0.2)
     relay_port = relay.getsockname()[1]
-    rx_port = 19961
+    # reserve a free UDP port for the Rx daemonsource (a fixed port collided
+    # with a not-yet-reaped socket from a previous suite process)
+    probe = _socket.socket(_socket.AF_INET, _socket.SOCK_DGRAM)
+    probe.bind(("127.0.0.1", 0))
+    rx_port = probe.getsockname()[1]
+    probe.close()
     stop = _t.Event()
 
     def pump():
