@@ -109,6 +109,8 @@ def main() -> int:
     decim_only = args.test not in ("chain", "chainpfb", "chain64")
     use_pfb = args.test in ("chainpfb", "chain64")
     chain64_mode = os.environ.get("SDRANGEL_CHAIN64", "pfb256")
+    assert chain64_mode in ("pfb256", "dec4"), (
+        f"SDRANGEL_CHAIN64={chain64_mode!r}: valid values are pfb256|dec4")
     if args.test == "chain64":
         # flagship wideband bank. Two formulations, A/B via SDRANGEL_CHAIN64:
         #   pfb256 — ONE PFB-256 pass at the device rate: the polyphase
@@ -158,14 +160,14 @@ def main() -> int:
         pfb_reps = max(n_channels // pfb_m, 1)  # demods per grid channel
         grid = baseband_rate / pfb_m
         if args.test == "chain64":
-            # the 64 grid slots of the +-1.536 MHz flagship band, distinct
-            # small jitters absorbed by each demod's NCO. dec4 keeps every
-            # channel of the PFB-64 (the whole grid IS the band).
-            chan_sel = (None if pfb_m == n_channels else
-                        np.array([c % pfb_m for c in range(-32, 32)], np.int32))
+            # the n_channels grid slots of the +-1.536 MHz flagship band
+            # (two contiguous runs around DC), distinct small jitters
+            # absorbed by each demod's NCO. dec4 keeps every channel of
+            # the PFB-64 (the whole grid IS the band, no select needed).
+            select_band = pfb_m != n_channels
             residual = np.linspace(-4000.0, 4000.0, n_channels).astype(np.float32)
         else:  # chainpfb: the chain's 4 distinct jitters per leaf
-            chan_sel = None
+            select_band = False
             jitters = (-0.18 * leaf, -0.06 * leaf, 0.06 * leaf, 0.18 * leaf)
             residual = np.asarray(
                 [jitters[i % pfb_reps] for i in range(n_channels)], np.float32)
@@ -233,7 +235,7 @@ def main() -> int:
                 y = jnp.clip(jnp.round(y * 32768.0), -32768, 32767).astype(jnp.int16)
             return casc, cstate, dstate, y
         if use_pfb:
-            if chan_sel is not None:
+            if select_band:
                 # chain64: full FFT across branches then select the
                 # flagship band's 64 slots. (A/B on hardware: the partial-
                 # DFT matmul (pfb.analyze_select) measured 45.0 GS/s as a

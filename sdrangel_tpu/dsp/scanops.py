@@ -26,21 +26,33 @@ def _two_level_scan(compose, elems, identity):
     last axis, executed as chunk-level + cross-chunk scans with every
     lax.associative_scan running on a major (non-lane) axis.
 
-    identity: tuple of scalars such that compose(identity, g) == g and
-    applying identity leaves the carry unchanged (used for the exclusive
-    chunk prefix). Returns the scanned tuple, (..., T) layout.
+    identity: tuple of scalars such that compose(identity, g) == g,
+    compose(f, identity) == f, and applying identity leaves the carry
+    unchanged (used for the exclusive chunk prefix AND for padding).
+    Returns the scanned tuple, (..., T) layout.
     """
     t = elems[0].shape[-1]
     b = elems[0].shape[:-1]
-    k = 512
-    while k > 1 and t % k:  # largest power-of-two chunk dividing T
-        k //= 2
-    if t // max(k, 1) < 2 or k < 8:
-        # short/odd blocks: one scan, moved off the lane axis
+    if t < 1024:
+        # short blocks: one scan, moved off the lane axis (cheap at these
+        # lengths; the compile bomb needs both depth and width)
         em = tuple(jnp.moveaxis(e, -1, 0) for e in elems)
         out = jax.lax.associative_scan(compose, em, axis=0)
         return tuple(jnp.moveaxis(o, 0, -1) for o in out)
-    c = t // k
+    # pad to a multiple of the chunk with identity elements so EVERY large
+    # block takes the two-level path (a single full-length scan is the
+    # 60 s compile bomb this module exists to avoid — review finding r3:
+    # a block whose 2-adic factor is small must not fall back to it)
+    k = 512
+    pad = (-t) % k
+    if pad:
+        elems = tuple(
+            jnp.concatenate(
+                [e, jnp.full((*b, pad), i, dtype=e.dtype)], axis=-1)
+            for e, i in zip(elems, identity)
+        )
+    tp = t + pad
+    c = tp // k
     em = tuple(jnp.moveaxis(e.reshape(*b, c, k), -1, 0) for e in elems)  # (K, ..., C)
     within = jax.lax.associative_scan(compose, em, axis=0)
     # chunk-total tuples (..., C) -> exclusive scan over chunks (major axis)
@@ -53,7 +65,8 @@ def _two_level_scan(compose, elems, identity):
     # combine: chunk prefix (broadcast over K) composed with within-chunk
     pre_b = tuple(jnp.moveaxis(p, 0, -1)[None] for p in pre)  # (1, ..., C)
     full = compose(pre_b, within)  # (K, ..., C)
-    return tuple(jnp.moveaxis(f, 0, -1).reshape(*b, t) for f in full)
+    return tuple(
+        jnp.moveaxis(f, 0, -1).reshape(*b, tp)[..., :t] for f in full)
 
 
 def _clamp_compose(f, g):

@@ -30,7 +30,10 @@ def _oracle_ema(x, alpha, y):
     return np.array(out, np.float32)
 
 
-@pytest.mark.parametrize("t", [1, 5, 48, 100, 512, 1536, 4096, 6144, 16384])
+@pytest.mark.parametrize(
+    "t", [1, 5, 48, 100, 512, 1536, 4096, 6144, 16384,
+          12500, 12289])  # 12500 = small 2-adic factor, 12289 = prime:
+                          # both must take the padded two-level path
 def test_saturating_counter_matches_oracle(t):
     rng = np.random.default_rng(t)
     deltas = rng.choice([-1.0, 1.0], size=(3, t)).astype(np.float32)
@@ -42,7 +45,7 @@ def test_saturating_counter_matches_oracle(t):
     np.testing.assert_allclose(got, want)
 
 
-@pytest.mark.parametrize("t", [1, 48, 512, 6144, 16384])
+@pytest.mark.parametrize("t", [1, 48, 512, 6144, 16384, 12500, 12289])
 def test_ema_matches_oracle(t):
     rng = np.random.default_rng(100 + t)
     x = rng.standard_normal((2, t)).astype(np.float32)

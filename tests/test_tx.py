@@ -289,8 +289,9 @@ def test_daemonsink_tx_to_daemonsource_rx_over_lossy_relay(tmp_path):
     tone through the losses.
 
     The path is real-time (throttled UDP pacing + a 5 s receive timeout in
-    the daemonsource reader), so a loaded machine can starve it — one retry
-    before failing, like the other wall-clock-sensitive transport tests."""
+    the daemonsource reader), so a loaded machine can starve it — one
+    retry before failing; the helper's try/finally covers the session
+    starts so a failed attempt cannot leak a running Tx into the retry."""
     for attempt in range(2):
         try:
             _daemonsink_lossy_relay_roundtrip(tmp_path)
@@ -359,17 +360,22 @@ def _daemonsink_lossy_relay_roundtrip(tmp_path):
                       {"inputFrequencyOffset": 20_000.0,
                        "squelch_db": -60.0, "squelch_gate_ms": 1.0})
 
-    # Tx first: its jit compile takes tens of seconds and the daemonsource
-    # reader raises after a 5 s receive timeout if nothing arrives
-    ds_tx.start()
-    deadline = time.time() + 120
-    while time.time() < deadline and ds_tx.blocks_processed < 3 and not ds_tx.error:
-        time.sleep(0.5)
-    assert not ds_tx.error, ds_tx.error
-    ds_rx.start()
-    deadline = time.time() + 240
+    # The finally must cover the STARTS too: a failed attempt that leaked a
+    # running Tx session + pump thread into the retry would make the retry
+    # itself flakier (review finding r3).
     audio = np.zeros(0, np.float32)
     try:
+        # Tx first: its jit compile takes tens of seconds and the
+        # daemonsource reader raises after a 5 s receive timeout if
+        # nothing arrives
+        ds_tx.start()
+        deadline = time.time() + 120
+        while (time.time() < deadline and ds_tx.blocks_processed < 3
+               and not ds_tx.error):
+            time.sleep(0.5)
+        assert not ds_tx.error, ds_tx.error
+        ds_rx.start()
+        deadline = time.time() + 240
         while time.time() < deadline:
             time.sleep(0.5)
             if ds_tx.error or ds_rx.error:

@@ -39,7 +39,6 @@ cfg = demod_nfm.NFMConfig(
     channel_rate=48000.0, block_in=F, squelch_db=-100.0, squelch_gate_ms=1.0
 )
 residual = np.linspace(-4000.0, 4000.0, NCH).astype(np.float32)
-chan_sel = np.array([c % M for c in range(-32, 32)], np.int32)
 plan = cfg.resampler_plan
 bp_taps = np.asarray(cfg.bandpass_taps)
 
@@ -53,7 +52,12 @@ def upto(stage):
         cstate, yall = pfbmod.analyze(cstate, x, M)
         if stage == "pfb":
             return cstate, dstate, jnp.stack([yall.real, yall.imag])
-        y = jnp.moveaxis(yall[..., jnp.asarray(chan_sel)], -1, 0)
+        # slice+concat band select — keep in lockstep with bench.py's
+        # chain64 step (the gather form it replaced costs a TPU relayout
+        # the shipped chain no longer pays)
+        half = NCH // 2
+        y = jnp.concatenate([yall[..., M - half:], yall[..., :half]], axis=-1)
+        y = jnp.moveaxis(y, -1, 0)
         if stage == "select":
             return cstate, dstate, jnp.stack([y.real, y.imag])
         inc = nco.freq_to_increment_traced(-jnp.asarray(residual), cfg.channel_rate)
