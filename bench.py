@@ -92,16 +92,17 @@ def main() -> int:
     # device-rate samples per step (~91 µs fixed dispatch overhead per step
     # through the TPU tunnel — big blocks amortize it); SDRANGEL_BENCH_LOG2BLOCK
     # overrides for sweeps
-    # 2^24 default: repeated A/B vs 2^23 post-dispatch-fix measured
-    # 138-233 vs ~118 GS/s (bigger blocks amortize the ~30 µs/step
-    # dispatch floor); 2^25 showed no further gain
-    # chain64 runs 2^24 like the 16-channel chain: the r2 "compiles past
-    # the tunnel's patience" blocker was the squelch scan's minor-axis
-    # associative_scan (60+ s at 2^22, unbounded at 2^24 — see
-    # dsp/scanops.py); with the two-level scan the whole 64-channel
-    # program compiles + first-steps in 8.1 s and measured 204.0 GS/s at
-    # 2^24 (vs 64.1 at 2^22 — the step cost barely grows with block size)
-    default_log2block = "24"
+    # 2^25 default (r3): the per-step cost sits in a ~55-110 µs band
+    # REGARDLESS of block size (the tunnel's variable per-step floor — see
+    # tools/chip_probe3.py and .claude/skills/verify/SKILL.md), so bigger
+    # blocks raise throughput almost linearly AND stabilize it: chainpfb
+    # measured 155-301 GS/s across runs at 2^24 but 405/424/407 at 2^25
+    # (back-to-back). 2^26 roughly doubles again (700 GS/s chain) at the
+    # cost of a 38 s compile; 2^25 keeps compile+first-step ~25-35 s.
+    # (The r2 "chain64 compiles past the tunnel's patience" blocker was
+    # the squelch scan's minor-axis associative_scan, fixed in
+    # dsp/scanops.py — compile no longer limits the block choice.)
+    default_log2block = "25"
     block = args.nb_samples or (
         1 << int(os.environ.get("SDRANGEL_BENCH_LOG2BLOCK", default_log2block)))
     assert block % (4 << log2) == 0, "nb-samples must be a multiple of 4*2^l"

@@ -179,3 +179,123 @@ class SyncSearcher:
                 "invertedPolarity": self.last.inverted,
             },
         }
+
+
+# --- Voice payload extraction (the mbelib / DVSerial hand-off boundary) ---
+#
+# The reference's DSDcc slices each synchronized voice frame into AMBE
+# frames and hands them to mbelib or the DVSerial dongle
+# (dsddemod.cpp feed -> DSDDecoder; the vocoder itself stays external,
+# as it does here). This layer reproduces the slicing so a consumer of
+# the channel report/data gets vocoder-ready AMBE frames, not raw dibits:
+#
+#   DMR (ETSI TS 102 361-1 §6.1): a voice burst carries 216 voice bits as
+#   108 before + 108 after the 48-bit centre sync; they form exactly three
+#   72-bit AMBE frames: A[0:108]+B[0:108] bits -> f1 = bits 0..71,
+#   f2 = 72..143, f3 = 144..215 (DSDcc processFrame's 36+36+36 dibits).
+#
+#   D-Star (ARIB STD-B10): the voice stream is 96-bit frames of
+#   [72 voice | 24 slow-data]; the 24-bit sync occupies the slow-data slot
+#   every 21st frame, so the sync frame's voice IMMEDIATELY PRECEDES the
+#   sync and subsequent frames follow at 96-bit spacing.
+
+#: DMR voice payload span around a sync start p: [p-54, p+78) dibits
+_DMR_PRE = 54
+_DMR_POST = 78
+
+
+def _dibits_to_bits(dibits: np.ndarray) -> np.ndarray:
+    """MSB-first bit pairs of each dibit value (b1<<1)|b0."""
+    d = np.asarray(dibits, np.int8)
+    out = np.empty(d.size * 2, np.uint8)
+    out[0::2] = (d >> 1) & 1
+    out[1::2] = d & 1
+    return out
+
+
+def _bits_to_hex(bits: np.ndarray) -> str:
+    v = 0
+    for b in np.asarray(bits, np.uint8):
+        v = (v << 1) | int(b)
+    return f"{v:0{len(bits) // 4}x}"
+
+
+@dataclasses.dataclass
+class VoiceExtractor:
+    """Streaming AMBE-frame slicer over the dibit stream + sync hits.
+
+    feed(dibits, hits) buffers the stream (global positions, like
+    SyncSearcher) and returns a list of
+    {"protocol", "position", "hex"} AMBE72 frames for every voice hit
+    whose payload span is fully buffered; hits whose tail has not arrived
+    yet are held for the next feed. Inverted-polarity hits are corrected
+    (symbol negation = dibit ^ 2, i.e. the sign bit flips)."""
+
+    _buf: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0, np.int8))
+    _pos: int = 0  # global index of _buf[0]
+    _pending: list = dataclasses.field(default_factory=list)
+    #: D-Star voice cadence: global bit position of the next expected
+    #: 72-bit voice frame (chained at 96-bit spacing from the last sync;
+    #: a sync hit re-anchors it, so drift cannot accumulate)
+    _dstar_next: int | None = None
+    _dstar_inv: bool = False
+    total: int = 0
+
+    def feed(self, dibits: np.ndarray, hits: list) -> list[dict]:
+        dibits = np.asarray(dibits, np.int8).ravel()
+        self._buf = np.concatenate([self._buf, dibits])
+        self._pending.extend(
+            h for h in hits
+            if h.protocol == "dmr" and h.frame_type.endswith("_voice"))
+        for h in hits:
+            if h.protocol == "dstar":
+                # re-anchor the voice cadence right after this sync
+                self._dstar_next = h.position + len(DSTAR_SYNC_BITS)
+                self._dstar_inv = h.inverted
+        out: list[dict] = []
+        still_pending = []
+        end = self._pos + len(self._buf)
+        for h in self._pending:
+            lo, hi = h.position - _DMR_PRE, h.position + _DMR_POST
+            if lo < self._pos:
+                continue  # too old (history already trimmed) — drop
+            if hi > end:
+                still_pending.append(h)  # tail not buffered yet
+                continue
+            seg = self._buf[lo - self._pos: hi - self._pos]
+            if h.inverted:
+                seg = (seg ^ 2).astype(np.int8)
+            a = _dibits_to_bits(seg[:_DMR_PRE])
+            b = _dibits_to_bits(seg[_DMR_PRE + 24:])
+            voice = np.concatenate([a, b])  # 216 bits
+            for k in range(3):
+                out.append({
+                    "protocol": "dmr",
+                    "position": int(h.position),
+                    "hex": _bits_to_hex(voice[72 * k: 72 * (k + 1)]),
+                })
+        self._pending = still_pending
+        # D-Star: emit every chained 72-bit voice frame that is buffered
+        # ([72 voice | 24 data] cadence; the GMSK bit = symbol sign bit)
+        while (self._dstar_next is not None
+               and self._dstar_next + 72 <= end):
+            lo = self._dstar_next
+            if lo >= self._pos:
+                seg = self._buf[lo - self._pos: lo - self._pos + 72]
+                bits = (seg >= 2).astype(np.uint8)
+                if self._dstar_inv:
+                    bits ^= 1
+                out.append({
+                    "protocol": "dstar",
+                    "position": int(lo),
+                    "hex": _bits_to_hex(bits),
+                })
+            self._dstar_next += DSTAR_FRAME_BITS
+        # keep enough history for a hit near the buffer head next feed
+        keep = max(_DMR_PRE + _DMR_POST, DSTAR_FRAME_BITS) * 2
+        if len(self._buf) > keep:
+            self._pos += len(self._buf) - keep
+            self._buf = self._buf[-keep:]
+        self.total += len(out)
+        return out

@@ -924,8 +924,19 @@ class DeviceSet:
         if searcher is None:
             searcher = dsdsync.SyncSearcher()
             ch._dsd_sync = searcher
-        searcher.feed(ch.latest_data["dibits"].reshape(-1))
-        ch.host_report = {"dsd": searcher.report()}
+            ch._dsd_voice = dsdsync.VoiceExtractor()
+            ch._dsd_frames = []
+        dibits = ch.latest_data["dibits"].reshape(-1)
+        hits = searcher.feed(dibits)
+        # AMBE voice-frame slicing (the mbelib/DVSerial hand-off boundary
+        # DSDcc performs for the reference; vocoder stays external)
+        frames = ch._dsd_voice.feed(dibits, hits)
+        if frames:
+            ch._dsd_frames = (ch._dsd_frames + frames)[-32:]
+        report = searcher.report()
+        report["ambeFrameCount"] = ch._dsd_voice.total
+        report["ambeFrames"] = list(ch._dsd_frames)
+        ch.host_report = {"dsd": report}
 
     #: soft bits to buffer before the one-shot DATV host FEC pass
     _DATV_DECODE_BITS = 120_000

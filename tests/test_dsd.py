@@ -154,3 +154,93 @@ def test_dmr_frame_loopback_through_demod():
     gaps = np.diff([h.position for h in voice])
     # constant burst spacing (allowing the demod's warmup to eat the first)
     assert np.median(gaps) == dsdsync.DMR_BURST_DIBITS, gaps
+
+
+# ---------------------------------------------------------------------------
+# AMBE voice-frame extraction (channels/dsdsync.py VoiceExtractor — the
+# DSDcc voice-slicing role at the mbelib/DVSerial hand-off boundary)
+# ---------------------------------------------------------------------------
+
+
+def _bits_to_dibits(bits):
+    bits = np.asarray(bits, np.uint8)
+    return ((bits[0::2] << 1) | bits[1::2]).astype(np.int8)
+
+
+def _hex72(bits):
+    v = 0
+    for b in np.asarray(bits, np.uint8):
+        v = (v << 1) | int(b)
+    return f"{v:018x}"
+
+
+def _dmr_voice_burst(rng, voice_bits):
+    """One DMR voice burst: 108 voice bits + 48-bit sync + 108 voice bits
+    + 24-bit guard (ETSI TS 102 361-1 §6.1 layout, 144 dibits total)."""
+    a = _bits_to_dibits(voice_bits[:108])
+    b = _bits_to_dibits(voice_bits[108:])
+    guard = rng.integers(0, 4, 12).astype(np.int8)
+    return np.concatenate([a, dsdsync.DMR_BS_VOICE, b, guard])
+
+
+def test_dmr_ambe_frame_extraction():
+    rng = np.random.default_rng(11)
+    v1 = rng.integers(0, 2, 216).astype(np.uint8)
+    v2 = rng.integers(0, 2, 216).astype(np.uint8)
+    stream = np.concatenate([
+        rng.integers(0, 4, 101).astype(np.int8),
+        _dmr_voice_burst(rng, v1),
+        _dmr_voice_burst(rng, v2),
+        rng.integers(0, 4, 60).astype(np.int8),
+    ])
+    s = dsdsync.SyncSearcher(max_errors=0)
+    ve = dsdsync.VoiceExtractor()
+    frames = []
+    # uneven chunks: spans must survive block seams and deferred tails
+    for a, b in ((0, 150), (150, 290), (290, len(stream))):
+        hits = s.feed(stream[a:b])
+        frames += ve.feed(stream[a:b], hits)
+    dmr = [f for f in frames if f["protocol"] == "dmr"]
+    assert len(dmr) == 6, dmr
+    want = [_hex72(v[72 * k: 72 * (k + 1)]) for v in (v1, v2) for k in range(3)]
+    assert [f["hex"] for f in dmr] == want
+
+
+def test_dmr_ambe_extraction_inverted_polarity():
+    rng = np.random.default_rng(12)
+    v = rng.integers(0, 2, 216).astype(np.uint8)
+    stream = np.concatenate([
+        rng.integers(0, 4, 77).astype(np.int8),
+        _dmr_voice_burst(rng, v),
+        rng.integers(0, 4, 40).astype(np.int8),
+    ])
+    inv = (stream ^ 2).astype(np.int8)  # discriminator sign flip
+    s = dsdsync.SyncSearcher(max_errors=0)
+    ve = dsdsync.VoiceExtractor()
+    hits = s.feed(inv)
+    frames = ve.feed(inv, hits)
+    dmr = [f for f in frames if f["protocol"] == "dmr"]
+    assert len(dmr) == 3
+    assert [f["hex"] for f in dmr] == [_hex72(v[72 * k: 72 * (k + 1)])
+                                       for k in range(3)]
+
+
+def test_dstar_voice_cadence():
+    rng = np.random.default_rng(13)
+    voices = [rng.integers(0, 2, 72).astype(np.uint8) for _ in range(3)]
+    data = rng.integers(0, 2, 24).astype(np.uint8)
+    bits = np.concatenate([
+        voices[0], dsdsync.DSTAR_SYNC_BITS.astype(np.uint8),  # sync frame
+        voices[1], data,                                       # frame 1
+        voices[2], data,                                       # frame 2
+    ])
+    stream = np.where(bits == 1, 3, 1).astype(np.int8)  # bit -> symbol sign
+    s = dsdsync.SyncSearcher(max_errors=0)
+    ve = dsdsync.VoiceExtractor()
+    frames = []
+    for a, b in ((0, 100), (100, 200), (200, len(stream))):
+        hits = s.feed(stream[a:b])
+        frames += ve.feed(stream[a:b], hits)
+    ds = [f for f in frames if f["protocol"] == "dstar"]
+    # the cadence anchors at the sync: frames 1 and 2 are recovered
+    assert [f["hex"] for f in ds] == [_hex72(voices[1]), _hex72(voices[2])]
