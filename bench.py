@@ -62,13 +62,13 @@ def main() -> int:
                     choices=["chain", "chainpfb", "chain64", "decimateii",
                              "decimateinfii", "decimatesupii", "decimateif",
                              "decimatefi", "decimateff"],
-                    help="chain = decimate + per-channel channelizer + NFM16; "
-                         "chainpfb = same workload with the polyphase DFT "
-                         "filter bank replacing the per-channel HB trees "
-                         "(dsp/pfb.py); chain64 = the 64-channel flagship: "
-                         "/4 cascade then one PFB-64 pass feeding 64 NFM "
-                         "demods at 48 kHz each (a per-channel tree bank "
-                         "at this count fails to even compile); decimate* "
+                    help="chainpfb (default) = decimate + polyphase DFT "
+                         "bank + NFM16 at 16 distinct offsets (dsp/pfb.py); "
+                         "chain = same workload on the per-channel HB-tree "
+                         "channelizer; chain64 = the 64-channel flagship: "
+                         "ONE PFB-256 pass at device rate feeding 64 NFM "
+                         "demods at 48 kHz each (SDRANGEL_CHAIN64=dec4 for "
+                         "the /4-cascade+PFB-64 A/B form); decimate* "
                          "= cascade only: ii/infii/supii are the int16->"
                          "int16 placements, if/fi/ff the float-path dtype "
                          "matrix (mainbench.cpp:112-191)")
