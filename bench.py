@@ -81,6 +81,19 @@ def main() -> int:
     baseline_ksps = _cpu_baseline_ksps()
 
     import jax
+
+    # Persistent compilation cache: the driver runs this bench in a cold
+    # process every round; caching compiled executables across runs removes
+    # the ~20-40 s compile from the driver's wall clock (the measurement
+    # itself is unaffected — only post-compile steps are timed). Harmless
+    # if the backend compiles server-side (cache simply stays empty).
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache_bench"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from sdrangel_tpu.channels import demod_nfm
@@ -105,7 +118,6 @@ def main() -> int:
     default_log2block = "25"
     block = args.nb_samples or (
         1 << int(os.environ.get("SDRANGEL_BENCH_LOG2BLOCK", default_log2block)))
-    assert block % (4 << log2) == 0, "nb-samples must be a multiple of 4*2^l"
     fc_pos = {"decimateinfii": "inf", "decimatesupii": "sup"}.get(args.test, "cen")
     decim_only = args.test not in ("chain", "chainpfb", "chain64")
     use_pfb = args.test in ("chainpfb", "chain64")
@@ -131,6 +143,11 @@ def main() -> int:
         else:
             log2 = 0
         n_channels = 64
+    # validate block AFTER chain64 resolves its effective log2/pfb_m
+    # (advisor r3: a -n value for -t chain64 was checked against the user's
+    # -l instead of the actual PFB frame factor)
+    assert block % (4 << log2) == 0, (
+        f"nb-samples must be a multiple of {4 << log2} (4*2^{log2})")
     float_in = args.test in ("decimatefi", "decimateff")
     float_out = args.test in ("decimateif", "decimateff")
     device_rate = 12_288_000.0
@@ -158,6 +175,9 @@ def main() -> int:
 
         pfb_m = (256 if chain64_mode != "dec4" else 64) \
             if args.test == "chain64" else 4
+        assert (block >> log2) % pfb_m == 0, (
+            f"nb-samples must give a baseband multiple of the PFB frame "
+            f"(block/{1 << log2} % {pfb_m} != 0)")
         pfb_reps = max(n_channels // pfb_m, 1)  # demods per grid channel
         grid = baseband_rate / pfb_m
         if args.test == "chain64":
@@ -296,21 +316,39 @@ def main() -> int:
     print(f"# compile+first-step: {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
 
-    # median of 5 passes — the remote-execution tunnel adds large
+    # Warmup: the tunnel's per-step dispatch floor is markedly higher for
+    # the first steps of a cold session (r3's driver-context run recorded
+    # ~208 µs/step where warmed sessions sit at ~80-100 µs); burn ~2 s of
+    # steady-state steps before measuring so the recorded figure reflects
+    # the sustained rate, not the cold grant.
+    t0 = time.perf_counter()
+    warm_steps = 0
+    while time.perf_counter() - t0 < 2.0 and warm_steps < 2000:
+        for _ in range(10):
+            casc, cstate, dstate, audio = step(casc, cstate, dstate, raw)
+        audio.block_until_ready()
+        warm_steps += 10
+    print(f"# warmup: {warm_steps} steps in {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+
+    # median of 15 passes — the remote-execution tunnel adds large
     # run-to-run variance unrelated to the program, in BOTH directions
     # (a max-of-passes policy once reported 270 GS/s, above the chip's
     # HBM speed-of-light for this 4 B/sample workload; synchronized
     # per-step timing puts the true sustained rate near ~110 GS/s).
-    # The median is robust to both glitch directions.
+    # The median is robust to both glitch directions; 15 passes cost only
+    # ~450 steps (~40 ms measured) so the extra samples are free.
     iters = args.repeat
     rates = []
-    for _ in range(5):
+    for _ in range(15):
         t0 = time.perf_counter()
         for _ in range(iters):
             casc, cstate, dstate, audio = step(casc, cstate, dstate, raw)
         audio.block_until_ready()
         elapsed = time.perf_counter() - t0
         rates.append(block * iters / elapsed / 1e6)
+    print("# pass GS/s: " + " ".join(f"{r / 1e3:.0f}" for r in rates),
+          file=sys.stderr)
 
     msps = float(np.median(rates))
     vs = msps * 1e3 / baseline_ksps

@@ -118,6 +118,9 @@ STATIC_SCHEMAS = {
             "index": {"type": "integer"},
             "direction": {"type": "string", "enum": ["rx", "tx"]},
             "state": {"type": "string"},
+            # sharded a2a gear degraded to the all_gather gear after an
+            # unbalanceable live retune (see session.DeviceSet.a2a_fallback)
+            "a2aFallback": {"type": "boolean"},
             "channelcount": {"type": "integer"},
             "channels": {"type": "array", "items": _ref("ChannelSummary")}}},
     "ChannelSummary": {

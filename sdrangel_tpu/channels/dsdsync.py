@@ -28,7 +28,18 @@ they are protocol constants, not reference code):
     it as the slow-data sync every 21st frame.
 
 Polarity: a discriminator sign flip negates every symbol. Like DSDcc, each
-pattern is also matched inverted and the hit is flagged.
+pattern is also matched inverted and the hit is flagged — with one
+DMR-specific subtlety: each DMR data sync word is exactly the symbol
+negation of the matching voice word (asserted below), so "data, normal
+polarity" and "voice, inverted polarity" are the SAME symbol sequence and
+every DMR window match is inherently ambiguous. DSDcc resolves this by
+matching DMR only in normal polarity (dsd_frame_sync has no -DMR sync
+types; inverted search exists for D-Star/ProVoice/X2-TDMA, whose inverted
+patterns are not other valid syncs). We do the same by default, and keep a
+polarity lock (`SyncSearcher.polarity`) that the unambiguous protocols
+(YSF, D-Star) update automatically — when the lock says the channel is
+inverted, DMR pairs resolve to the inverted interpretation instead. The
+lock can also be preset for a channel known to be inverted.
 """
 
 from __future__ import annotations
@@ -116,6 +127,11 @@ class SyncSearcher:
     number of bit errors in its sync correlators)."""
 
     max_errors: int = 2
+    #: established channel polarity (False = normal). Updated automatically
+    #: by YSF/D-Star hits (their inverted patterns are unambiguous); presets
+    #: survive until such evidence arrives. DMR hits never update it — a DMR
+    #: window match cannot distinguish inverted voice from normal data.
+    polarity: bool = False
     _tail: np.ndarray = dataclasses.field(
         default_factory=lambda: np.zeros(0, np.int8))
     _pos: int = 0  # global index of _tail[0]
@@ -162,6 +178,22 @@ class SyncSearcher:
         hits = [h for h in hits if h.position >= self._scan_from]
         self._scan_from = max(self._scan_from, self._pos)
         hits.sort(key=lambda h: h.position)
+        # Resolve the DMR voice/data polarity ambiguity in stream order:
+        # every DMR window match arrives as a PAIR at the same position —
+        # (kind, normal) and (complement kind, inverted) with identical
+        # error counts, because data words are exact symbol negations of
+        # voice words. Keep only the interpretation matching the current
+        # polarity lock; YSF/D-Star hits (unambiguous) update the lock as
+        # they stream past.
+        resolved: list[SyncHit] = []
+        for h in hits:
+            if h.protocol == "dmr":
+                if h.inverted != self.polarity:
+                    continue
+            else:
+                self.polarity = h.inverted
+            resolved.append(h)
+        hits = resolved
         for h in hits:
             key = f"{h.protocol}:{h.frame_type}"
             self.counts[key] = self.counts.get(key, 0) + 1
@@ -250,9 +282,17 @@ class VoiceExtractor:
             if h.protocol == "dmr" and h.frame_type.endswith("_voice"))
         for h in hits:
             if h.protocol == "dstar":
-                # re-anchor the voice cadence right after this sync
-                self._dstar_next = h.position + len(DSTAR_SYNC_BITS)
-                self._dstar_inv = h.inverted
+                # re-anchor the voice cadence right after this sync —
+                # forward only: the searcher tolerates a bit error on the
+                # 24-bit pattern, so occasional false hits fire on other
+                # 4FSK traffic; a hit BEHIND the established cadence would
+                # rewind _dstar_next and re-emit duplicate frames. Hits at
+                # or ahead of the cadence (including the expected every-
+                # 21st-frame slow-data sync) re-anchor as before.
+                nxt = h.position + len(DSTAR_SYNC_BITS)
+                if self._dstar_next is None or nxt >= self._dstar_next:
+                    self._dstar_next = nxt
+                    self._dstar_inv = h.inverted
         out: list[dict] = []
         still_pending = []
         end = self._pos + len(self._buf)

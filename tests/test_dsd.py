@@ -100,16 +100,39 @@ def test_ysf_and_dstar_sync_detection():
 
 
 def test_sync_inverted_polarity_flag():
+    """An inverted DMR voice sync is symbol-identical to a normal data
+    sync; the searcher resolves the pair by its polarity lock (DSDcc
+    matches DMR in normal polarity only)."""
     rng = np.random.default_rng(7)
     inv = (dsdsync.DMR_BS_VOICE ^ 2).astype(np.int8)
     stream = np.concatenate([
         rng.integers(0, 4, 50).astype(np.int8), inv,
         rng.integers(0, 4, 50).astype(np.int8)])
-    s = dsdsync.SyncSearcher(max_errors=0)
+    # default lock (normal polarity): exactly ONE hit, the data reading
+    hits = [h for h in dsdsync.SyncSearcher(max_errors=0).feed(stream)
+            if h.protocol == "dmr" and h.position == 50]
+    assert [(h.frame_type, h.inverted) for h in hits] == [("bs_data", False)]
+    # polarity lock preset to inverted: the voice reading wins instead
+    s = dsdsync.SyncSearcher(max_errors=0, polarity=True)
     hits = [h for h in s.feed(stream)
             if h.protocol == "dmr" and h.position == 50]
-    assert hits and all(
-        h.inverted != (h.frame_type == "bs_data") for h in hits)
+    assert [(h.frame_type, h.inverted) for h in hits] == [("bs_voice", True)]
+
+
+def test_ysf_hit_establishes_polarity_for_dmr():
+    """YSF's inverted pattern is unambiguous, so a YSF hit locks the
+    channel polarity and later DMR pairs resolve to the inverted reading."""
+    rng = np.random.default_rng(17)
+    stream = np.concatenate([
+        (dsdsync.YSF_SYNC ^ 2).astype(np.int8),       # inverted YSF sync
+        rng.integers(0, 4, 64).astype(np.int8),
+        (dsdsync.DMR_BS_VOICE ^ 2).astype(np.int8),   # inverted DMR voice
+        rng.integers(0, 4, 40).astype(np.int8)])
+    s = dsdsync.SyncSearcher(max_errors=0)
+    hits = s.feed(stream)
+    assert s.polarity is True
+    dmr = [h for h in hits if h.protocol == "dmr"]
+    assert [(h.frame_type, h.inverted) for h in dmr] == [("bs_voice", True)]
 
 
 def test_sync_tolerates_symbol_errors():
@@ -215,7 +238,10 @@ def test_dmr_ambe_extraction_inverted_polarity():
         rng.integers(0, 4, 40).astype(np.int8),
     ])
     inv = (stream ^ 2).astype(np.int8)  # discriminator sign flip
-    s = dsdsync.SyncSearcher(max_errors=0)
+    # inverted DMR voice is symbol-identical to normal data, so the
+    # inverted reading needs the polarity lock established (here preset,
+    # as YSF/D-Star traffic on the channel would)
+    s = dsdsync.SyncSearcher(max_errors=0, polarity=True)
     ve = dsdsync.VoiceExtractor()
     hits = s.feed(inv)
     frames = ve.feed(inv, hits)
@@ -223,6 +249,48 @@ def test_dmr_ambe_extraction_inverted_polarity():
     assert len(dmr) == 3
     assert [f["hex"] for f in dmr] == [_hex72(v[72 * k: 72 * (k + 1)])
                                        for k in range(3)]
+
+
+def test_dmr_data_bursts_emit_no_voice_frames():
+    """Regression (advisor r3): a normal-polarity DATA sync must not be
+    double-read as inverted voice and sliced into bogus AMBE frames."""
+    rng = np.random.default_rng(14)
+    stream = np.concatenate([
+        rng.integers(0, 4, 60).astype(np.int8),
+        _frame_stream(rng, dsdsync.DMR_BS_DATA, dsdsync.DMR_BURST_DIBITS, 3),
+        rng.integers(0, 4, 60).astype(np.int8),
+    ])
+    s = dsdsync.SyncSearcher(max_errors=0)
+    ve = dsdsync.VoiceExtractor()
+    hits = s.feed(stream)
+    frames = ve.feed(stream, hits)
+    assert [(h.frame_type, h.inverted) for h in hits
+            if h.protocol == "dmr"] == [("bs_data", False)] * 3
+    assert frames == [] and ve.total == 0
+
+
+def test_dstar_false_hit_does_not_rewind_cadence():
+    """Regression (advisor r3): a late D-Star hit BEHIND the established
+    cadence (false hit or re-detected old sync) must not rewind the frame
+    chain and re-emit duplicates."""
+    rng = np.random.default_rng(15)
+    voices = [rng.integers(0, 2, 72).astype(np.uint8) for _ in range(3)]
+    data = rng.integers(0, 2, 24).astype(np.uint8)
+    bits = np.concatenate([
+        voices[0], dsdsync.DSTAR_SYNC_BITS.astype(np.uint8),
+        voices[1], data, voices[2], data,
+    ])
+    stream = np.where(bits == 1, 3, 1).astype(np.int8)
+    s = dsdsync.SyncSearcher(max_errors=0)
+    ve = dsdsync.VoiceExtractor()
+    hits = s.feed(stream)
+    frames = ve.feed(stream, hits)
+    # forge a stale hit behind the cadence — must be ignored
+    stale = dsdsync.SyncHit("dstar", "frame_sync", 72, False)
+    more = ve.feed(np.zeros(0, np.int8), [stale])
+    assert more == []
+    ds = [f["hex"] for f in frames if f["protocol"] == "dstar"]
+    assert ds == [_hex72(voices[1]), _hex72(voices[2])]
 
 
 def test_dstar_voice_cadence():
