@@ -28,5 +28,6 @@ struct GoldenRng {
 };
 
 void gen_decimators_u();  // in ref_golden_gen_u.cc
+void gen_tx_goldens();    // in ref_golden_gen_tx.cc
 
 #endif

@@ -416,6 +416,40 @@ void gen_interpolator() {
              c.in_rate, c.out_rate, c.cutoff);
     save_f32(c.name, outv, params);
   }
+
+  // Tx direction: Interpolator::interpolate (interpolator.h:39-52), the
+  // pull-model upsampler of every channeltx modulator (nfmmod.cpp pull:128)
+  // with the modulators' configuration (48 phases, 3 taps/phase).
+  struct UpCase { const char* name; double out_rate; double cutoff; };
+  const UpCase upcases[] = {
+      {"interp_48k_96k", 96000.0, 12500.0 / 2.2},   // NFM channel rate
+      {"interp_48k_120k", 120000.0, 12500.0 / 2.2}, // non-integer 2.5x
+  };
+  for (const UpCase& c : upcases) {
+    Interpolator interp;
+    interp.create(48, 48000.0, c.cutoff, 3.0);
+    Real distance = (Real)(48000.0 / c.out_rate);
+    Real remain = 0;
+    std::vector<float> outv;
+    Complex ci;
+    size_t pos = 0;
+    const size_t n_out = (size_t)((N - 8) * c.out_rate / 48000.0);
+    for (size_t k = 0; k < n_out; ++k) {
+      Complex s(in[2 * pos], in[2 * pos + 1]);
+      if (interp.interpolate(&remain, s, &ci)) {
+        if (pos + 1 < (size_t)N) ++pos;
+      }
+      remain += distance;
+      outv.push_back(ci.real());
+      outv.push_back(ci.imag());
+    }
+    char params[160];
+    snprintf(params, sizeof(params),
+             "{\"in_rate\": 48000.0, \"out_rate\": %.1f, \"cutoff\": %.6f, "
+             "\"phase_steps\": 48, \"taps_per_phase\": 3.0}",
+             c.out_rate, c.cutoff);
+    save_f32(c.name, outv, params);
+  }
 }
 
 // ---------------------------------------------------------------------------
@@ -619,6 +653,7 @@ int main_impl(const char* dir) {
   gen_nfm_chain("nfm48", 48000, 0, 2000, 1.0, 0x5eed0050ULL);
   gen_nfm_chain("nfm96", 96000, 12000, 2000, 1.0, 0x5eed0051ULL);
   gen_ctcss();
+  gen_tx_goldens();
 
   std::string manifest = "{\n";
   for (size_t i = 0; i < g_manifest.size(); ++i) {

@@ -85,8 +85,12 @@ DSTAR_SYNC_BITS = np.array(
 
 #: DMR burst length: 264 info bits + 48 sync/embedded = 288 bits = 144 dibits
 DMR_BURST_DIBITS = 144
-#: YSF frame: 480 bits = 240 dibits (40 sync + 200 FICH+payload)
-YSF_FRAME_DIBITS = 240
+#: YSF frame: 100 ms at 4800 symbols/s = 480 dibits (960 bits):
+#: 20-dibit sync + 100-dibit FICH + 5 blocks of 72 dibits (36 DCH + 36 VCH)
+YSF_FRAME_DIBITS = 480
+YSF_FICH_DIBITS = 100
+YSF_BLOCK_DIBITS = 72   # per V/D-mode channel block: DCH then VCH
+YSF_DCH_DIBITS = 36
 #: D-Star voice frame: 96 bits (72 voice + 24 slow data)
 DSTAR_FRAME_BITS = 96
 
@@ -230,6 +234,12 @@ class SyncSearcher:
 #   [72 voice | 24 slow-data]; the 24-bit sync occupies the slow-data slot
 #   every 21st frame, so the sync frame's voice IMMEDIATELY PRECEDES the
 #   sync and subsequent frames follow at 96-bit spacing.
+#
+#   YSF (Yaesu System Fusion spec, V/D modes): each 480-dibit frame is
+#   [20-dibit sync | 100-dibit FICH | 5 x (36-dibit DCH + 36-dibit VCH)];
+#   the five 72-bit VCH channels are the vocoder payload (AMBE V/D frame
+#   per block; interleave/whitening inside the VCH stays with the vocoder
+#   stack, exactly where DSDcc hands off).
 
 #: DMR voice payload span around a sync start p: [p-54, p+78) dibits
 _DMR_PRE = 54
@@ -258,10 +268,11 @@ class VoiceExtractor:
 
     feed(dibits, hits) buffers the stream (global positions, like
     SyncSearcher) and returns a list of
-    {"protocol", "position", "hex"} AMBE72 frames for every voice hit
-    whose payload span is fully buffered; hits whose tail has not arrived
-    yet are held for the next feed. Inverted-polarity hits are corrected
-    (symbol negation = dibit ^ 2, i.e. the sign bit flips)."""
+    {"protocol", "position", "hex"} 72-bit vocoder frames (DMR AMBE72,
+    D-Star AMBE72, YSF V/D VCH blocks) for every voice hit whose payload
+    span is fully buffered; hits whose tail has not arrived yet are held
+    for the next feed. Inverted-polarity hits are corrected (symbol
+    negation = dibit ^ 2, i.e. the sign bit flips)."""
 
     _buf: np.ndarray = dataclasses.field(
         default_factory=lambda: np.zeros(0, np.int8))
@@ -279,7 +290,8 @@ class VoiceExtractor:
         self._buf = np.concatenate([self._buf, dibits])
         self._pending.extend(
             h for h in hits
-            if h.protocol == "dmr" and h.frame_type.endswith("_voice"))
+            if (h.protocol == "dmr" and h.frame_type.endswith("_voice"))
+            or h.protocol == "ysf")
         for h in hits:
             if h.protocol == "dstar":
                 # re-anchor the voice cadence right after this sync —
@@ -297,7 +309,10 @@ class VoiceExtractor:
         still_pending = []
         end = self._pos + len(self._buf)
         for h in self._pending:
-            lo, hi = h.position - _DMR_PRE, h.position + _DMR_POST
+            if h.protocol == "ysf":
+                lo, hi = h.position, h.position + YSF_FRAME_DIBITS
+            else:
+                lo, hi = h.position - _DMR_PRE, h.position + _DMR_POST
             if lo < self._pos:
                 continue  # too old (history already trimmed) — drop
             if hi > end:
@@ -306,6 +321,19 @@ class VoiceExtractor:
             seg = self._buf[lo - self._pos: hi - self._pos]
             if h.inverted:
                 seg = (seg ^ 2).astype(np.int8)
+            if h.protocol == "ysf":
+                # V/D layout: sync(20) | FICH(100) | 5 x (DCH 36 | VCH 36);
+                # each 36-dibit VCH is one 72-bit vocoder channel block
+                base = len(YSF_SYNC) + YSF_FICH_DIBITS
+                for k in range(5):
+                    vch = seg[base + k * YSF_BLOCK_DIBITS + YSF_DCH_DIBITS:
+                              base + (k + 1) * YSF_BLOCK_DIBITS]
+                    out.append({
+                        "protocol": "ysf",
+                        "position": int(h.position),
+                        "hex": _bits_to_hex(_dibits_to_bits(vch)),
+                    })
+                continue
             a = _dibits_to_bits(seg[:_DMR_PRE])
             b = _dibits_to_bits(seg[_DMR_PRE + 24:])
             voice = np.concatenate([a, b])  # 216 bits
@@ -333,7 +361,8 @@ class VoiceExtractor:
                 })
             self._dstar_next += DSTAR_FRAME_BITS
         # keep enough history for a hit near the buffer head next feed
-        keep = max(_DMR_PRE + _DMR_POST, DSTAR_FRAME_BITS) * 2
+        keep = max(_DMR_PRE + _DMR_POST, DSTAR_FRAME_BITS,
+                   YSF_FRAME_DIBITS) * 2
         if len(self._buf) > keep:
             self._pos += len(self._buf) - keep
             self._buf = self._buf[-keep:]

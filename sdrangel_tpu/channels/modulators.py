@@ -22,8 +22,18 @@ import numpy as np
 from ..dsp import fftfilt, firdesign, nco, resampler
 
 
-def _up_plan(audio_rate: float, channel_rate: float, block_af: int):
-    return resampler.make_plan(audio_rate, channel_rate, block_af)
+def _up_plan(audio_rate: float, channel_rate: float, block_af: int,
+             cutoff: float | None = None):
+    """Audio→channel-rate resampler with the reference Tx modulators' exact
+    interpolator configuration: every channeltx modulator calls
+    Interpolator::create(48, audioRate, bw, 3.0) (nfmmod.cpp:423,
+    ammod.cpp:407, ssbmod.cpp:659, wfmmod.cpp:427) — 48 phase legs, 3 taps
+    per leg, cutoff = rfBandwidth/2.2 (SSB: bandwidth). The cutoff
+    deliberately band-limits the modulated signal to the channel's RF
+    bandwidth; resampler.make_plan clamps it below the input Nyquist."""
+    return resampler.make_plan(audio_rate, channel_rate, block_af,
+                               cutoff=cutoff, phase_steps=48,
+                               nb_taps_per_phase=3.0)
 
 
 def _mod_inc(cfg, offset_hz):
@@ -45,17 +55,34 @@ class FMModConfig:
     input_offset: float = 0.0
     audio_rate: float = 48000.0
     fm_deviation: float = 5000.0
-    af_bandwidth: float = 3000.0  # AF lowpass before modulation
+    af_bandwidth: float = 3000.0  # AF filter before modulation
     rf_bandwidth: float = 12500.0
     amplitude: float = 0.891  # -1 dB like the reference modulators
     block_af: int = 4096
+    #: AF chain: "lowpass" = clean unity-gain lowpass with the true
+    #: 2*pi*f_dev/fs phase convention (the reference WFM modulator's
+    #: convention, wfmmod.cpp:142); "nfm_ref" = the reference NFM
+    #: modulator's exact chain — its Bandpass(300..af_bw) including the
+    #: near-zero-DC-sum normalization quirk, folded with the pi/378 phase
+    #: fudge (nfmmod.cpp:177) so fmDeviation settings migrate 1:1
+    #: (effective deviation ~0.52x the setting, as in the reference).
+    af_filter: str = "lowpass"
+    #: CTCSS sub-audible tone injection (nfmmod.cpp:170-172): when on, the
+    #: phase step mixes 0.85*af + 0.15*378*ctcss (reference weights).
+    ctcss_on: bool = False
+    ctcss_freq: float = 88.5
 
     @functools.cached_property
     def up(self) -> resampler.ResamplerPlan:
-        return _up_plan(self.audio_rate, self.channel_rate, self.block_af)
+        return _up_plan(self.audio_rate, self.channel_rate, self.block_af,
+                        cutoff=self.rf_bandwidth / 2.2)
 
     @functools.cached_property
     def af_taps(self) -> np.ndarray:
+        if self.af_filter == "nfm_ref":
+            # (f_dev/fs)*bp(t)*(pi/378) == (2*pi*f_dev/fs) * bp(t)/756
+            return firdesign.nfm_mod_bandpass(
+                301, self.audio_rate, 300.0, self.af_bandwidth) / 756.0
         return firdesign.lowpass(301, self.af_bandwidth / self.audio_rate)
 
 
@@ -64,6 +91,7 @@ class FMModState(NamedTuple):
     phase: jnp.ndarray  # carried FM phasor (radians)
     up: resampler.ResamplerState
     nco: nco.NCOState
+    ctcss_phase: jnp.ndarray  # carried CTCSS tone phase (radians)
 
 
 def make_fm_state(cfg: FMModConfig, batch_shape=()) -> FMModState:
@@ -72,6 +100,7 @@ def make_fm_state(cfg: FMModConfig, batch_shape=()) -> FMModState:
         jnp.zeros(batch_shape, jnp.float32),
         resampler.init_state(cfg.up, batch_shape),
         nco.make_nco(batch_shape),
+        jnp.zeros(batch_shape, jnp.float32),
     )
 
 
@@ -83,6 +112,18 @@ def fm_modulate(
     offset_hz: optional traced override of cfg.input_offset (per-channel
     arrays for banked Tx groups — mirrors demod_nfm.process)."""
     fir_state, af_f = firdesign.fir_apply(state.af_filter, af, jnp.asarray(cfg.af_taps))
+    ctcss_phase = state.ctcss_phase
+    if cfg.ctcss_on:
+        # reference mix (nfmmod.cpp:172): (f_dev/fs)*(0.85*bp + 0.15*378*c)
+        # *(pi/378) == (2*pi*f_dev/fs)*(0.85*bp/756 + 0.15*c/2) — af_taps
+        # already carry the /756 in nfm_ref mode, so weight the filtered AF
+        # by 0.85 and add the tone at 0.15/2.
+        n = af.shape[-1]
+        inc = np.float32(2.0 * np.pi * cfg.ctcss_freq / cfg.audio_rate)
+        ph = state.ctcss_phase[..., None] + inc * jnp.arange(
+            1, n + 1, dtype=jnp.float32)
+        af_f = 0.85 * af_f + 0.075 * jnp.cos(ph)
+        ctcss_phase = jnp.mod(ph[..., -1], 2.0 * np.pi).astype(jnp.float32)
     dphi = (2.0 * np.pi * cfg.fm_deviation / cfg.audio_rate) * af_f
     phase = state.phase[..., None] + jnp.cumsum(dphi, axis=-1)
     iq = jnp.exp(1j * phase.astype(jnp.complex64)) * cfg.amplitude
@@ -90,7 +131,18 @@ def fm_modulate(
     up_state, up = resampler.resample_block(state.up, iq.astype(jnp.complex64), cfg.up)
     inc = _mod_inc(cfg, offset_hz)
     nco_state, out = nco.mix_block(state.nco, up, inc)
-    return FMModState(fir_state, new_phase, up_state, nco_state), out
+    return FMModState(fir_state, new_phase, up_state, nco_state,
+                      ctcss_phase), out
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class NFMModConfig(FMModConfig):
+    """The NFM Tx channel's config: FM modulation through the reference
+    NFMMod AF chain (bandpass + pi/378 pair — see FMModConfig.af_filter)
+    so fmDeviation/afBandwidth settings migrate 1:1 from the reference
+    (plugins/channeltx/modnfm/nfmmod.cpp:162-182)."""
+
+    af_filter: str = "nfm_ref"
 
 
 # ---------------------------------------------------------------------------
@@ -109,7 +161,8 @@ class AMModConfig:
 
     @functools.cached_property
     def up(self) -> resampler.ResamplerPlan:
-        return _up_plan(self.audio_rate, self.channel_rate, self.block_af)
+        return _up_plan(self.audio_rate, self.channel_rate, self.block_af,
+                        cutoff=self.rf_bandwidth / 2.2)
 
 
 class AMModState(NamedTuple):
@@ -150,7 +203,8 @@ class SSBModConfig:
 
     @functools.cached_property
     def up(self) -> resampler.ResamplerPlan:
-        return _up_plan(self.audio_rate, self.channel_rate, self.block_af)
+        return _up_plan(self.audio_rate, self.channel_rate, self.block_af,
+                        cutoff=self.bandwidth)
 
     @functools.cached_property
     def filter_freq(self) -> np.ndarray:

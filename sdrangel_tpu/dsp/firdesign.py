@@ -59,6 +59,39 @@ def bandpass(ntaps: int, f_lo: float, f_hi: float) -> np.ndarray:
     return (h / gain).astype(np.float32)
 
 
+def nfm_mod_bandpass(ntaps: int, fs: float, f_lo: float, f_hi: float) -> np.ndarray:
+    """The EXACT reference Bandpass<Real>::create design (bandpass.h:15-76),
+    including its normalization quirk: the taps are divided by the DC tap
+    sum, which for a bandpass is nearly zero — leaving a large passband gain
+    (~393 for 301 taps, 300..3000 Hz at 48 kHz). The reference NFM modulator
+    compensates with an experimentally-established /378 in its phase step
+    (nfmmod.cpp:177: "378 = 302 * 1.25"); reproducing the pair exactly is
+    what makes fmDeviation settings migrate 1:1 (effective deviation is
+    ~0.52x the setting in BOTH implementations).
+
+    Returns the full symmetric ntaps impulse response, UNSCALED — callers
+    fold in the modulator's pi/378 against their phase convention."""
+    assert ntaps % 2 == 1
+    wcl = 2.0 * np.pi * f_lo / fs
+    wch = 2.0 * np.pi * f_hi / fs
+    n2 = ntaps // 2 + 1
+    i = np.arange(n2, dtype=np.float64)
+    d = i - (ntaps - 1) / 2.0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        lp = np.sin(d * wch) / (d * np.pi)
+        hp = -np.sin(d * wcl) / (d * np.pi)
+    lp[n2 - 1] = wch / np.pi
+    hp[n2 - 1] = -(wcl / np.pi)
+    hp[n2 - 1] += 1.0
+    win = 0.54 + 0.46 * np.cos(2.0 * np.pi * d / ntaps)
+    taps = -(lp * win + hp * win)
+    taps[n2 - 1] += 1.0
+    s = taps[:-1].sum() * 2.0 + taps[-1]
+    taps = taps / s  # the reference's near-zero-DC-sum normalization
+    full = np.concatenate([taps[:-1], taps[::-1]])
+    return full.astype(np.float32)
+
+
 class FirState(NamedTuple):
     tail: jnp.ndarray  # (..., ntaps-1)
 

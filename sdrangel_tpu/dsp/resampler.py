@@ -189,32 +189,48 @@ def make_plan(
             q=q,
         )
     if in_rate < out_rate:
-        # Tx interpolation: dilated+strided XLA conv with a short generic
-        # kernel (no reference golden — the reference reuses the same legs,
-        # but kernels of 72*q taps would dominate compile/run time at large
-        # upsampling factors).
-        from . import firdesign
-
-        ntaps = 8 * max(p, q) + 1  # span ≥8 input samples at dilated rate
-        proto = firdesign.lowpass(ntaps, cutoff / (q * in_rate)).astype(np.float64)
-        proto *= q  # compensate zero-stuffing loss
-        # init_state allocates ntaps-1 tail samples; the conv needs
-        # (tail-1)*q >= L-1-p for block_out outputs per block
-        tail_len = 2 + max(0, -(-(ntaps - 1 - p) // q))
+        # Tx interpolation: the EXACT reference Interpolator::interpolate
+        # recurrence (interpolator.h:39-52 — per output: consume an input
+        # when distance >= 1, then emit doInterpolate(floor(distance *
+        # phaseSteps)); distance += in/out after each pull) over the same
+        # polyphase legs as the decimation path. Pinned against the
+        # compiled reference by tests/test_reference_golden.py
+        # interp_48k_96k/interp_48k_120k. The schedule is q outputs per p
+        # inputs; each leg gets a LEADING zero so the flipped kernels
+        # anchor windows at the consumed-input count (the filter holds
+        # samples up to input consumed-1; the padded column makes
+        # start_idx = consumed line up with the executor's ext indexing).
+        legs = create_polyphase_lowpass(
+            phase_steps, 1.0, phase_steps * in_rate, cutoff, nb_taps_per_phase
+        )
+        taps = np.concatenate(
+            [np.zeros((phase_steps, 1), legs.dtype), legs], axis=1)
+        block_out = block_in * q // p
+        d = 0  # distance in units of 1/q
+        consumed = 0
+        start_idx, phase = [], []
+        for _ in range(block_out):
+            if d >= q:
+                consumed += 1
+                d -= q
+            phase.append((d * phase_steps) // q)
+            start_idx.append(consumed)
+            d += p
+        assert start_idx[: len(start_idx) - q] == [
+            s - p for s in start_idx[q:]], "upsample schedule must be periodic"
         return ResamplerPlan(
             in_rate=in_rate,
             out_rate=out_rate,
             block_in=block_in,
-            block_out=block_in * q // p,
-            ntaps=tail_len,
+            block_out=block_out,
+            ntaps=taps.shape[1],
             phase_steps=phase_steps,
-            taps=np.zeros((1, 1), np.float32),
-            start_idx=np.zeros(0, np.int32),
-            phase=np.zeros(0, np.int32),
-            mode="conv",
+            taps=taps.astype(np.float32),
+            start_idx=np.asarray(start_idx, np.int32),
+            phase=np.asarray(phase, np.int32),
+            mode="gather",
             p=p,
             q=q,
-            conv_taps=proto.astype(np.float32),
         )
     # prototype designed at the phase-upsampled rate (Interpolator::create,
     # interpolator.cpp:74-86)

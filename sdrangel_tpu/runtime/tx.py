@@ -22,7 +22,7 @@ from ..dsp import interpolators as interp
 
 
 _MOD_KINDS = {
-    "sdrangel.channeltx.modnfm": (mods.FMModConfig, mods.make_fm_state, mods.fm_modulate),
+    "sdrangel.channeltx.modnfm": (mods.NFMModConfig, mods.make_fm_state, mods.fm_modulate),
     "sdrangel.channeltx.modam": (mods.AMModConfig, mods.make_am_state, mods.am_modulate),
     "sdrangel.channeltx.modssb": (mods.SSBModConfig, mods.make_ssb_state, mods.ssb_modulate),
     "sdrangel.channeltx.modwfm": (mods.WFMModConfig, mods.make_wfm_state, mods.wfm_modulate),

@@ -312,3 +312,92 @@ def test_dstar_voice_cadence():
     ds = [f for f in frames if f["protocol"] == "dstar"]
     # the cadence anchors at the sync: frames 1 and 2 are recovered
     assert [f["hex"] for f in ds] == [_hex72(voices[1]), _hex72(voices[2])]
+
+
+def _ysf_frame(rng, vch_payloads):
+    """One YSF V/D frame: sync(20) | FICH(100) | 5 x (DCH 36 | VCH 36)
+    dibits; vch_payloads: five 72-bit arrays."""
+    parts = [np.asarray(dsdsync.YSF_SYNC, np.int8),
+             rng.integers(0, 4, dsdsync.YSF_FICH_DIBITS).astype(np.int8)]
+    for v in vch_payloads:
+        parts.append(rng.integers(0, 4, dsdsync.YSF_DCH_DIBITS).astype(np.int8))
+        parts.append(_bits_to_dibits(v))
+    return np.concatenate(parts)
+
+
+def test_ysf_vch_extraction():
+    """VERDICT r3 #4: YSF V/D voice-channel slicing — five 72-bit VCH
+    blocks per frame recovered at the vocoder hand-off boundary."""
+    rng = np.random.default_rng(21)
+    vs1 = [rng.integers(0, 2, 72).astype(np.uint8) for _ in range(5)]
+    vs2 = [rng.integers(0, 2, 72).astype(np.uint8) for _ in range(5)]
+    stream = np.concatenate([
+        rng.integers(0, 4, 77).astype(np.int8),
+        _ysf_frame(rng, vs1),
+        _ysf_frame(rng, vs2),
+        rng.integers(0, 4, 50).astype(np.int8),
+    ])
+    s = dsdsync.SyncSearcher(max_errors=0)
+    ve = dsdsync.VoiceExtractor()
+    frames = []
+    # uneven chunks: frame spans must survive block seams
+    for a, b in ((0, 300), (300, 700), (700, len(stream))):
+        hits = s.feed(stream[a:b])
+        frames += ve.feed(stream[a:b], hits)
+    ysf = [f for f in frames if f["protocol"] == "ysf"]
+    assert len(ysf) == 10
+    assert [f["hex"] for f in ysf] == [_hex72(v) for v in vs1 + vs2]
+    assert {f["position"] for f in ysf} == {77, 77 + dsdsync.YSF_FRAME_DIBITS}
+
+
+def test_ysf_vch_extraction_inverted():
+    """Inverted-polarity YSF: the sync is unambiguous, so the searcher
+    flags it and the extractor undoes the symbol negation."""
+    rng = np.random.default_rng(22)
+    vs = [rng.integers(0, 2, 72).astype(np.uint8) for _ in range(5)]
+    stream = np.concatenate([
+        rng.integers(0, 4, 40).astype(np.int8),
+        _ysf_frame(rng, vs),
+        rng.integers(0, 4, 40).astype(np.int8),
+    ])
+    inv = (stream ^ 2).astype(np.int8)
+    s = dsdsync.SyncSearcher(max_errors=0)
+    ve = dsdsync.VoiceExtractor()
+    hits = s.feed(inv)
+    frames = ve.feed(inv, hits)
+    ysf = [f for f in frames if f["protocol"] == "ysf"]
+    assert [f["hex"] for f in ysf] == [_hex72(v) for v in vs]
+    assert s.polarity is True
+
+
+@pytest.mark.slow
+def test_ysf_voice_loopback_through_demod():
+    """End-to-end: YSF V/D frames 4FSK-modulated at RF, demodulated by
+    demod_dsd, VCH payloads recovered through sync + extraction."""
+    cfg = demod_dsd.DSDConfig(channel_rate=48000.0, squelch_db=-90.0)
+    sps = cfg.sps
+    rng = np.random.default_rng(23)
+    payloads = [[rng.integers(0, 2, 72).astype(np.uint8) for _ in range(5)]
+                for _ in range(10)]
+    stream = np.concatenate([_ysf_frame(rng, vs) for vs in payloads])
+    levels = dsdsync.DIBIT_LEVELS[stream].astype(np.float64)
+    inst_f = np.repeat(levels / 3.0, sps) * cfg.fm_deviation
+    phase = 2 * np.pi * np.cumsum(inst_f) / 48000.0
+    x = (0.5 * np.exp(1j * phase)).astype(np.complex64)
+
+    st = demod_dsd.make_state(cfg)
+    block = cfg.resampler_plan.block_in
+    searcher = dsdsync.SyncSearcher()
+    ve = dsdsync.VoiceExtractor()
+    frames = []
+    for b in range(len(x) // block):
+        st, outs = demod_dsd.process(
+            st, jnp.asarray(x[b * block: (b + 1) * block]), cfg)
+        dibits = np.asarray(outs.dibits)
+        hits = searcher.feed(dibits)
+        frames += ve.feed(dibits, hits)
+    got = {f["hex"] for f in frames if f["protocol"] == "ysf"}
+    want = {_hex72(v) for vs in payloads for v in vs}
+    # the symbol tracker's ~90% raw dibit accuracy costs frames; recovering
+    # a third of the exact 72-bit payloads proves the layer end-to-end
+    assert len(got & want) >= len(want) // 3, f"{len(got & want)}/{len(want)}"

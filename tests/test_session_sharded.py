@@ -338,11 +338,12 @@ def test_session_a2a_unbalanceable_retune_falls_back(devices):
         # the carrier channel still demodulates through the fallback gear
         parts = []
         t0 = time.time()
-        while sum(a.size for a in parts) < 4096 and time.time() - t0 < 60:
+        while sum(a.size for a in parts) < 4096 and time.time() - t0 < 90:
             a = ds.drain_audio(2)
             if a.size:
                 parts.append(a)
             time.sleep(0.05)
+        assert parts, (ds.error, ds.blocks_processed, ds.a2a_fallback)
         audio = np.concatenate(parts)
         a = audio - audio.mean()
         spec = np.abs(np.fft.rfft(a * np.hanning(len(a)))) ** 2

@@ -32,6 +32,7 @@ REF_SOURCES = [
     "sdrbase/dsp/decimatorsif.cpp",
     "sdrbase/dsp/decimatorsfi.cpp",
     "sdrbase/dsp/decimatorsff.cpp",
+    "sdrbase/dsp/ncof.cpp",
 ]
 
 
@@ -51,6 +52,7 @@ def main() -> int:
             "-I", str(REF / "exports"),
             str(REPO / "native" / "ref_golden_gen.cc"),
             str(REPO / "native" / "ref_golden_gen_u.cc"),
+            str(REPO / "native" / "ref_golden_gen_tx.cc"),
             *[str(REF / s) for s in REF_SOURCES],
             "-o", str(binary),
         ]
