@@ -46,6 +46,120 @@ def _cpu_baseline_ksps() -> float:
     return result["ksps"]
 
 
+def _measure_and_report(run_pass, block: int, iters: int, metric: str,
+                        baseline_ksps: float) -> int:
+    """Shared measurement policy: ~2 s warmup, median of 15 passes of
+    `iters` chained steps (see the comments in main for why)."""
+    import numpy as np
+
+    t0 = time.perf_counter()
+    warm_steps = 0
+    # at least 300 steps even if a late re-jit (sharded gears re-specialize
+    # once on the output shardings) eats the 2 s budget — an unwarmed
+    # tunnel ramps through the measured passes otherwise
+    while (time.perf_counter() - t0 < 2.0 or warm_steps < 300) \
+            and warm_steps < 2000:
+        run_pass(10)
+        warm_steps += 10
+    print(f"# warmup: {warm_steps} steps in {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+    rates = []
+    for _ in range(15):
+        t0 = time.perf_counter()
+        run_pass(iters)
+        elapsed = time.perf_counter() - t0
+        rates.append(block * iters / elapsed / 1e6)
+    print("# pass GS/s: " + " ".join(f"{r / 1e3:.0f}" for r in rates),
+          file=sys.stderr)
+    msps = float(np.median(rates))
+    print(json.dumps({
+        "metric": metric,
+        "value": round(msps, 1),
+        "unit": "MS/s",
+        "vs_baseline": round(msps * 1e3 / baseline_ksps, 2),
+    }))
+    return 0
+
+
+def _sharded_bench(args, baseline_ksps: float) -> int:
+    """-t chainsharded / chain64a2a: the chainpfb / chain64 workloads run
+    through parallel/sharded.py's shard_map gears on a 1x1 mesh — the
+    multi-chip code path (halo ppermute, frame-sharded analysis,
+    all_gather / all_to_all) executing on one real chip with degenerate
+    collectives (VERDICT r3 #2: the sharded gears had only ever run on the
+    CPU mesh). Reference analog: the per-channel thread fan-out IS the
+    reference's scaling mechanism (threadedbasebandsamplesink.h:53-77)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sdrangel_tpu.parallel import sharded as shmod
+
+    a2a = args.test == "chain64a2a"
+    device_rate = 12_288_000.0
+    if a2a:
+        log2, pfb_m, n_channels = 0, 256, 64
+    else:
+        log2, pfb_m, n_channels = 6, 4, 16
+    block = args.nb_samples or (
+        1 << int(os.environ.get("SDRANGEL_BENCH_LOG2BLOCK", "25")))
+    assert (block >> log2) % pfb_m == 0
+    cfg = shmod.ShardedPipelineConfig(
+        n_time=1, n_channel=1, device_rate=device_rate, log2_decim=log2,
+        block=block, pfb_m=pfb_m, pfb_all_to_all=a2a,
+        bank=(shmod.BankGroup(shmod.NFM_URI, n_channels,
+                              {"squelch_db": -100.0,
+                               "squelch_gate_ms": 1.0}),),
+    )
+    mesh = shmod.make_mesh(1, 1)
+    step, init_fn = shmod.build_sharded_step(cfg, mesh)
+    assert not getattr(step, "replicated_analysis", False)
+
+    baseband = device_rate / (1 << log2)
+    grid = baseband / pfb_m
+    if a2a:
+        # the chain64 flagship band: 64 x 48 kHz slots around DC with
+        # distinct jitters absorbed by the demod NCOs
+        slots = np.array([c if c < 32 else c - 64 for c in range(64)])
+        offs = slots * grid + np.linspace(-4000.0, 4000.0, 64)
+        orders, local_idx, residuals = shmod.a2a_placement(cfg, (offs,))
+        res_t = jnp.asarray(residuals[0])
+        idx_t = jnp.asarray(local_idx[0])
+    else:
+        # chainpfb's 16 demods: 4 per grid channel, distinct jitters
+        leaf = baseband / 8.0
+        jit4 = (-0.18 * leaf, -0.06 * leaf, 0.06 * leaf, 0.18 * leaf)
+        offs = np.array([(k % 4 - 1.5) * grid * 2 + jit4[k // 4]
+                         for k in range(16)])
+        idx, res = shmod.grid_split(cfg, offs)
+        res_t = jnp.asarray(res)
+        idx_t = jnp.asarray(idx)
+
+    rng = np.random.default_rng(7)
+    raw = jnp.asarray(rng.integers(-2048, 2048, size=(block, 2), dtype=np.int16))
+    state, carry = init_fn()
+
+    holder = {"state": state, "carry": carry}
+
+    def run_pass(n):
+        state, carry = holder["state"], holder["carry"]
+        for _ in range(n):
+            state, audio, carry = step(state, raw, carry, res_t, idx_t)
+        holder["state"], holder["carry"] = state, carry
+        audio.block_until_ready()
+
+    t0 = time.perf_counter()
+    run_pass(1)
+    print(f"# compile+first-step: {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+    gear = "a2a(all_to_all)" if a2a else "all_gather"
+    metric = (f"sharded-{gear} " +
+              (f"pfb{pfb_m}-grid+NFM{n_channels}" if log2 == 0 else
+               f"decimate{1 << log2}+pfb{pfb_m}+NFM{n_channels}") +
+              " input throughput per chip (1x1 mesh)")
+    return _measure_and_report(run_pass, block, args.repeat, metric,
+                               baseline_ksps)
+
+
 def main() -> int:
     # CLI mirrors the reference's ParserBench flags (sdrbench/parserbench.cpp:
     # 24-113: --test/--nb-samples/--repeat/--log2-factor); defaults reproduce
@@ -59,7 +173,8 @@ def main() -> int:
     # the HB-tree bank (301 vs 234 GS/s at 2^24) with better channel
     # filtering (-90 dB adjacent vs -55.4); the tree stays via -t chain
     ap.add_argument("-t", "--test", default="chainpfb",
-                    choices=["chain", "chainpfb", "chain64", "decimateii",
+                    choices=["chain", "chainpfb", "chain64", "chainsharded",
+                             "chain64a2a", "decimateii",
                              "decimateinfii", "decimatesupii", "decimateif",
                              "decimatefi", "decimateff"],
                     help="chainpfb (default) = decimate + polyphase DFT "
@@ -71,7 +186,12 @@ def main() -> int:
                          "the /4-cascade+PFB-64 A/B form); decimate* "
                          "= cascade only: ii/infii/supii are the int16->"
                          "int16 placements, if/fi/ff the float-path dtype "
-                         "matrix (mainbench.cpp:112-191)")
+                         "matrix (mainbench.cpp:112-191); chainsharded / "
+                         "chain64a2a = the chainpfb / chain64 workloads "
+                         "executed through parallel/sharded.py's "
+                         "shard_map gears on a 1x1 mesh (collectives "
+                         "degenerate — proves the multi-chip code path "
+                         "costs ~nothing on one chip, VERDICT r3 #2)")
     ap.add_argument("-n", "--nb-samples", type=int, default=0,
                     help="device samples per step (default: 2^SDRANGEL_BENCH_LOG2BLOCK)")
     ap.add_argument("-r", "--repeat", type=int, default=30, help="steps per pass")
@@ -93,6 +213,9 @@ def main() -> int:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     except Exception:
         pass
+
+    if args.test in ("chainsharded", "chain64a2a"):
+        return _sharded_bench(args, baseline_ksps)
 
     import jax.numpy as jnp
 
@@ -323,7 +446,8 @@ def main() -> int:
     # the sustained rate, not the cold grant.
     t0 = time.perf_counter()
     warm_steps = 0
-    while time.perf_counter() - t0 < 2.0 and warm_steps < 2000:
+    while (time.perf_counter() - t0 < 2.0 or warm_steps < 300) \
+            and warm_steps < 2000:
         for _ in range(10):
             casc, cstate, dstate, audio = step(casc, cstate, dstate, raw)
         audio.block_until_ready()

@@ -568,14 +568,22 @@ void gen_nfm_chain(const char* name, int input_rate, int offset_hz,
 
   std::vector<float> audio_f;
   std::vector<qint16> audio_i;
+  // per-stage taps (VERDICT r3 #9: the end-to-end 46-51 dB budget could
+  // silently absorb a single-stage regression; these pin each boundary)
+  std::vector<float> post_nco, post_resamp, post_discri;
   Complex ci;
   for (int n = 0; n < N; ++n) {
     Complex c((Real)in[2 * n], (Real)in[2 * n + 1]);
     c *= nco.nextIQ();
+    post_nco.push_back((float)c.real());
+    post_nco.push_back((float)c.imag());
     if (interpolator.decimate(&interp_remain, c, &ci)) {
+      post_resamp.push_back((float)ci.real());
+      post_resamp.push_back((float)ci.imag());
       double magsq_raw;
       Real deviation;
       Real demod = discri.phaseDiscriminatorDelta(ci, magsq_raw, deviation);
+      post_discri.push_back((float)demod);
       Real magsq = (Real)(magsq_raw / (SDR_RX_SCALED * SDR_RX_SCALED));
       moving_average(magsq);
       if ((Real)moving_average < squelch_level) {
@@ -605,6 +613,9 @@ void gen_nfm_chain(const char* name, int input_rate, int offset_hz,
            input_rate, offset_hz, fm_dev, volume, squelch_gate_setting);
   save_f32(std::string(name) + "_audio", audio_f, params);
   save_i16(std::string(name) + "_audio_i16", audio_i, params);
+  save_f32(std::string(name) + "_postnco", post_nco, params);
+  save_f32(std::string(name) + "_postresamp", post_resamp, params);
+  save_f32(std::string(name) + "_postdiscri", post_discri, params);
 }
 
 // ---------------------------------------------------------------------------

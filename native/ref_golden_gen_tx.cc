@@ -32,6 +32,7 @@ using std::memset;
 #include "dsp/nco.h"
 #include "dsp/ncof.h"
 #include "dsp/bandpass.h"
+#include "dsp/fftfilt.h"
 
 #include "ref_golden_common.h"
 
@@ -218,6 +219,63 @@ void gen_nfmmod(const char* name, double out_rate, double offset_hz,
   save_f32_g(name, out_f, params);
 }
 
+// --- WFM modulator composition (wfmmod.cpp pull:110-160, file-input
+// branch so the AF interpolator is exercised): AF at 48 kHz interpolated
+// to the channel rate, FM phasor there (2*pi convention, :142), rfBw/2
+// OLA band filter (create_filter(-rfBw/2, rfBw/2), :455-457), carrier NCO.
+void gen_wfmmod(const char* name, double out_rate, double offset_hz) {
+  const double audio_rate = 48000.0;
+  const double rf_bw = 180000.0, fm_dev = 75000.0;
+  const int N_OUT = 65536;
+
+  NCOF toneNco;   toneNco.setFreq(1000.0f, (Real)audio_rate);
+  NCO carrierNco; carrierNco.setFreq((Real)offset_hz, (Real)out_rate);
+  Interpolator interpolator;
+  interpolator.create(48, audio_rate, rf_bw / 2.2, 3.0);  // wfmmod.cpp:454
+  Real distance = (Real)(audio_rate / out_rate);
+  Real remain = 0;
+  fftfilt rfFilter(-62500.0f / 384000.0f, 62500.0f / 384000.0f, 1024);
+  rfFilter.create_filter((float)(-(rf_bw / 2.0) / out_rate),
+                         (float)((rf_bw / 2.0) / out_rate));
+  float modPhasor = 0.0f;
+  Complex modSample;  // (0,0) like the member
+  fftfilt::cmplx rfBuffer[1024] = {};  // reference allocates (reads zeros
+  int rfBufferIndex = 0;               // before the first flush),
+                                       // wfmmod.cpp:147-158
+
+  std::vector<float> af_used;
+  std::vector<float> out_f;
+  for (int k = 0; k < N_OUT; ++k) {
+    Complex ri, ci;
+    if (interpolator.interpolate(&remain, modSample, &ri)) {
+      Real t = toneNco.next();
+      af_used.push_back((float)t);
+      modSample = Complex(t, 0.0f);
+    }
+    remain += distance;
+    modPhasor += (Real)(fm_dev / out_rate) * ri.real() * (Real)(M_PI * 2.0);
+    ci = Complex(cos(modPhasor) * 0.891235351562f * SDR_TX_SCALEF,
+                 sin(modPhasor) * 0.891235351562f * SDR_TX_SCALEF);
+    fftfilt::cmplx* rf;
+    int rf_out = rfFilter.runFilt(ci, &rf);
+    if (rf_out > 0) {
+      for (int i = 0; i < rf_out && i < 1024; ++i) rfBuffer[i] = rf[i];
+      rfBufferIndex = 0;
+    }
+    Complex co = rfBuffer[rfBufferIndex] * carrierNco.nextIQ();
+    rfBufferIndex++;
+    out_f.push_back((float)co.real());
+    out_f.push_back((float)co.imag());
+  }
+  char params[192];
+  snprintf(params, sizeof(params),
+           "{\"audio_rate\": 48000.0, \"out_rate\": %.1f, \"offset_hz\": %.1f, "
+           "\"rf_bw\": 180000.0, \"fm_dev\": 75000.0, \"tone\": 1000.0}",
+           out_rate, offset_hz);
+  save_f32_g(std::string(name) + "_af", af_used, params);
+  save_f32_g(name, out_f, params);
+}
+
 }  // namespace
 
 void gen_tx_goldens() {
@@ -226,4 +284,5 @@ void gen_tx_goldens() {
   gen_nfmmod("nfmmod96", 96000.0, 0.0, false);
   gen_nfmmod("nfmmod96_off12k", 96000.0, 12000.0, false);
   gen_nfmmod("nfmmod96_ctcss", 96000.0, 0.0, true);
+  gen_wfmmod("wfmmod384", 384000.0, 0.0);
 }

@@ -39,7 +39,7 @@ class AMConfig:
 
         block = self.block_in or _auto_block(self.channel_rate, self.audio_rate)
         return resampler.make_plan(
-            self.channel_rate, self.audio_rate, block, cutoff=self.rf_bandwidth / 2.0
+            self.channel_rate, self.audio_rate, block, cutoff=self.rf_bandwidth / 2.2  # amdemod.cpp:370
         )
 
     @functools.cached_property

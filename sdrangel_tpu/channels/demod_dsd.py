@@ -45,7 +45,7 @@ class DSDConfig:
 
         block = self.block_in or _auto_block(self.channel_rate, self.audio_rate)
         plan = resampler.make_plan(
-            self.channel_rate, self.audio_rate, block, cutoff=self.rf_bandwidth / 2.0
+            self.channel_rate, self.audio_rate, block, cutoff=self.rf_bandwidth / 2.2  # dsddemod.cpp:451
         )
         # the symbol synchronizer needs the audio block to be a whole number
         # of symbols
@@ -55,7 +55,7 @@ class DSDConfig:
         if mult > 1:
             plan = resampler.make_plan(
                 self.channel_rate, self.audio_rate, block * mult,
-                cutoff=self.rf_bandwidth / 2.0,
+                cutoff=self.rf_bandwidth / 2.2  # dsddemod.cpp:451,
             )
         return plan
 

@@ -42,9 +42,11 @@ class SSBConfig:
         from .demod_nfm import _auto_block
 
         block = self.block_in or _auto_block(self.channel_rate, self.audio_rate)
+        # ssbdemod.cpp:381: create(16, inputRate, bandwidth*1.5, 2.0) — the
+        # reference pre-filters at 1.5x the SSB bandwidth with short legs
         return resampler.make_plan(
             self.channel_rate, self.audio_rate, block,
-            cutoff=max(abs(self.bandwidth), self.audio_rate * 0.45),
+            cutoff=abs(self.bandwidth) * 1.5, nb_taps_per_phase=2.0,
         )
 
     @functools.cached_property

@@ -258,41 +258,57 @@ class WFMModConfig:
     block_af: int = 4096
 
     @functools.cached_property
-    def fm(self) -> FMModConfig:
-        return FMModConfig(
-            channel_rate=self.channel_rate,
-            input_offset=self.input_offset,
-            audio_rate=self.audio_rate,
-            fm_deviation=self.fm_deviation,
-            af_bandwidth=self.af_bandwidth,
-            rf_bandwidth=self.rf_bandwidth,
-            amplitude=self.amplitude,
-            block_af=self.block_af,
-        )
+    def up(self) -> resampler.ResamplerPlan:
+        # wfmmod.cpp:454: create(48, audioRate, rfBw/2.2, 3.0) — note the
+        # cutoff exceeds the audio Nyquist for wide rfBw (the reference
+        # effectively does not AF-filter); make_plan clamps it below
+        # Nyquist, which only improves image rejection
+        return _up_plan(self.audio_rate, self.channel_rate, self.block_af,
+                        cutoff=self.rf_bandwidth / 2.2)
 
     @functools.cached_property
     def rf_filter(self) -> np.ndarray:
+        # wfmmod.cpp:455-457: create_filter(-rfBw/2, +rfBw/2) — the band
+        # form (not create_dsb_filter), symmetric around DC
         fc = 0.5 * self.rf_bandwidth / self.channel_rate
-        return fftfilt.create_dsb_filter(fc, self.fft_len)
+        return fftfilt.create_filter(-fc, fc, self.fft_len)
 
 
 class WFMModState(NamedTuple):
-    fm: FMModState
+    up: resampler.ResamplerState
+    phase: jnp.ndarray  # carried FM phasor (radians)
     fft: fftfilt.FftFiltState
+    nco: nco.NCOState
 
 
 def make_wfm_state(cfg: WFMModConfig, batch_shape=()) -> WFMModState:
     return WFMModState(
-        make_fm_state(cfg.fm, batch_shape), fftfilt.make_state(cfg.fft_len, batch_shape)
+        resampler.init_state(cfg.up, batch_shape),
+        jnp.zeros(batch_shape, jnp.float32),
+        fftfilt.make_state(cfg.fft_len, batch_shape),
+        nco.make_nco(batch_shape),
     )
 
 
 def wfm_modulate(
     state: WFMModState, af: jnp.ndarray, cfg: WFMModConfig, offset_hz=None
 ) -> tuple[WFMModState, jnp.ndarray]:
-    fm_state, iq = fm_modulate(state.fm, af, cfg.fm, offset_hz)
-    fft_state, out = fftfilt.run_filt(state.fft, iq, jnp.asarray(cfg.rf_filter))
-    return WFMModState(fm_state, fft_state), out
+    """The reference WFM composition (wfmmod.cpp pull:110-160): the AF is
+    interpolated to the CHANNEL rate first, THEN FM-modulated there with
+    the clean 2*pi*f_dev/fs convention (:142), lowpassed by the rfBw/2 OLA
+    filter, and shifted by the carrier NCO. (Modulating at the audio rate
+    would alias — WFM deviation exceeds the audio Nyquist.)"""
+    up_state, afi = resampler.resample_block(
+        state.up, af.astype(jnp.complex64), cfg.up)
+    dphi = (2.0 * np.pi * cfg.fm_deviation / cfg.channel_rate) * jnp.real(afi)
+    phase = state.phase[..., None] + jnp.cumsum(dphi, axis=-1)
+    iq = jnp.exp(1j * phase.astype(jnp.complex64)) * cfg.amplitude
+    new_phase = jnp.mod(phase[..., -1], 2.0 * np.pi).astype(jnp.float32)
+    fft_state, rf = fftfilt.run_filt(
+        state.fft, iq.astype(jnp.complex64), jnp.asarray(cfg.rf_filter))
+    inc = _mod_inc(cfg, offset_hz)
+    nco_state, out = nco.mix_block(state.nco, rf, inc)
+    return WFMModState(up_state, new_phase, fft_state, nco_state), out
 
 
 # ---------------------------------------------------------------------------

@@ -77,15 +77,17 @@ def halo_samples(log2_decim: int, order: int = DECIMATORS_ORDER) -> int:
 
 
 def _cascade_with_halo(x_ext: jnp.ndarray, log2: int, fc_pos: str, halo: int) -> jnp.ndarray:
-    """Zero-state cascade over [halo | local]; drops the halo-driven head so
-    the remaining outputs equal the streaming cascade's. Uses the flat
-    composed-filter form (one HBM pass — the same kernel the single-chip
-    engine defaults to); valid because every output at index ≥ halo/2^k
-    reads only real samples (the flat history r·(t_leg−1) ≤ halo).
+    """Streaming cascade over the local shard with the halo INJECTED as the
+    carried tail (the flat history r·(t_leg−1) ≤ halo): the conv runs on
+    the bare power-of-two local length. Running it over the halo-extended
+    [halo | local] instead compiled PATHOLOGICALLY on TPU (~170 s for the
+    2^25+4352-sample shape vs ~18 s at exactly 2^25 — the r1 non-pow2 conv
+    finding again, measured on the chainsharded bench gear r4).
 
     Cross-shard phase correctness of the inf/sup rotation patterns requires
-    the extended local length to be a multiple of 4·2^k (the halo is aligned
-    by construction; the local shard length must be too)."""
+    the local shard length to be a multiple of 4·2^k (the halo is aligned
+    by construction), so the fresh state's rotation phase 0 is the correct
+    global phase at every shard boundary."""
     if x_ext.shape[-1] % (4 << log2):
         raise ValueError(
             f"local shard length {x_ext.shape[-1] - halo} (+halo {halo}) must "
@@ -93,10 +95,22 @@ def _cascade_with_halo(x_ext: jnp.ndarray, log2: int, fc_pos: str, halo: int) ->
             f"phase alignment across shards"
         )
     state = dec.init_flat_state(log2, batch_shape=x_ext.shape[:-1])
-    if state.tail.shape[-1] > halo:
-        raise ValueError(f"halo {halo} shorter than flat tail {state.tail.shape}")
-    _, y = dec.decimate_flat_any(state, x_ext, log2, fc_pos)
-    return y[..., halo >> log2 :]
+    tail_len = state.tail.shape[-1]
+    if tail_len > halo:
+        raise ValueError(f"halo {halo} shorter than flat tail {tail_len}")
+    tail = x_ext[..., halo - tail_len:halo]
+    if fc_pos != "cen":
+        # the flat inf/sup state stores the tail MODULATED by the rotation
+        # pattern (decimators.decimate_flat_any); the injected halo tail
+        # sits at global positions [-tail_len, 0) relative to the aligned
+        # local block start (pattern phase 0 there)
+        _, pattern = dec.flat_rotated(log2, fc_pos)
+        period = len(pattern)
+        idx = (np.arange(-tail_len, 0)) % period
+        tail = tail * jnp.asarray(np.asarray(pattern)[idx])
+    state = dec.FlatState(tail)
+    _, y = dec.decimate_flat_any(state, x_ext[..., halo:], log2, fc_pos)
+    return y
 
 
 @dataclasses.dataclass(frozen=True, eq=False)
@@ -258,13 +272,14 @@ def grid_split(cfg: ShardedPipelineConfig, offsets: np.ndarray):
 
 
 def _pfb_with_halo(bb_ext: jnp.ndarray, m: int, p: int) -> jnp.ndarray:
-    """Zero-state PFB analysis over [(P-1)·M halo | local]; drops the
-    halo-driven head frames so outputs equal the streaming analysis
-    restricted to the local frame range (same trick as
-    _cascade_with_halo)."""
-    state = pfbmod.make_state(m, p, batch_shape=bb_ext.shape[:-1])
-    _, y = pfbmod.analyze(state, bb_ext, m, pfbmod.prototype(m, p))
-    return y[..., p - 1:, :]
+    """Streaming PFB analysis over the local frame chunk with the (P-1)·M
+    halo INJECTED as the carried tail — the analysis runs on the bare
+    chunk length (running it over the halo-extended input costs TPU
+    compile time at awkward shapes; see _cascade_with_halo)."""
+    ph = (p - 1) * m
+    state = pfbmod.PfbState(bb_ext[..., :ph])
+    _, y = pfbmod.analyze(state, bb_ext[..., ph:], m, pfbmod.prototype(m, p))
+    return y
 
 
 def a2a_placement(cfg: ShardedPipelineConfig, offsets_per_group):
@@ -383,8 +398,14 @@ def build_a2a_step(cfg: ShardedPipelineConfig, mesh: Mesh):
             if local_idx is None:  # identity: demod i of chunk = channel i
                 xb = jnp.moveaxis(mine, -1, 0)  # (sz, F_total)
             else:
-                xb = jnp.moveaxis(
-                    jnp.take(mine, local_idx[g], axis=-1), -1, 0)
+                # one-hot matmul instead of jnp.take: traced advanced-
+                # indexing gathers cost minutes of TPU compile (the r3
+                # PFB-window finding, verify SKILL.md) — measured 168 s
+                # for this step's compile with the gather, seconds as a
+                # (C, sz) @ (F, sz)^T product
+                oh = (local_idx[g][:, None]
+                      == jnp.arange(mine.shape[-1])).astype(mine.dtype)
+                xb = jnp.einsum("cs,fs->cf", oh, mine)
             dstate, audio = kind.process(dstate, xb, gcfg,
                                          offset_hz=residuals[g])
             new_states.append((cstate, dstate))
@@ -576,8 +597,12 @@ def build_sharded_step(cfg: ShardedPipelineConfig, mesh: Mesh):
             cg = counts[g] // split  # local channels of this group
             if cfg.pfb_m:
                 # (F, M) -> (cg, F) via traced grid indices: live offset
-                # moves re-gather without recompiling
-                xb = jnp.moveaxis(jnp.take(ych, pfb_idx[g], axis=-1), -1, 0)
+                # moves re-select without recompiling. One-hot matmul, NOT
+                # jnp.take — traced gathers are a minutes-long TPU compile
+                # (r3 finding; measured 168 s vs seconds on this step)
+                oh = (pfb_idx[g][:, None]
+                      == jnp.arange(ych.shape[-1])).astype(ych.dtype)
+                xb = jnp.einsum("cm,fm->cf", oh, ych)
             else:
                 xb = jnp.broadcast_to(bb, (cg, bb.shape[-1]))
                 if cfg.chan_stages:

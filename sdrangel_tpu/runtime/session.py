@@ -1637,11 +1637,21 @@ class Session:
 
     def import_preset_file(self, path: str) -> str:
         """Server-side preset import (PUT /sdrangel/preset/file): the file
-        holds one preset object as written by export."""
+        holds one preset object as written by export, OR a reference
+        Base64-TLV preset blob (settings/preset.cpp serialize format) —
+        the interchange surface for migrating reference presets
+        (runtime/refpreset.py maps the four audio demods' settings)."""
         import json
 
         with open(self._preset_file_path(path)) as f:
-            preset = json.load(f)
+            raw = f.read()
+        try:
+            preset = json.loads(raw)
+        except json.JSONDecodeError:
+            from . import refpreset
+
+            preset = refpreset.to_session_preset(
+                refpreset.parse_preset(raw.strip()))
         if not isinstance(preset, dict) or "deviceSets" not in preset:
             raise ValueError("not a preset file (missing deviceSets)")
         key = f"{preset.get('group', 'default')}/{preset.get('name', 'imported')}"

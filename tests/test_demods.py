@@ -47,7 +47,11 @@ def test_nfm_end_to_end():
     audio = _run_blocks(demod_nfm.process, demod_nfm.make_state(cfg), x, cfg, 6, block)
     audio = audio[len(audio) // 3 :]  # drop squelch/filter transients
     snr = _tone_snr(audio, 1000.0, cfg.audio_rate)
-    assert snr > 30.0, f"NFM SNR {snr:.1f} dB"
+    # measured 29.1 dB: the reference's rfBw/2.2 pre-filter (nfmdemod.cpp:425,
+    # adopted for golden parity — 137 dB stage match vs 41 at the old /2.0)
+    # clips the Carson band of this 5 kHz-deviation tone, trading ~3 dB of
+    # synthetic-loopback SNR for reference-exact channel response
+    assert snr > 26.0, f"NFM SNR {snr:.1f} dB"
     assert np.abs(audio).max() > 0.1  # squelch opened
 
 
@@ -144,7 +148,7 @@ def test_nfm_vmapped_bank():
     assert audio.shape[0] == 4
     for c in range(4):
         a = audio[c][audio.shape[1] // 2 :]  # skip squelch-attack transient
-        assert _tone_snr(a, 1000.0, cfg.audio_rate) > 30.0
+        assert _tone_snr(a, 1000.0, cfg.audio_rate) > 26.0  # see test_nfm_end_to_end
 
 
 @pytest.mark.parametrize("mod", ["am", "ssb", "wfm"])

@@ -59,6 +59,23 @@ def main() -> int:
         print(" ".join(cmd))
         subprocess.run(cmd, check=True)
         subprocess.run([str(binary), str(out_dir)], check=True)
+
+        # reference-preset TLV test vector: built with the reference's OWN
+        # SimpleSerializer (util/simpleserializer.cpp) behind the
+        # QString/QByteArray/QMap shims
+        pbinary = pathlib.Path(td) / "ref_preset_gen"
+        pcmd = [
+            "g++", "-O2", "-std=c++14", "-Dsdrangel_STATIC",
+            "-I", str(REPO / "native" / "qtshim"),
+            "-I", str(REF / "sdrbase"),
+            "-I", str(REF / "exports"),
+            str(REPO / "native" / "ref_preset_gen.cc"),
+            str(REF / "sdrbase" / "util" / "simpleserializer.cpp"),
+            "-o", str(pbinary),
+        ]
+        print(" ".join(pcmd))
+        subprocess.run(pcmd, check=True)
+        subprocess.run([str(pbinary), str(out_dir)], check=True)
     return 0
 
 
