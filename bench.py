@@ -48,9 +48,15 @@ def _cpu_baseline_ksps() -> float:
 
 def _measure_and_report(run_pass, block: int, iters: int, metric: str,
                         baseline_ksps: float) -> int:
-    """Shared measurement policy: ~2 s warmup, median of 15 passes of
-    `iters` chained steps (see the comments in main for why)."""
-    import numpy as np
+    """Shared measurement policy for every gear.
+
+    Warmup: the tunnel dispatches a cold session's first steps ~2x slower
+    (~208 us/step settling to ~80-100) and sharded gears re-jit once on
+    their output shardings, so burn >=2 s AND >=300 steps first. Then the
+    MEDIAN of 15 passes of `iters` chained steps — the tunnel adds large
+    variance in BOTH directions (a max-of-passes policy once read 270 GS/s,
+    above the then-assumed roofline), only carried-state chained loops
+    measure anything real, and 15 passes cost ~40 ms total."""
 
     t0 = time.perf_counter()
     warm_steps = 0
@@ -430,74 +436,37 @@ def main() -> int:
         )()
     dstate = jax.jit(lambda: demod_nfm.make_state(demod_cfg, batch_shape=(n_channels,)))()
 
-    # compile + warmup (stderr: the judge-visible compile-time record —
+    holder = {"s": (casc, cstate, dstate)}
+
+    def run_pass(n):
+        casc, cstate, dstate = holder["s"]
+        audio = None
+        for _ in range(n):
+            casc, cstate, dstate, audio = step(casc, cstate, dstate, raw)
+        holder["s"] = (casc, cstate, dstate)
+        audio.block_until_ready()
+
+    # compile + first step (stderr: the judge-visible compile-time record —
     # chain64 was a ~2 min compile in r2; the r3 slice-form PFB compiles
     # the whole 64-channel program in seconds)
     t0 = time.perf_counter()
-    casc, cstate, dstate, audio = step(casc, cstate, dstate, raw)
-    audio.block_until_ready()
+    run_pass(1)
     print(f"# compile+first-step: {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
 
-    # Warmup: the tunnel's per-step dispatch floor is markedly higher for
-    # the first steps of a cold session (r3's driver-context run recorded
-    # ~208 µs/step where warmed sessions sit at ~80-100 µs); burn ~2 s of
-    # steady-state steps before measuring so the recorded figure reflects
-    # the sustained rate, not the cold grant.
-    t0 = time.perf_counter()
-    warm_steps = 0
-    while (time.perf_counter() - t0 < 2.0 or warm_steps < 300) \
-            and warm_steps < 2000:
-        for _ in range(10):
-            casc, cstate, dstate, audio = step(casc, cstate, dstate, raw)
-        audio.block_until_ready()
-        warm_steps += 10
-    print(f"# warmup: {warm_steps} steps in {time.perf_counter() - t0:.1f}s",
-          file=sys.stderr)
-
-    # median of 15 passes — the remote-execution tunnel adds large
-    # run-to-run variance unrelated to the program, in BOTH directions
-    # (a max-of-passes policy once reported 270 GS/s, above the chip's
-    # HBM speed-of-light for this 4 B/sample workload; synchronized
-    # per-step timing puts the true sustained rate near ~110 GS/s).
-    # The median is robust to both glitch directions; 15 passes cost only
-    # ~450 steps (~40 ms measured) so the extra samples are free.
-    iters = args.repeat
-    rates = []
-    for _ in range(15):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            casc, cstate, dstate, audio = step(casc, cstate, dstate, raw)
-        audio.block_until_ready()
-        elapsed = time.perf_counter() - t0
-        rates.append(block * iters / elapsed / 1e6)
-    print("# pass GS/s: " + " ".join(f"{r / 1e3:.0f}" for r in rates),
-          file=sys.stderr)
-
-    msps = float(np.median(rates))
-    vs = msps * 1e3 / baseline_ksps
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    (f"pfb{pfb_m}-grid+NFM{n_channels} "
-                     "input throughput per chip"
-                     if log2 == 0 else
-                     f"decimate{1 << log2}+pfb{pfb_m}+NFM{n_channels} "
-                     "input throughput per chip")
-                    if use_pfb else
-                    f"decimate64+channelizer({n_stages}HBx16ch,distinct offsets)"
-                    "+NFM16 input throughput per chip"
-                    if not decim_only else
-                    f"{args.test} /{1 << log2} input throughput per chip"
-                ),
-                "value": round(msps, 1),
-                "unit": "MS/s",
-                "vs_baseline": round(vs, 2),
-            }
-        )
+    metric = (
+        (f"pfb{pfb_m}-grid+NFM{n_channels} input throughput per chip"
+         if log2 == 0 else
+         f"decimate{1 << log2}+pfb{pfb_m}+NFM{n_channels} "
+         "input throughput per chip")
+        if use_pfb else
+        f"decimate64+channelizer({n_stages}HBx16ch,distinct offsets)"
+        "+NFM16 input throughput per chip"
+        if not decim_only else
+        f"{args.test} /{1 << log2} input throughput per chip"
     )
-    return 0
+    return _measure_and_report(run_pass, block, args.repeat, metric,
+                               baseline_ksps)
 
 
 if __name__ == "__main__":

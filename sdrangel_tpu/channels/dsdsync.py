@@ -36,8 +36,7 @@ every DMR window match is inherently ambiguous. DSDcc resolves this by
 matching DMR only in normal polarity (dsd_frame_sync has no -DMR sync
 types; inverted search exists for D-Star/ProVoice/X2-TDMA, whose inverted
 patterns are not other valid syncs). We do the same by default, and keep a
-polarity lock (`SyncSearcher.polarity`) that the unambiguous protocols
-(YSF, D-Star) update automatically — when the lock says the channel is
+polarity lock (`SyncSearcher.polarity`) that YSF hits update automatically — when the lock says the channel is
 inverted, DMR pairs resolve to the inverted interpretation instead. The
 lock can also be preset for a channel known to be inverted.
 """
@@ -45,6 +44,7 @@ lock can also be preset for a channel known to be inverted.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import NamedTuple
 
 import numpy as np
@@ -93,6 +93,173 @@ YSF_BLOCK_DIBITS = 72   # per V/D-mode channel block: DCH then VCH
 YSF_DCH_DIBITS = 36
 #: D-Star voice frame: 96 bits (72 voice + 24 slow data)
 DSTAR_FRAME_BITS = 96
+
+
+# ---------------------------------------------------------------------------
+# YSF FICH channel coding (Yaesu System Fusion spec; DSDcc decodes this in
+# DSDYSF::processFICH — its sources are not vendored in the reference tree,
+# so the tables here are spec-derived and verified by encode/decode
+# SELF-CONSISTENCY plus conservative gating: an undecodable FICH never
+# produces voice frames, it only withholds them).
+#
+# Structure of the 200-bit FICH block (100 dibits after the frame sync):
+#   32 info bits + CRC-16/CCITT over the 4 info bytes = 48 bits
+#   -> 4 x Golay(24,12) = 96 bits, + 4 flushing zeros = 100 bits
+#   -> rate-1/2 K=5 convolutional code (G1 = 1+D^3+D^4, G2 = 1+D+D^2+D^4,
+#      the NXDN/YSF generator pair) = 200 bits
+#   -> 20x5 block interleave over dibits: coded dibit 5j+k sits at frame
+#      dibit j + 20k.
+# Info layout (byte0..byte3): FI(2) CS(2) CM(2) BN(2) | BT(2) FN(3) FT(3) |
+# Res(1) Dev(1) MR(3) VoIP(1) DT(2) | SQL(1) Res(1) SQ(6).
+#   FI: 0 header, 1 communication, 2 terminator, 3 test
+#   DT: 0 V/D mode 1, 1 Data FR, 2 V/D mode 2, 3 Voice FR
+# ---------------------------------------------------------------------------
+
+#: coded-dibit -> frame-dibit position of the 20x5 interleave
+_FICH_INTERLEAVE = np.array(
+    [j + 20 * k for j in range(20) for k in range(5)], dtype=np.int64)
+
+_G24 = 0b110001110101  # Golay(24,12) generator taps (x^11+x^10+x^6+x^5+x^4+x^2+1)
+
+
+@functools.lru_cache(maxsize=1)
+def _golay_codewords() -> np.ndarray:
+    """(4096, 24) systematic extended-Golay codebook: [12 data | 11 check |
+    overall parity]."""
+    words = np.zeros((4096, 24), np.uint8)
+    for d in range(4096):
+        # long-division on the 23-bit codeword space
+        v = d << 11
+        for i in range(11, -1, -1):
+            if v & (1 << (i + 11)):
+                v ^= _G24 << i
+        code23 = (d << 11) | (v & 0x7FF)
+        parity = bin(code23).count("1") & 1
+        bits = [(code23 >> (22 - b)) & 1 for b in range(23)] + [parity]
+        words[d] = bits
+    return words
+
+
+def golay_encode(data12: int) -> np.ndarray:
+    return _golay_codewords()[data12 & 0xFFF]
+
+
+def golay_decode(bits24: np.ndarray) -> int | None:
+    """Nearest-codeword decode, correcting up to 3 bit errors."""
+    cw = _golay_codewords()
+    d = (cw != np.asarray(bits24, np.uint8)[None, :]).sum(axis=1)
+    k = int(np.argmin(d))
+    return k if int(d[k]) <= 3 else None
+
+
+def _crc16_ccitt(data: bytes) -> int:
+    """CRC-16/CCITT (poly 0x1021, init 0, no final xor) — the YSF FICH
+    checksum convention (self-consistency pinned in tests)."""
+    crc = 0
+    for byte in data:
+        crc ^= byte << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x1021 if crc & 0x8000 else crc << 1) & 0xFFFF
+    return crc
+
+
+_CONV_G1, _CONV_G2 = 0b11001, 0b10111  # K=5: 1+D^3+D^4, 1+D+D^2+D^4
+
+
+def _conv_encode(bits: np.ndarray) -> np.ndarray:
+    """Rate-1/2 K=5 convolutional encoder, zero initial state."""
+    out = np.empty(2 * len(bits), np.uint8)
+    st = 0
+    for i, b in enumerate(np.asarray(bits, np.uint8)):
+        st = ((st << 1) | int(b)) & 0x1F
+        out[2 * i] = bin(st & _CONV_G1).count("1") & 1
+        out[2 * i + 1] = bin(st & _CONV_G2).count("1") & 1
+    return out
+
+
+def _conv_decode(pairs: np.ndarray) -> np.ndarray:
+    """Hard-decision Viterbi for the K=5 rate-1/2 code (16 states)."""
+    pairs = np.asarray(pairs, np.uint8).reshape(-1, 2)
+    n = len(pairs)
+    metric = np.full(16, 1 << 30, np.int64)
+    metric[0] = 0
+    back = np.zeros((n, 16), np.int8)
+    for t in range(n):
+        new = np.full(16, 1 << 30, np.int64)
+        for s in range(16):
+            if metric[s] >= (1 << 30):
+                continue
+            for b in (0, 1):
+                reg = ((s << 1) | b) & 0x1F
+                o0 = bin(reg & _CONV_G1).count("1") & 1
+                o1 = bin(reg & _CONV_G2).count("1") & 1
+                cost = (o0 != pairs[t, 0]) + (o1 != pairs[t, 1])
+                ns = reg & 0x0F
+                m = metric[s] + cost
+                if m < new[ns]:
+                    new[ns] = m
+                    back[t, ns] = s * 2 + b
+        metric = new
+    s = int(np.argmin(metric))
+    bits = np.empty(n, np.uint8)
+    for t in range(n - 1, -1, -1):
+        prev_b = back[t, s]
+        bits[t] = prev_b & 1
+        s = prev_b >> 1
+    return bits
+
+
+def encode_fich(fi: int = 1, dt: int = 2, cs: int = 2, cm: int = 0,
+                bn: int = 0, bt: int = 0, fn: int = 0, ft: int = 6,
+                dev: int = 0, mr: int = 0, voip: int = 0, sql: int = 0,
+                sq: int = 0) -> np.ndarray:
+    """FICH fields -> 100 frame dibits (the inverse of decode_fich)."""
+    b0 = (fi & 3) << 6 | (cs & 3) << 4 | (cm & 3) << 2 | (bn & 3)
+    b1 = (bt & 3) << 6 | (fn & 7) << 3 | (ft & 7)
+    b2 = (dev & 1) << 6 | (mr & 7) << 3 | (voip & 1) << 2 | (dt & 3)
+    b3 = (sql & 1) << 7 | (sq & 0x3F)
+    data = bytes([b0, b1, b2, b3])
+    crc = _crc16_ccitt(data)
+    bits48 = np.array(
+        [(int.from_bytes(data, "big") >> (31 - i)) & 1 for i in range(32)]
+        + [(crc >> (15 - i)) & 1 for i in range(16)], np.uint8)
+    coded = np.concatenate([
+        golay_encode(int("".join(map(str, bits48[12 * k:12 * k + 12])), 2))
+        for k in range(4)])
+    conv_in = np.concatenate([coded, np.zeros(4, np.uint8)])  # flush: 100 bits
+    enc = _conv_encode(conv_in)  # 200 bits = 100 coded dibits
+    dib = ((enc[0::2] << 1) | enc[1::2]).astype(np.int8)
+    out = np.empty(100, np.int8)
+    out[_FICH_INTERLEAVE] = dib
+    return out
+
+
+def decode_fich(dibits100: np.ndarray) -> dict | None:
+    """100 frame dibits -> FICH fields, or None when the CRC fails."""
+    dib = np.asarray(dibits100, np.int8)[_FICH_INTERLEAVE]
+    bits = np.empty(200, np.uint8)
+    bits[0::2] = (dib >> 1) & 1
+    bits[1::2] = dib & 1
+    dec = _conv_decode(bits)[:96]
+    vals = []
+    for k in range(4):
+        v = golay_decode(dec[24 * k:24 * k + 24])
+        if v is None:
+            return None
+        vals.append(v)
+    word48 = 0
+    for v in vals:
+        word48 = (word48 << 12) | v
+    data = (word48 >> 16).to_bytes(4, "big")
+    if _crc16_ccitt(data) != (word48 & 0xFFFF):
+        return None
+    b0, b1, b2, b3 = data
+    return {
+        "fi": b0 >> 6, "cs": (b0 >> 4) & 3, "cm": (b0 >> 2) & 3, "bn": b0 & 3,
+        "bt": b1 >> 6, "fn": (b1 >> 3) & 7, "ft": b1 & 7,
+        "dev": (b2 >> 6) & 1, "mr": (b2 >> 3) & 7, "voip": (b2 >> 2) & 1,
+        "dt": b2 & 3, "sql": b3 >> 7, "sq": b3 & 0x3F,
+    }
 
 
 class SyncHit(NamedTuple):
@@ -194,7 +361,13 @@ class SyncSearcher:
             if h.protocol == "dmr":
                 if h.inverted != self.polarity:
                     continue
-            else:
+            elif h.protocol == "ysf":
+                # only YSF updates the lock: its 20-dibit exact-symbol
+                # pattern is a reliable witness, while the 24-bit D-Star
+                # bit-domain correlator (1 error tolerated) false-fires on
+                # unrelated 4FSK traffic — a single false inverted hit
+                # must not flip the channel-global DMR interpretation.
+                # (D-Star's own extractor keeps its per-protocol polarity.)
                 self.polarity = h.inverted
             resolved.append(h)
         hits = resolved
@@ -283,6 +456,9 @@ class VoiceExtractor:
     #: a sync hit re-anchors it, so drift cannot accumulate)
     _dstar_next: int | None = None
     _dstar_inv: bool = False
+    #: most recent successfully-decoded YSF FICH (repeats every frame;
+    #: reused when a frame's own FICH is too corrupted to decode)
+    last_fich: dict | None = None
     total: int = 0
 
     def feed(self, dibits: np.ndarray, hits: list) -> list[dict]:
@@ -322,6 +498,19 @@ class VoiceExtractor:
             if h.inverted:
                 seg = (seg ^ 2).astype(np.int8)
             if h.protocol == "ysf":
+                # decode the FICH first (DSDcc gates on it too): headers,
+                # terminators and Data-FR frames carry NO V/D voice, and an
+                # undecodable FICH falls back to the stream's last valid
+                # one (the FICH repeats every frame) or withholds voice
+                # entirely — garbage never reaches the vocoder boundary.
+                fich = decode_fich(
+                    seg[len(YSF_SYNC): len(YSF_SYNC) + YSF_FICH_DIBITS])
+                if fich is not None:
+                    self.last_fich = fich
+                else:
+                    fich = self.last_fich
+                if fich is None or fich["fi"] != 1 or fich["dt"] not in (0, 2):
+                    continue  # header/terminator/test, Data FR, or no FICH
                 # V/D layout: sync(20) | FICH(100) | 5 x (DCH 36 | VCH 36);
                 # each 36-dibit VCH is one 72-bit vocoder channel block
                 base = len(YSF_SYNC) + YSF_FICH_DIBITS
@@ -331,6 +520,7 @@ class VoiceExtractor:
                     out.append({
                         "protocol": "ysf",
                         "position": int(h.position),
+                        "dt": fich["dt"],
                         "hex": _bits_to_hex(_dibits_to_bits(vch)),
                     })
                 continue

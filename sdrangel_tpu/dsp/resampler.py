@@ -8,15 +8,12 @@ phase leg `floor(distance * phaseSteps)` per output (interpolator.h:23-52).
 
 TPU design: the in/out ratio is rational p/q, so for block length T ≡ 0
 (mod p) the per-output input index and phase leg repeat exactly every q
-outputs and every block. Two conv formulations replace the reference's
-per-sample loop (both static-shaped, no gathers — gathers compiled
-pathologically on TPU):
-  "conv"   — small q: one conv with lhs_dilation=q, window_strides=p;
-  "gather" — awkward ratios (e.g. 156250/48000 = 625/192): the reference's
-             16-phase schedule recast as ONE multi-output-channel strided
-             conv — residue class j of the output grid becomes conv channel
-             j whose kernel is phase leg phase[j] placed at offset
-             start_idx[j] (see _polyphase_conv_kernels).
+outputs and every block. The reference's per-sample phase schedule (both
+the decimate and interpolate recurrences) is recast as ONE static
+multi-output-channel strided conv / windows@legs matmul — residue class j
+of the output grid becomes channel j whose kernel is phase leg phase[j]
+placed at offset start_idx[j] (_polyphase_conv_kernels); no gathers, no
+data-dependent shapes (both compile pathologically on TPU).
 Carried state is the ntaps-1 input tail (the distance pattern is
 block-periodic by construction, so no phase carry is needed).
 """
@@ -73,17 +70,12 @@ class ResamplerState(NamedTuple):
 @dataclasses.dataclass(frozen=True, eq=False)  # eq=False: identity hash so a
 # plan object can be a jit static argument (reuse the same instance per chain)
 class ResamplerPlan:
-    """Host-precomputed schedule for one block size.
-
-    Two execution modes:
-      "conv"   — exact rational p/q resampling as one XLA conv with
-                 lhs_dilation=q and window_strides=p (the textbook polyphase
-                 structure; no gathers — used when q is small, which covers
-                 every power-of-two rate plan). Ignores phase/start tables.
-      "gather" — the reference's 16-phase nearest-leg schedule
-                 (interpolator.h:23-52) executed as one multi-channel
-                 strided conv (kernels from _polyphase_conv_kernels).
-    """
+    """Host-precomputed schedule for one block size: the reference's
+    phase-leg schedule (interpolator.h:23-52, both directions) executed as
+    one multi-channel strided conv / matmul (kernels from
+    _polyphase_conv_kernels). mode is always "gather" (an XLA dilated-conv
+    mode existed through r3; removed as dead once the upsample path
+    adopted the reference-exact schedule)."""
 
     in_rate: float
     out_rate: float
@@ -97,7 +89,6 @@ class ResamplerPlan:
     mode: str = "gather"
     p: int = 1
     q: int = 1
-    conv_taps: np.ndarray | None = None  # (L,) prototype at rate q*in_rate
 
     @property
     def ratio(self) -> float:
@@ -138,8 +129,6 @@ def make_plan(
     cutoff = min(cutoff, 0.45 * min(out_rate, in_rate))  # anti-alias/image guard
 
     if in_rate < out_rate:
-        # Tx interpolation (the reference Interpolator::interpolate direction,
-        # interpolator.h:39-52) — conv mode only.
         assert q <= 256, f"upsampling denominator too large: {q}"
 
     if q <= 16 and in_rate >= out_rate:
@@ -276,50 +265,20 @@ def init_state(plan: ResamplerPlan, batch_shape=()) -> ResamplerState:
     )
 
 
-def _resample_conv(
-    state: ResamplerState, x: jnp.ndarray, plan: ResamplerPlan
-) -> tuple[ResamplerState, jnp.ndarray]:
-    """Exact rational resampling: conv with lhs_dilation=q, stride=p."""
-    import jax
-
-    ext = jnp.concatenate([state.tail, x], axis=-1)
-    batch_shape = ext.shape[:-1]
-    lanes = jnp.stack([jnp.real(ext), jnp.imag(ext)], axis=0)
-    lhs = lanes.reshape(-1, 1, ext.shape[-1])
-    rhs = jnp.asarray(plan.conv_taps).reshape(1, 1, -1)
-    from .decimators import _CONV_PRECISION
-
-    out = jax.lax.conv_general_dilated(
-        lhs,
-        rhs,
-        window_strides=(plan.p,),
-        padding=((0, 0),),  # explicit VALID (string padding rejected with lhs_dilation)
-        lhs_dilation=(plan.q,),
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        # the TPU conv default is bf16 — a flat ~-56 dB/bin noise floor on
-        # the demod audio (measured on hardware: 16 dB chain SNR vs 55 on
-        # f32 CPU); track the decimators' precision policy
-        precision=_CONV_PRECISION,
-    )
-    out = out[..., -plan.block_out :]  # constant head trim keeps streaming alignment
-    out = out.reshape(2, *batch_shape, plan.block_out)
-    y = (out[0] + 1j * out[1]).astype(jnp.complex64)
-    return ResamplerState(ext[..., x.shape[-1] :]), y
-
-
 def resample_block(
     state: ResamplerState, x: jnp.ndarray, plan: ResamplerPlan
 ) -> tuple[ResamplerState, jnp.ndarray]:
     """(state, x[..., block_in]) -> (state', y[..., block_out]).
 
-    conv mode: one dilated/strided convolution (see ResamplerPlan).
-    gather mode: each output m is dot(taps[phase[m]], ext[start_idx[m]:+ntaps])
-    where ext = [tail | x]; newest-first tap order of the reference ring
-    buffer is matched by reversing the legs once on the host.
+    All plans execute in gather mode: each output m is
+    dot(taps[phase[m]], ext[start_idx[m]:+ntaps]) where ext = [tail | x];
+    newest-first tap order of the reference ring buffer is matched by
+    reversing the legs once on the host. (A dilated/strided-conv "conv"
+    mode existed through r3 for Tx upsampling; the reference-exact
+    interpolate() schedule replaced it and the mode was removed as dead.)
     """
     assert x.shape[-1] == plan.block_in
-    if plan.mode == "conv":
-        return _resample_conv(state, x, plan)
+    assert plan.mode == "gather", plan.mode
     return _resample_polyphase_conv(state, x, plan)
 
 

@@ -402,10 +402,13 @@ def build_a2a_step(cfg: ShardedPipelineConfig, mesh: Mesh):
                 # indexing gathers cost minutes of TPU compile (the r3
                 # PFB-window finding, verify SKILL.md) — measured 168 s
                 # for this step's compile with the gather, seconds as a
-                # (C, sz) @ (F, sz)^T product
+                # (C, sz) @ (F, sz)^T product. Full precision: the TPU
+                # bf16 matmul default would quantize the demod inputs
+                # (the decimators.py precision-policy rule)
                 oh = (local_idx[g][:, None]
                       == jnp.arange(mine.shape[-1])).astype(mine.dtype)
-                xb = jnp.einsum("cs,fs->cf", oh, mine)
+                xb = jnp.einsum("cs,fs->cf", oh, mine,
+                                precision=dec._CONV_PRECISION)
             dstate, audio = kind.process(dstate, xb, gcfg,
                                          offset_hz=residuals[g])
             new_states.append((cstate, dstate))
@@ -602,7 +605,8 @@ def build_sharded_step(cfg: ShardedPipelineConfig, mesh: Mesh):
                 # (r3 finding; measured 168 s vs seconds on this step)
                 oh = (pfb_idx[g][:, None]
                       == jnp.arange(ych.shape[-1])).astype(ych.dtype)
-                xb = jnp.einsum("cm,fm->cf", oh, ych)
+                xb = jnp.einsum("cm,fm->cf", oh, ych,
+                                precision=dec._CONV_PRECISION)
             else:
                 xb = jnp.broadcast_to(bb, (cg, bb.shape[-1]))
                 if cfg.chan_stages:

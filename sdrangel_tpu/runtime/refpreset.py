@@ -144,15 +144,27 @@ class RefDeserializer:
 
 
 def _nfm_settings(d: RefDeserializer) -> dict:
+    import math
+
     idx = d.s32(2, 4)
+    delta = d.bool_(12, False)
+    if delta:
+        # delta-squelch presets store NEGATIVE MILLIS: threshold =
+        # -m_squelch/1000 (nfmdemod.cpp:525-530); our AF squelch takes a
+        # dB power ratio, so convert the ratio back to dB
+        ratio = max(-d.s32(5, -300) / 1000.0, 1e-6)
+        squelch_db = 10.0 * math.log10(ratio)
+    else:
+        # centibels -> dB (nfmdemod.cpp:533 pow(10, squelch/100) = power)
+        squelch_db = d.s32(5, -300) / 10.0
     return {
         "inputFrequencyOffset": float(d.s32(1, 0)),
         "rf_bandwidth": float(_index(NFM_RFBW, idx)),
         "fm_deviation": float(_index(NFM_FMDEV, idx)),
         "af_bandwidth": float(d.s32(3, 3)) * 1000.0,
         "volume": d.s32(4, 20) / 10.0,
-        # centibels -> dB (nfmdemod.cpp:533 pow(10, squelch/100) = power)
-        "squelch_db": d.s32(5, -300) / 10.0,
+        "squelch_db": squelch_db,
+        "delta_squelch": delta,
         "ctcss_index": d.s32(8, 0) if d.bool_(9, False) else 0,
         "ctcss_on": d.bool_(9, False),
         "audio_mute": d.bool_(10, False),
@@ -172,13 +184,24 @@ def _am_settings(d: RefDeserializer) -> dict:
 
 
 def _ssb_settings(d: RefDeserializer) -> dict:
+    # the reference normalizes the signed band pair at apply time
+    # (ssbdemod.cpp:465-478): LSB presets store NEGATIVE bandwidth and
+    # lowCutoff; both are negated (the sideband is carried by `usb`) and
+    # the band is clamped to >= 100 Hz
+    band = 100.0 * d.s32(2, 30)
+    low = 100.0 * d.s32(6, 3)
+    usb = band >= 0
+    if band < 0:
+        band, low = -band, -low
+    if band < 100.0:
+        band, low = 100.0, 0.0
     return {
         "inputFrequencyOffset": float(d.s32(1, 0)),
-        "bandwidth": 100.0 * d.s32(2, 30),
+        "bandwidth": band,
         "volume": d.s32(3, 30) / 10.0,
-        "low_cutoff": 100.0 * d.s32(6, 3),
+        "low_cutoff": low,
         "dsb": d.bool_(10, False),
-        "usb": 100.0 * d.s32(2, 30) >= 0,  # bandwidth sign picks sideband
+        "usb": usb,
         "agc_enable": d.bool_(11, False),
     }
 

@@ -314,11 +314,14 @@ def test_dstar_voice_cadence():
     assert [f["hex"] for f in ds] == [_hex72(voices[1]), _hex72(voices[2])]
 
 
-def _ysf_frame(rng, vch_payloads):
+def _ysf_frame(rng, vch_payloads, **fich_kw):
     """One YSF V/D frame: sync(20) | FICH(100) | 5 x (DCH 36 | VCH 36)
-    dibits; vch_payloads: five 72-bit arrays."""
+    dibits; vch_payloads: five 72-bit arrays. The FICH is properly
+    channel-coded (default: communication frame, V/D mode 2)."""
+    fich_kw.setdefault("fi", 1)
+    fich_kw.setdefault("dt", 2)
     parts = [np.asarray(dsdsync.YSF_SYNC, np.int8),
-             rng.integers(0, 4, dsdsync.YSF_FICH_DIBITS).astype(np.int8)]
+             dsdsync.encode_fich(**fich_kw)]
     for v in vch_payloads:
         parts.append(rng.integers(0, 4, dsdsync.YSF_DCH_DIBITS).astype(np.int8))
         parts.append(_bits_to_dibits(v))
@@ -401,3 +404,62 @@ def test_ysf_voice_loopback_through_demod():
     # the symbol tracker's ~90% raw dibit accuracy costs frames; recovering
     # a third of the exact 72-bit payloads proves the layer end-to-end
     assert len(got & want) >= len(want) // 3, f"{len(got & want)}/{len(want)}"
+
+
+def test_fich_roundtrip_and_error_correction():
+    """FICH channel coding self-consistency (see the dsdsync docstring:
+    DSDcc's sources are not vendored, so the spec-derived tables are
+    pinned by encode->corrupt->decode)."""
+    f = dsdsync.encode_fich(fi=1, dt=2, fn=5, ft=7, sq=42, cs=3)
+    assert len(f) == dsdsync.YSF_FICH_DIBITS
+    dec = dsdsync.decode_fich(f)
+    assert dec["fi"] == 1 and dec["dt"] == 2 and dec["fn"] == 5
+    assert dec["ft"] == 7 and dec["sq"] == 42 and dec["cs"] == 3
+    # a few dibit errors survive the conv+Golay protection
+    f2 = f.copy()
+    f2[[3, 41, 77]] ^= 2
+    assert dsdsync.decode_fich(f2) == dec
+    # garbage fails the CRC instead of decoding to nonsense
+    rng = np.random.default_rng(31)
+    assert dsdsync.decode_fich(rng.integers(0, 4, 100).astype(np.int8)) is None
+
+
+def test_ysf_non_voice_frames_emit_no_vch():
+    """Advisor r4: headers/terminators and Data-FR frames carry no V/D
+    voice — the FICH (FI/DT) gates extraction, so they must not produce
+    vocoder frames."""
+    rng = np.random.default_rng(32)
+    vs = [rng.integers(0, 2, 72).astype(np.uint8) for _ in range(5)]
+    stream = np.concatenate([
+        _ysf_frame(rng, vs, fi=0, dt=2),   # header
+        _ysf_frame(rng, vs, fi=1, dt=1),   # communication, Data FR
+        _ysf_frame(rng, vs, fi=1, dt=2),   # communication, V/D mode 2
+        _ysf_frame(rng, vs, fi=2, dt=2),   # terminator
+    ])
+    s = dsdsync.SyncSearcher(max_errors=0)
+    ve = dsdsync.VoiceExtractor()
+    frames = ve.feed(stream, s.feed(stream))
+    ysf = [f for f in frames if f["protocol"] == "ysf"]
+    assert len(ysf) == 5  # only the V/D frame
+    assert {f["position"] for f in ysf} == {2 * dsdsync.YSF_FRAME_DIBITS}
+    assert all(f["dt"] == 2 for f in ysf)
+    assert ve.last_fich is not None and ve.last_fich["fi"] == 2
+
+
+def test_ysf_corrupted_fich_reuses_last_valid():
+    """A frame whose FICH is too corrupted to decode reuses the stream's
+    last valid FICH (it repeats every frame) instead of dropping voice."""
+    rng = np.random.default_rng(33)
+    vs1 = [rng.integers(0, 2, 72).astype(np.uint8) for _ in range(5)]
+    vs2 = [rng.integers(0, 2, 72).astype(np.uint8) for _ in range(5)]
+    f1 = _ysf_frame(rng, vs1)
+    f2 = _ysf_frame(rng, vs2)
+    # trash frame 2's FICH beyond repair
+    f2[20:120] = rng.integers(0, 4, 100).astype(np.int8)
+    # restore the sync (still intact) and feed
+    stream = np.concatenate([f1, f2])
+    s = dsdsync.SyncSearcher(max_errors=0)
+    ve = dsdsync.VoiceExtractor()
+    frames = ve.feed(stream, s.feed(stream))
+    ysf = [f["hex"] for f in frames if f["protocol"] == "ysf"]
+    assert ysf == [_hex72(v) for v in vs1 + vs2]

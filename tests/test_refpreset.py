@@ -31,8 +31,8 @@ def test_parse_reference_preset_blob():
     assert nfm == {
         "inputFrequencyOffset": 12500.0, "rf_bandwidth": 12500.0,
         "fm_deviation": 5000.0, "af_bandwidth": 4000.0, "volume": 2.0,
-        "squelch_db": -40.0, "ctcss_index": 3, "ctcss_on": True,
-        "audio_mute": False, "squelch_gate_ms": 70.0,
+        "squelch_db": -40.0, "delta_squelch": False, "ctcss_index": 3,
+        "ctcss_on": True, "audio_mute": False, "squelch_gate_ms": 70.0,
     }
     am = p["channels"][1]["settings"]
     assert am["rf_bandwidth"] == 5000.0 and am["squelch_db"] == -35.0
@@ -73,3 +73,44 @@ def test_import_into_session(tmp_path):
 def test_reject_garbage():
     with pytest.raises(ValueError):
         refpreset.parse_preset(b"\x00\x01\x02garbage")
+
+
+def test_lsb_and_delta_squelch_normalization():
+    """Advisor r4: LSB presets store NEGATIVE bandwidth/lowCutoff (the
+    reference negates both at apply, ssbdemod.cpp:465-478) and NFM presets
+    saved in delta-squelch mode store NEGATIVE MILLIS, not centibels
+    (nfmdemod.cpp:525-530)."""
+    from sdrangel_tpu.runtime.refpreset import (
+        RefDeserializer, _nfm_settings, _ssb_settings)
+
+    # hand-build blobs with the SimpleSerializer wire format (version tag +
+    # S32/Bool elements); writeTag: (type<<4)|(idLen<<2)|lenLen
+    def s32(i, v):
+        b = v.to_bytes(4, "big", signed=True).lstrip(
+            b"\xff" if v < 0 else b"\x00") or b"\x00"
+        if v < 0 and not (b[0] & 0x80):
+            b = b"\xff" + b
+        if v > 0 and (b[0] & 0x80):
+            b = b"\x00" + b
+        if v == 0:
+            b = b""
+        # header: type S32(0)<<4 | idLen 0 <<2 | lenLen 0 (1-byte id+len)
+        return bytes([0x00, i, len(b)]) + b
+
+    def boolel(i, v):
+        return bytes([0x60, i, 1, 1 if v else 0])
+
+    ver = bytes([0x90, 0, 1, 1])
+    # LSB SSB: bandwidth -2800 (-28*100), lowCutoff -300 (-3*100)
+    ssb = ver + s32(1, 1000) + s32(2, -28) + s32(3, 12) + s32(6, -3)
+    d = RefDeserializer(ssb)
+    assert d.valid
+    st = _ssb_settings(d)
+    assert st["usb"] is False
+    assert st["bandwidth"] == 2800.0 and st["low_cutoff"] == 300.0
+    # NFM delta squelch: m_squelch -30 (negative millis -> ratio 0.03)
+    nfm = ver + s32(1, 0) + s32(2, 4) + s32(5, -30) + boolel(12, True)
+    d = RefDeserializer(nfm)
+    st = _nfm_settings(d)
+    assert st["delta_squelch"] is True
+    assert abs(st["squelch_db"] - 10.0 * __import__("math").log10(0.03)) < 1e-6
