@@ -54,8 +54,11 @@
 #include "dsp/lowpass.h"
 #include "dsp/afsquelch.h"
 #include "dsp/ctcssdetector.h"
+#include "dsp/agc.h"
 #include "util/movingaverage.h"
 #include "util/doublebufferfifo.h"
+#include "util/stepfunctions.h"
+#include "util/db.h"
 
 #include "ref_golden_common.h"
 
@@ -619,6 +622,246 @@ void gen_nfm_chain(const char* name, int input_rate, int offset_hz,
 }
 
 // ---------------------------------------------------------------------------
+// Group F2 (r4): AM / SSB / WFM full demod chains — the exact feed
+// compositions of amdemod.cpp:101-282, ssbdemod.cpp:152-262 and
+// wfmdemod.cpp:96-160 with each plugin's ctor/applySettings state.
+// ---------------------------------------------------------------------------
+
+void gen_am_chain(const char* name, int input_rate, int offset_hz,
+                  uint64_t seed) {
+  const int audio_rate = 48000;
+  const double rf_bw = 5000.0;     // AMDemodSettings default
+  const double volume = 1.0;
+  const double squelch_db = -40.0;
+
+  // AM tone: carrier at offset, 1 kHz tone, depth 0.5, amplitude 0.5 FS
+  const int N = 65536;
+  Rng rng(seed);
+  std::vector<qint16> in(2 * N);
+  for (int n = 0; n < N; ++n) {
+    double env = 0.25 * (1.0 + 0.5 * cos(2.0 * M_PI * 1000.0 * n / input_rate));
+    double ph = 2.0 * M_PI * offset_hz * n / input_rate;
+    in[2 * n] = (qint16)lrint((env * cos(ph) + 0.001 * rng.uniform()) * 32767.0);
+    in[2 * n + 1] = (qint16)lrint((env * sin(ph) + 0.001 * rng.uniform()) * 32767.0);
+  }
+  save_i16(std::string(name) + "_input", in,
+           "{\"n_complex\": 65536, \"mod_tone\": 1000.0, \"depth\": 0.5}");
+
+  // state per AMDemod ctor + applyChannelSettings + applySettings
+  NCO nco;
+  nco.setFreq((Real)(-offset_hz), (Real)input_rate);
+  Interpolator interpolator;
+  interpolator.create(16, input_rate, rf_bw / 2.2);  // amdemod.cpp:370
+  Real interp_distance = (Real)input_rate / (Real)audio_rate;
+  Real interp_remain = 0;
+  MovingAverageUtil<Real, double, 16> moving_average;
+  DoubleBufferFIFO<Real> squelch_delay(9600);          // amdemod.h:183
+  SimpleAGC<4800> volume_agc(0.003);
+  volume_agc.resizeNew(audio_rate / 4, 0.003);         // bandpass on, :465
+  Bandpass<Real> bandpass;
+  bandpass.create(301, audio_rate, 300.0, rf_bw / 2.0);  // :373
+  double squelch_level = CalcDb::powerFromdB(squelch_db);
+  int squelch_count = 0;
+
+  std::vector<float> audio_f;
+  Complex ci;
+  for (int n = 0; n < N; ++n) {
+    Complex c((Real)in[2 * n], (Real)in[2 * n + 1]);
+    c *= nco.nextIQ();
+    if (interpolator.decimate(&interp_remain, c, &ci)) {
+      // processOneSample (amdemod.cpp:152-282), envelope (non-PLL) branch
+      Real re = ci.real() / SDR_RX_SCALEF;
+      Real im = ci.imag() / SDR_RX_SCALEF;
+      Real magsq = re * re + im * im;
+      moving_average(magsq);
+      double m_magsq = moving_average.asDouble();
+      squelch_delay.write(magsq);
+      if (m_magsq < squelch_level) {
+        if (squelch_count > 0) squelch_count--;
+      } else {
+        if (squelch_count < audio_rate / 10) squelch_count++;
+      }
+      bool squelch_open = (squelch_count >= audio_rate / 20);
+      float sample;
+      if (squelch_open) {
+        Real demod = sqrt(squelch_delay.readBack(audio_rate / 20));
+        volume_agc.feed(demod);
+        demod = (demod - volume_agc.getValue()) / volume_agc.getValue();
+        demod = bandpass.filter(demod);
+        demod /= 301.0f;
+        Real attack = (squelch_count - 0.05f * audio_rate) / (0.05f * audio_rate);
+        sample = demod * StepFunctions::smootherstep(attack)
+            * (audio_rate / 24) * (Real)volume;
+      } else {
+        sample = 0.0f;
+      }
+      audio_f.push_back(sample);
+      interp_remain += interp_distance;
+    }
+  }
+  char params[192];
+  snprintf(params, sizeof(params),
+           "{\"input_rate\": %d, \"offset_hz\": %d, \"rf_bw\": 5000.0, "
+           "\"volume\": 1.0, \"squelch_db\": -40.0, \"bandpass\": true}",
+           input_rate, offset_hz);
+  save_f32(std::string(name) + "_audio", audio_f, params);
+}
+
+void gen_ssb_chain(const char* name, int input_rate, int offset_hz,
+                   bool agc_active, uint64_t seed) {
+  const int audio_rate = 48000;
+  const double bandwidth = 3000.0, low_cutoff = 300.0;  // USB defaults
+  const double volume = 2.0;
+
+  // two in-band audio tones SSB-placed: complex tones at offset+700/+1900 Hz
+  const int N = 65536;
+  Rng rng(seed);
+  std::vector<qint16> in(2 * N);
+  for (int n = 0; n < N; ++n) {
+    double p1 = 2.0 * M_PI * (offset_hz + 700.0) * n / input_rate;
+    double p2 = 2.0 * M_PI * (offset_hz + 1900.0) * n / input_rate;
+    double i = 0.3 * cos(p1) + 0.18 * cos(p2) + 0.001 * rng.uniform();
+    double q = 0.3 * sin(p1) + 0.18 * sin(p2) + 0.001 * rng.uniform();
+    in[2 * n] = (qint16)lrint(i * 32767.0);
+    in[2 * n + 1] = (qint16)lrint(q * 32767.0);
+  }
+  save_i16(std::string(name) + "_input", in,
+           "{\"n_complex\": 65536, \"tones\": [700.0, 1900.0]}");
+
+  NCO nco;
+  nco.setFreq((Real)(-offset_hz), (Real)input_rate);
+  Interpolator interpolator;
+  interpolator.create(16, input_rate, bandwidth * 1.5, 2.0);  // ssbdemod.cpp:381
+  Real interp_distance = (Real)input_rate / (Real)audio_rate;
+  Real interp_remain = 0;
+  fftfilt ssb_filter((Real)(low_cutoff / audio_rate),
+                     (Real)(bandwidth / audio_rate), 1024);
+  // MagAGC per ssbdemod ctor/applySettings: agcTimeLog2 default 7 ->
+  // nbSamples = 48 * 128 = 6144; threshold -40 dB, gate 4 ms
+  MagAGC agc(12000, 3276.8, 1e-2);
+  agc.setClampMax(SDR_RX_SCALED / 100.0);
+  agc.setClamping(false);
+  int agc_nb = (audio_rate / 1000) * (1 << 7);
+  agc.resize(agc_nb, agc_nb / 2, 3276.8);
+  agc.setStepDownDelay(agc_nb);
+  agc.setThresholdEnable(true);
+  agc.setThreshold(CalcDb::powerFromdB(-40.0) * (SDR_RX_SCALED * SDR_RX_SCALED));
+  agc.setGate((audio_rate / 1000) * 4);
+  DoubleBufferFIFO<fftfilt::cmplx> squelch_delay(2 * 48000);
+
+  std::vector<float> audio_f, post_resamp, post_filt, agc_gain;
+  Complex ci;
+  fftfilt::cmplx* sideband;
+  for (int n = 0; n < N; ++n) {
+    Complex c((Real)in[2 * n], (Real)in[2 * n + 1]);
+    c *= nco.nextIQ();
+    int n_out = 0;
+    if (interpolator.decimate(&interp_remain, c, &ci)) {
+      post_resamp.push_back((float)ci.real());
+      post_resamp.push_back((float)ci.imag());
+      n_out = ssb_filter.runSSB(ci, &sideband, true);
+      interp_remain += interp_distance;
+    }
+    for (int i = 0; i < n_out; i++) {
+      post_filt.push_back((float)sideband[i].real());
+      post_filt.push_back((float)sideband[i].imag());
+      float agcVal = agc_active ? agc.feedAndGetValue(sideband[i]) : 10.0;
+      agc_gain.push_back(agcVal);
+      fftfilt::cmplx& delayed = squelch_delay.readBack(agc.getStepDownDelay());
+      squelch_delay.write(sideband[i] * agcVal);
+      fftfilt::cmplx z = delayed * agc.getStepValue();
+      Real demod = (z.real() + z.imag()) * 0.7;
+      audio_f.push_back((float)(demod * volume));
+    }
+  }
+  char params[224];
+  snprintf(params, sizeof(params),
+           "{\"input_rate\": %d, \"offset_hz\": %d, \"bandwidth\": 3000.0, "
+           "\"low_cutoff\": 300.0, \"usb\": true, \"volume\": 2.0, "
+           "\"agc\": %s, \"agc_time_log2\": 7}",
+           input_rate, offset_hz, agc_active ? "true" : "false");
+  save_f32(std::string(name) + "_audio", audio_f, params);
+  save_f32(std::string(name) + "_postresamp", post_resamp, params);
+  save_f32(std::string(name) + "_postfilt", post_filt, params);
+  save_f32(std::string(name) + "_agcgain", agc_gain, params);
+}
+
+void gen_wfmrx_chain(const char* name, int input_rate, int offset_hz,
+                     uint64_t seed) {
+  const int audio_rate = 48000;
+  const double rf_bw = 180000.0, af_bw = 15000.0, fm_dev = 75000.0;
+  const double volume = 1.0, squelch_db = -60.0;
+
+  // wideband FM: 1 kHz tone at 50 kHz deviation, amplitude 0.5 FS
+  const int N = 262144;
+  Rng rng(seed);
+  std::vector<qint16> in(2 * N);
+  double phase = 0.0;
+  for (int n = 0; n < N; ++n) {
+    double inst = 50000.0 * cos(2.0 * M_PI * 1000.0 * n / input_rate) + offset_hz;
+    phase += 2.0 * M_PI * inst / input_rate;
+    in[2 * n] = (qint16)lrint((0.5 * cos(phase) + 0.001 * rng.uniform()) * 32767.0);
+    in[2 * n + 1] = (qint16)lrint((0.5 * sin(phase) + 0.001 * rng.uniform()) * 32767.0);
+  }
+  save_i16(std::string(name) + "_input", in,
+           "{\"n_complex\": 262144, \"mod_tone\": 1000.0, \"deviation\": 50000.0}");
+
+  NCO nco;
+  nco.setFreq((Real)(-offset_hz), (Real)input_rate);
+  Interpolator interpolator;
+  interpolator.create(16, input_rate, af_bw);  // wfmdemod.cpp:292
+  Real interp_distance = (Real)input_rate / (Real)audio_rate;
+  Real interp_remain = 0;
+  fftfilt rf_filter(-50000.0f / 384000.0f, 50000.0f / 384000.0f, 1024);
+  rf_filter.create_filter((float)(-(rf_bw / 2.0) / input_rate),
+                          (float)((rf_bw / 2.0) / input_rate));  // :296-298
+  PhaseDiscriminators discri;
+  discri.setFMScaling((Real)(1.0 / (rf_bw / (Real)input_rate)));  // :299-300
+  MovingAverageUtil<Real, double, 32> moving_average;
+  double squelch_level = CalcDb::powerFromdB(squelch_db);
+  int squelch_state = 0;
+
+  std::vector<float> audio_f;
+  Complex ci;
+  fftfilt::cmplx* rf;
+  for (int n = 0; n < N; ++n) {
+    Complex c((Real)in[2 * n], (Real)in[2 * n + 1]);
+    c *= nco.nextIQ();
+    int rf_out = rf_filter.runFilt(c, &rf);
+    for (int i = 0; i < rf_out; i++) {
+      double msq = rf[i].real() * rf[i].real() + rf[i].imag() * rf[i].imag();
+      Real magsq = (Real)(msq / (SDR_RX_SCALED * SDR_RX_SCALED));
+      moving_average(magsq);
+      if (magsq >= squelch_level) {
+        if (squelch_state < rf_bw / 10) squelch_state++;
+      } else {
+        if (squelch_state > 0) squelch_state--;
+      }
+      bool squelch_open = (squelch_state > rf_bw / 20);
+      Real demod;
+      if (squelch_open) {
+        Real fmDev;
+        demod = discri.phaseDiscriminatorDelta(rf[i], msq, fmDev);
+      } else {
+        demod = 0;
+      }
+      Complex e(demod, 0);
+      if (interpolator.decimate(&interp_remain, e, &ci)) {
+        audio_f.push_back((float)(ci.real() * 3276.8f * volume));
+        interp_remain += interp_distance;
+      }
+    }
+  }
+  char params[224];
+  snprintf(params, sizeof(params),
+           "{\"input_rate\": %d, \"offset_hz\": %d, \"rf_bw\": 180000.0, "
+           "\"af_bw\": 15000.0, \"fm_dev\": %0.1f, \"volume\": 1.0, "
+           "\"squelch_db\": -60.0}",
+           input_rate, offset_hz, fm_dev);
+  save_f32(std::string(name) + "_audio", audio_f, params);
+}
+
+// ---------------------------------------------------------------------------
 // Group G: CTCSS detector + AF squelch sequences.
 // ---------------------------------------------------------------------------
 
@@ -663,6 +906,10 @@ int main_impl(const char* dir) {
   gen_channelizer();
   gen_nfm_chain("nfm48", 48000, 0, 2000, 1.0, 0x5eed0050ULL);
   gen_nfm_chain("nfm96", 96000, 12000, 2000, 1.0, 0x5eed0051ULL);
+  gen_am_chain("am96", 96000, 5000, 0x5eed0052ULL);
+  gen_ssb_chain("ssb96", 96000, 3000, false, 0x5eed0053ULL);
+  gen_ssb_chain("ssb96agc", 96000, 3000, true, 0x5eed0054ULL);
+  gen_wfmrx_chain("wfmrx384", 384000, 0, 0x5eed0055ULL);
   gen_ctcss();
   gen_tx_goldens();
 

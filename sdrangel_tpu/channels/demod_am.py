@@ -44,7 +44,10 @@ class AMConfig:
 
     @functools.cached_property
     def bandpass_taps(self) -> np.ndarray:
-        return firdesign.bandpass(301, 300.0 / self.audio_rate, 3000.0 / self.audio_rate)
+        # amdemod.cpp:373: create(301, rate, 300, rfBandwidth/2)
+        return firdesign.bandpass(
+            301, 300.0 / self.audio_rate,
+            (self.rf_bandwidth / 2.0) / self.audio_rate)
 
     @functools.cached_property
     def dsb_filter(self) -> np.ndarray:
@@ -62,6 +65,11 @@ class AMState(NamedTuple):
     pll: "phaselock.PLLState"
     fft: fftfilt.FftFiltState
     agc: agc.MagAGCState
+    #: envelope volume normalizer (SimpleAGC<4800> resized to audioRate/4,
+    #: initial 0.003, cutoff 0 — amdemod.cpp:58,465): windowed mean of the
+    #: envelope; audio = (env - mean)/mean, making loudness track the
+    #: modulation DEPTH, not the carrier level
+    vol_agc: movingavg.MovingAvgState
 
 
 _SQUELCH_GATE = 480  # 10 ms at 48 kHz (amdemod squelch gate semantics)
@@ -77,6 +85,7 @@ def make_state(cfg: AMConfig, batch_shape=()) -> AMState:
         pll=phaselock.make_pll(batch_shape),
         fft=fftfilt.make_state(1024, batch_shape),
         agc=agc.make_state(agc.MagAGCConfig(order_r=0.005, history_size=1200, threshold_enable=False), batch_shape),
+        vol_agc=movingavg.make_state(12000, batch_shape, fill=0.003),
     )
 
 
@@ -103,12 +112,18 @@ def process(state: AMState, x: jnp.ndarray, cfg: AMConfig, offset_hz=None,
         fft_state, filtered = fftfilt.run_ssb(
             state.fft, mixed, cfg.dsb_filter, usb=cfg.sync_usb, get_dc=True
         )
-        agc_state, leveled, _ = agc.mag_agc(
+        agc_state, leveled, _, _ = agc.mag_agc(
             state.agc, filtered, agc.MagAGCConfig(order_r=0.5, history_size=1200, threshold_enable=False)
         )
         demod = jnp.real(leveled).astype(jnp.float32)
+        vol_state = state.vol_agc
     else:
-        demod = jnp.sqrt(magsq)
+        env = jnp.sqrt(magsq)
+        # the reference normalizes by the trailing-window envelope mean
+        # (it feeds the delayed envelope only while the squelch is open;
+        # here the feed is unconditional — identical once the gate settles)
+        vol_state, env_mean = movingavg.moving_average(state.vol_agc, env)
+        demod = (env - env_mean) / jnp.maximum(env_mean, 1e-9)
 
     squelch_state, gated, _ = squelch.gate_block(
         state.squelch, demod, open_cond, _SQUELCH_GATE
@@ -128,7 +143,7 @@ def process(state: AMState, x: jnp.ndarray, cfg: AMConfig, offset_hz=None,
     new_state = AMState(
         nco=nco_state, resamp=resamp_state, mavg=mavg_state,
         squelch=squelch_state, bandpass=bp_state,
-        pll=pll_state, fft=fft_state, agc=agc_state,
+        pll=pll_state, fft=fft_state, agc=agc_state, vol_agc=vol_state,
     )
     return new_state, audio.astype(jnp.float32)
 

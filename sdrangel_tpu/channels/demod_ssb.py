@@ -30,7 +30,8 @@ class SSBConfig:
     volume: float = 1.0
     agc_enable: bool = True
     agc_power_threshold_db: float = -40.0
-    agc_threshold_gate: int = 4
+    agc_threshold_gate: int = 4  # milliseconds (ssbdemod.cpp:505)
+    agc_time_log2: int = 7  # nbSamples = (rate/1000) << this
     audio_binaural: bool = False
     audio_flip_channels: bool = False
     audio_mute: bool = False
@@ -59,15 +60,20 @@ class SSBConfig:
 
     @functools.cached_property
     def agc_config(self) -> agc.MagAGCConfig:
+        # reference mapping (ssbdemod.cpp:497-533): nbSamples =
+        # (audioRate/1000) << agcTimeLog2; resize(nb, nb/2, agcTarget);
+        # stepDownDelay = nb; gate in MILLISECONDS; agcTarget 3276.8 of
+        # 32768 full scale = 0.1 in this framework's unit-float convention
+        nb = int(self.audio_rate / 1000) << self.agc_time_log2
         return agc.MagAGCConfig(
-            order_r=0.2,
-            history_size=int(self.audio_rate * 0.2),
+            order_r=0.1,
+            history_size=nb,
             threshold=10.0 ** (self.agc_power_threshold_db / 10.0),
             threshold_enable=self.agc_enable,
-            gate=self.agc_threshold_gate,
-            step_length=int(self.audio_rate * 0.05),
-            step_down_delay=int(self.audio_rate * 0.2),
-            clamping=True,
+            gate=int(self.audio_rate / 1000) * self.agc_threshold_gate,
+            step_length=nb // 2,
+            step_down_delay=nb,
+            clamping=False,
         )
 
 
@@ -76,6 +82,11 @@ class SSBState(NamedTuple):
     resamp: resampler.ResamplerState
     fft: fftfilt.FftFiltState
     agc: agc.MagAGCState
+    #: the reference's squelch delay line (ssbdemod.cpp:222-225): leveled
+    #: samples are written, audio reads them stepDownDelay samples LATER
+    #: multiplied by the CURRENT step value — the release gate cuts the
+    #: tail without eating the attack
+    delay: jnp.ndarray
 
 
 def make_state(cfg: SSBConfig, batch_shape=()) -> SSBState:
@@ -84,6 +95,8 @@ def make_state(cfg: SSBConfig, batch_shape=()) -> SSBState:
         resamp=resampler.init_state(cfg.resampler_plan, batch_shape),
         fft=fftfilt.make_state(cfg.fft_len, batch_shape),
         agc=agc.make_state(cfg.agc_config, batch_shape),
+        delay=jnp.zeros(
+            (*batch_shape, cfg.agc_config.step_down_delay), jnp.complex64),
     )
 
 
@@ -106,9 +119,24 @@ def process(state: SSBState, x: jnp.ndarray, cfg: SSBConfig, offset_hz=None,
         )
 
     if cfg.agc_enable:
-        agc_state, leveled, _ = agc.mag_agc(state.agc, filt, cfg.agc_config)
-    else:  # AGC off bypasses gain entirely (ssbdemod.cpp m_agcActive branch)
-        agc_state, leveled = state.agc, filt
+        agc_state, leveled, _, ramp = agc.mag_agc(
+            state.agc, filt, cfg.agc_config)
+        # delay-line + read-side step gating (ssbdemod.cpp:222-225): the
+        # written sample carries u0*ramp(write); the read multiplies by
+        # ramp(now) again — a squelch release that cuts the tail
+        t = filt.shape[-1]
+        ext = jnp.concatenate([state.delay, leveled], axis=-1)
+        delayed = ext[..., :t]
+        new_delay = ext[..., t:]
+        leveled = delayed * ramp.astype(jnp.complex64)
+    else:
+        # AGC off: pass through un-gained. (In the reference AT THIS
+        # VERSION the agc-off path is effectively MUTED — the read-side
+        # step value stays frozen at 0 because the AGC is never fed,
+        # ssbdemod.cpp:216-225 with agc.cpp:196-207; pinned as an upstream
+        # quirk by the ssb96 golden. Later reference versions fixed it;
+        # this framework keeps the sane passthrough.)
+        agc_state, leveled, new_delay = state.agc, filt, state.delay
 
     vol = 0.0 if cfg.audio_mute else (cfg.volume if volume is None else volume)
     if cfg.audio_binaural:
@@ -118,9 +146,11 @@ def process(state: SSBState, x: jnp.ndarray, cfg: SSBConfig, offset_hz=None,
             l, r = r, l
         audio = jnp.stack([l, r], axis=-1) * vol
     else:
-        audio = (jnp.real(leveled) + jnp.imag(leveled)) * vol
+        # mono sums I+Q at 0.7 (ssbdemod.cpp:245)
+        audio = (jnp.real(leveled) + jnp.imag(leveled)) * 0.7 * vol
 
     return (
-        SSBState(nco=nco_state, resamp=resamp_state, fft=fft_state, agc=agc_state),
+        SSBState(nco=nco_state, resamp=resamp_state, fft=fft_state,
+                 agc=agc_state, delay=new_delay),
         audio.astype(jnp.float32),
     )

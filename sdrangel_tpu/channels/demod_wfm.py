@@ -34,8 +34,9 @@ class WFMConfig:
 
     @functools.cached_property
     def rf_filter(self) -> np.ndarray:
+        # wfmdemod.cpp:296-298: create_filter(-rfBw/2, +rfBw/2) band form
         fc = 0.5 * self.rf_bandwidth / self.channel_rate
-        return fftfilt.create_dsb_filter(fc, self.fft_len)
+        return fftfilt.create_filter(-fc, fc, self.fft_len)
 
     @functools.cached_property
     def resampler_plan(self) -> resampler.ResamplerPlan:

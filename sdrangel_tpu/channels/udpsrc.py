@@ -111,7 +111,7 @@ def process(
 
     agc_state, fft_state, discri_state = state.agc, state.fft, state.discri
     if cfg.agc_enable:
-        agc_state, ci, _ = agc.mag_agc(state.agc, ci, cfg.agc_config)
+        agc_state, ci, _, _ = agc.mag_agc(state.agc, ci, cfg.agc_config)
     ci = jnp.where(gate, ci, 0.0) * cfg.gain
 
     if cfg.fmt in ("lsb", "usb"):

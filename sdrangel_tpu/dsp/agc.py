@@ -63,8 +63,11 @@ def mag_agc(
 ) -> tuple[MagAGCState, jnp.ndarray, jnp.ndarray]:
     """Apply MagAGC to a complex block.
 
-    x: (..., T) complex64. Returns (state', y, magsq) with y gain-controlled
-    (and squelch-gated when threshold_enable).
+    x: (..., T) complex64. Returns (state', y, magsq, ramp) with y
+    gain-controlled (and squelch-gated when threshold_enable) and ramp the
+    per-sample smootherstep step value (getStepValue) so callers can apply
+    the reference's read-side gating (ssbdemod.cpp:225 multiplies the
+    DELAYED sample by the CURRENT step value a second time).
     """
     magsq = (jnp.real(x) ** 2 + jnp.imag(x) ** 2).astype(jnp.float32)
     mavg_state, avg = moving_average(state.mavg, magsq)
@@ -80,7 +83,8 @@ def mag_agc(
 
     if not cfg.threshold_enable:
         y = x * u0.astype(jnp.complex64)
-        return MagAGCState(mavg_state, state.gate_counter, state.count, state.ramp), y, magsq
+        return (MagAGCState(mavg_state, state.gate_counter, state.count,
+                            state.ramp), y, magsq, jnp.ones_like(u0))
 
     # Squelch machinery (agc.cpp:128-175).
     over = magsq > cfg.threshold
@@ -102,7 +106,7 @@ def mag_agc(
     gain_ramp = smootherstep(ramps / float(cfg.step_length))
     y = x * (u0 * gain_ramp).astype(jnp.complex64)
     new_state = MagAGCState(mavg_state, gate_counts[..., -1], counts[..., -1], ramps[..., -1])
-    return new_state, y, magsq
+    return new_state, y, magsq, gain_ramp
 
 
 class SimpleAGCState(NamedTuple):

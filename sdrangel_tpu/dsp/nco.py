@@ -72,15 +72,20 @@ def nco_block(
     """
     inc = jnp.asarray(increment, dtype=jnp.uint32)
     batch = jnp.broadcast_shapes(state.phase.shape, inc.shape)
+    # φ[n] = φ0 + inc·(n+1): the reference NCO INCREMENTS BEFORE READING
+    # (nco.cpp nextIQ -> nextPhase), so the first output already carries one
+    # step. The convention is load-bearing for phase-sensitive consumers —
+    # the SSB mono sum (re+im) read it as a constant e^{j·inc} rotation and
+    # capped golden parity at ~20 dB until aligned (r4).
     if length % _CHUNK == 0 and length >= 2 * _CHUNK:
         q = jnp.arange(length // _CHUNK, dtype=jnp.uint32)
-        r = jnp.arange(_CHUNK, dtype=jnp.uint32)
+        r = jnp.arange(1, _CHUNK + 1, dtype=jnp.uint32)
         pq = state.phase[..., None] + (inc[..., None] * jnp.uint32(_CHUNK)) * q
         pr = inc[..., None] * r
         iq = _phasor(pq)[..., :, None] * _phasor(pr)[..., None, :]
         iq = iq.reshape(*batch, length)
     else:
-        n = jnp.arange(length, dtype=jnp.uint32)
+        n = jnp.arange(1, length + 1, dtype=jnp.uint32)
         # uint32 arithmetic wraps — the wheel is exact over any stream length
         iq = _phasor(state.phase[..., None] + inc[..., None] * n)
         iq = jnp.broadcast_to(iq, (*batch, length))

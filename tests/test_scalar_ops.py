@@ -118,7 +118,7 @@ def test_mag_agc_normalizes():
     cfg = agc.MagAGCConfig(order_r=1.0, history_size=256, threshold_enable=False)
     st = agc.make_state(cfg)
     x = 0.05 * np_tone(1000.0, 48000.0, 4096, amp=1.0)
-    st, y, _ = agc.mag_agc(st, jnp.asarray(x), cfg)
+    st, y, _, _ = agc.mag_agc(st, jnp.asarray(x), cfg)
     assert 0.9 < np.abs(np.asarray(y))[1024:].mean() < 1.1
 
 
@@ -129,7 +129,7 @@ def test_mag_agc_squelch_closes_on_silence():
     )
     st = agc.make_state(cfg)
     noise = (1e-5 * np.random.default_rng(1).standard_normal(2048)).astype(np.complex64)
-    st, y, _ = agc.mag_agc(st, jnp.asarray(noise), cfg)
+    st, y, _, _ = agc.mag_agc(st, jnp.asarray(noise), cfg)
     assert np.abs(np.asarray(y))[256:].max() < 1e-3  # gated
 
 

@@ -33,6 +33,8 @@ REF_SOURCES = [
     "sdrbase/dsp/decimatorsfi.cpp",
     "sdrbase/dsp/decimatorsff.cpp",
     "sdrbase/dsp/ncof.cpp",
+    "sdrbase/dsp/agc.cpp",
+    "sdrbase/util/db.cpp",
 ]
 
 
