@@ -117,9 +117,90 @@ QByteArray wfm_blob() {
 
 }  // namespace
 
+namespace {
+
+int b64val(char c) {
+  if (c >= 'A' && c <= 'Z') return c - 'A';
+  if (c >= 'a' && c <= 'z') return c - 'a' + 26;
+  if (c >= '0' && c <= '9') return c - '0' + 52;
+  if (c == '+') return 62;
+  if (c == '/') return 63;
+  return -1;
+}
+
+QByteArray b64decode(const std::string& s) {
+  std::string out;
+  int acc = 0, nbits = 0;
+  for (char c : s) {
+    int v = b64val(c);
+    if (v < 0) continue;
+    acc = (acc << 6) | v;
+    nbits += 6;
+    if (nbits >= 8) {
+      nbits -= 8;
+      out.push_back((char)((acc >> nbits) & 0xFF));
+    }
+  }
+  return QByteArray(out.data(), (int)out.size());
+}
+
+// --verify <b64file>: parse a blob (e.g. produced by the PYTHON exporter
+// runtime/refpreset.to_reference_preset) with the reference's OWN
+// SimpleDeserializer and print what the reference would read — the
+// round-trip evidence for the export path (pinned in
+// tests/goldens/refpreset_export_verify.txt).
+int verify_blob(const char* path) {
+  FILE* f = fopen(path, "r");
+  if (!f) { fprintf(stderr, "cannot open %s\n", path); return 1; }
+  std::string b64;
+  char c;
+  while (fread(&c, 1, 1, f) == 1) b64.push_back(c);
+  fclose(f);
+  SimpleDeserializer d(b64decode(b64));
+  if (!d.isValid()) { printf("INVALID\n"); return 1; }
+  QString str;
+  quint64 u64v = 0;
+  qint32 s32v = 0;
+  bool bv = false;
+  d.readString(1, &str); printf("group=%s\n", str.str().c_str());
+  d.readString(2, &str); printf("description=%s\n", str.str().c_str());
+  d.readU64(3, &u64v); printf("centerFrequency=%llu\n",
+                              (unsigned long long)u64v);
+  d.readBool(6, &bv); printf("sourcePreset=%d\n", bv ? 1 : 0);
+  d.readS32(200, &s32v);
+  int n_chan = s32v;
+  printf("channels=%d\n", n_chan);
+  for (int i = 0; i < n_chan; i++) {
+    d.readString(201 + 2 * i, &str);
+    QByteArray cfg;
+    d.readBlob(202 + 2 * i, &cfg);
+    printf("channel[%d] uri=%s\n", i, str.str().c_str());
+    SimpleDeserializer cd(cfg);
+    if (!cd.isValid()) { printf("  INVALID BLOB\n"); continue; }
+    // print the raw stored fields the way the per-kind deserialize()
+    // would read them (ids 1..15, S32/bool)
+    for (int id = 1; id <= 15; id++) {
+      qint32 v;
+      if (cd.readS32(id, &v, -99999) && v != -99999) {
+        printf("  s32[%d]=%d\n", id, v);
+      }
+      bool b;
+      if (cd.readBool(id, &b, false) && b) {
+        printf("  bool[%d]=1\n", id);
+      }
+    }
+  }
+  return 0;
+}
+
+}  // namespace
+
 int main(int argc, char** argv) {
+  if (argc >= 3 && std::string(argv[1]) == "--verify") {
+    return verify_blob(argv[2]);
+  }
   if (argc < 2) {
-    fprintf(stderr, "usage: %s <output-dir>\n", argv[0]);
+    fprintf(stderr, "usage: %s <output-dir> | --verify <b64file>\n", argv[0]);
     return 2;
   }
   // settings/preset.cpp:28-77

@@ -478,7 +478,7 @@ class ApiHandler(BaseHTTPRequestHandler):
                     raise _BadRequest("missing required field 'filePath'")
                 s.export_preset_file(
                     body.get("groupName", "default"), body.get("name", "preset"),
-                    body["filePath"],
+                    body["filePath"], fmt=body.get("format", "json"),
                 )
                 return self._json(200, {"exported": body["filePath"]})
             return self._error(404, f"unknown path {p}")

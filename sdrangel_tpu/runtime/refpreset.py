@@ -286,3 +286,184 @@ def to_session_preset(parsed: dict) -> dict:
             "channels": channels,
         }],
     }
+
+
+# ---------------------------------------------------------------------------
+# Export: this framework's preset document -> the reference's Base64-TLV
+# blob, readable by the reference's own SimpleDeserializer (verified at
+# golden-generation time: tools/gen_reference_goldens.py feeds a blob from
+# this writer to the --verify mode of native/ref_preset_gen.cc, which parses
+# it with the COMPILED reference deserializer; the transcript is pinned in
+# tests/goldens/refpreset_export_verify.txt).
+# ---------------------------------------------------------------------------
+
+
+class RefSerializer:
+    """SimpleSerializer wire format (simpleserializer.cpp:20-295)."""
+
+    def __init__(self, version: int = 1):
+        self.buf = bytearray()
+        length = max((version.bit_length() + 7) // 8, 0)
+        self._tag(TVERSION, 0, length)
+        self.buf += version.to_bytes(length, "big")
+
+    def _tag(self, typ: int, elem_id: int, length: int) -> None:
+        id_len = max((elem_id.bit_length() + 7) // 8, 1)
+        len_len = max((length.bit_length() + 7) // 8, 1)
+        self.buf.append((typ << 4) | ((id_len - 1) << 2) | (len_len - 1))
+        self.buf += elem_id.to_bytes(id_len, "big")
+        self.buf += length.to_bytes(len_len, "big")
+
+    def _int(self, typ, elem_id, value, max_bytes, signed):
+        # minimal-length big-endian encoding (writeS32/U32/S64/U64 length
+        # selection, simpleserializer.cpp:44-170)
+        if value == 0:
+            b = b""
+        elif signed:
+            n = 1
+            while not (-(1 << (8 * n - 1)) <= value < (1 << (8 * n - 1))):
+                n += 1
+            b = value.to_bytes(n, "big", signed=True)
+        else:
+            n = max((value.bit_length() + 7) // 8, 1)
+            b = value.to_bytes(n, "big")
+        assert len(b) <= max_bytes
+        self._tag(typ, elem_id, len(b))
+        self.buf += b
+
+    def s32(self, i, v):
+        self._int(TS32, i, int(v), 4, True)
+
+    def u32(self, i, v):
+        self._int(TU32, i, int(v), 4, False)
+
+    def u64(self, i, v):
+        self._int(TU64, i, int(v), 8, False)
+
+    def bool_(self, i, v):
+        self._tag(TBOOL, i, 1)
+        self.buf.append(1 if v else 0)
+
+    def string(self, i, v):
+        raw = str(v).encode("utf-8")
+        self._tag(TSTRING, i, len(raw))
+        self.buf += raw
+
+    def blob(self, i, v):
+        self._tag(TBLOB, i, len(v))
+        self.buf += bytes(v)
+
+    def final(self) -> bytes:
+        return bytes(self.buf)
+
+
+def _rfbw_index(table, rfbw) -> int:
+    """getRFBWIndex: first table entry >= rfbw (nfmdemodsettings.cpp:154)."""
+    for i, v in enumerate(table):
+        if rfbw <= v:
+            return i
+    return len(table) - 1
+
+
+def _nfm_blob(off: float, st: dict) -> bytes:
+    s = RefSerializer(1)  # nfmdemodsettings.cpp:57-80
+    s.s32(1, round(off))
+    s.s32(2, _rfbw_index(NFM_RFBW, st.get("rf_bandwidth", 12500.0)))
+    s.s32(3, round(st.get("af_bandwidth", 3000.0) / 1000.0))
+    s.s32(4, round(st.get("volume", 1.0) * 10.0))
+    if st.get("delta_squelch", False):
+        s.s32(5, -round(10.0 ** (st.get("squelch_db", -30.0) / 10.0) * 1000.0))
+    else:
+        s.s32(5, round(st.get("squelch_db", -30.0) * 10.0))  # centibels
+    s.u32(7, 0xFF0000)
+    s.s32(8, int(st.get("ctcss_index", 0)))
+    s.bool_(9, bool(st.get("ctcss_on", False)))
+    s.bool_(10, bool(st.get("audio_mute", False)))
+    s.s32(11, round(st.get("squelch_gate_ms", 50.0) / 10.0))
+    s.bool_(12, bool(st.get("delta_squelch", False)))
+    s.string(14, "NFM Demodulator")
+    s.string(15, "System default device")
+    return s.final()
+
+
+def _am_blob(off: float, st: dict) -> bytes:
+    s = RefSerializer(1)  # amdemodsettings.cpp:45-65
+    s.s32(1, round(off))
+    s.s32(2, round(st.get("rf_bandwidth", 5000.0) / 100.0))
+    s.s32(4, round(st.get("volume", 1.0) * 10.0))
+    s.s32(5, round(st.get("squelch_db", -40.0)))
+    s.u32(7, 0xFFFF00)
+    s.bool_(8, bool(st.get("bandpass_enable", False)))
+    s.string(9, "AM Demodulator")
+    s.string(11, "System default device")
+    s.bool_(12, bool(st.get("sync_am", False)))
+    s.s32(13, 0)
+    return s.final()
+
+
+def _ssb_blob(off: float, st: dict) -> bytes:
+    s = RefSerializer(1)  # ssbdemodsettings.cpp:60-85
+    sign = 1.0 if st.get("usb", True) else -1.0
+    s.s32(1, round(off))
+    s.s32(2, round(sign * st.get("bandwidth", 3000.0) / 100.0))
+    s.s32(3, round(st.get("volume", 1.0) * 10.0))
+    s.u32(5, 0x00FF00)
+    s.s32(6, round(sign * st.get("low_cutoff", 300.0) / 100.0))
+    s.s32(7, 3)
+    s.bool_(8, bool(st.get("audio_binaural", False)))
+    s.bool_(9, bool(st.get("audio_flip_channels", False)))
+    s.bool_(10, bool(st.get("dsb", False)))
+    s.bool_(11, bool(st.get("agc_enable", False)))
+    s.s32(12, int(st.get("agc_time_log2", 7)))
+    s.s32(13, round(st.get("agc_power_threshold_db", -40.0)))
+    s.s32(14, int(st.get("agc_threshold_gate", 4)))
+    return s.final()
+
+
+def _wfm_blob(off: float, st: dict) -> bytes:
+    s = RefSerializer(1)  # wfmdemodsettings.cpp:50-68
+    s.s32(1, round(off))
+    s.s32(2, _rfbw_index(WFM_RFBW, st.get("rf_bandwidth", 180000.0)))
+    s.s32(3, round(st.get("af_bandwidth", 15000.0) / 1000.0))
+    s.s32(4, round(st.get("volume", 1.0) * 10.0))
+    s.s32(5, round(st.get("squelch_db", -60.0)))
+    s.u32(7, 0x0000FF)
+    s.string(8, "WFM Demodulator")
+    return s.final()
+
+
+_CHANNEL_WRITERS = {
+    "sdrangel.channel.nfmdemod": _nfm_blob,
+    "sdrangel.channel.amdemod": _am_blob,
+    "sdrangel.channel.ssbdemod": _ssb_blob,
+    "sdrangel.channel.wfmdemod": _wfm_blob,
+}
+
+
+def to_reference_preset(doc: dict) -> bytes:
+    """This framework's JSON preset document (Session._snapshot schema) ->
+    the reference Preset TLV (settings/preset.cpp:28-77 layout). Channels
+    of kinds the reference cannot read (our data channels) are skipped."""
+    s = RefSerializer(1)
+    s.string(1, doc.get("group", "default"))
+    s.string(2, doc.get("name", "exported"))
+    ds = (doc.get("deviceSets") or [{}])[0]
+    src = ds.get("source", {})
+    s.u64(3, int(src.get("center_frequency", 0.0)))
+    s.blob(4, b"")
+    s.blob(5, b"")
+    s.bool_(6, ds.get("direction", "rx") == "rx")
+    s.s32(20, 1)
+    s.string(24, "sdrangel.samplesource.filesource")
+    s.string(25, "")
+    s.s32(26, 0)
+    s.blob(27, b"")
+    chans = [ch for ch in ds.get("channels", [])
+             if ch.get("uri") in _CHANNEL_WRITERS]
+    s.s32(200, len(chans))
+    for i, ch in enumerate(chans):
+        writer = _CHANNEL_WRITERS[ch["uri"]]
+        s.string(201 + 2 * i, ch["uri"])
+        s.blob(202 + 2 * i, writer(float(ch.get("inputFrequencyOffset", 0.0)),
+                                   ch.get("settings", {})))
+    return s.final()

@@ -1627,13 +1627,28 @@ class Session:
             )
         return resolved
 
-    def export_preset_file(self, group: str, name: str, path: str) -> None:
+    def export_preset_file(self, group: str, name: str, path: str,
+                           fmt: str = "json") -> None:
         """Server-side preset export (the reference's POST
-        /sdrangel/preset/file, webapiadaptersrv.cpp instancePresetFilePost)."""
+        /sdrangel/preset/file, webapiadaptersrv.cpp instancePresetFilePost).
+        fmt "json" (native) or "reference" (Base64-TLV the reference's own
+        SimpleDeserializer reads — runtime/refpreset.to_reference_preset;
+        only the four audio demod kinds survive the conversion)."""
+        import base64
         import json
 
+        preset = self.presets[f"{group}/{name}"]
+        if fmt == "reference":
+            from . import refpreset
+
+            blob = refpreset.to_reference_preset(preset)
+            with open(self._preset_file_path(path), "w") as f:
+                f.write(base64.b64encode(blob).decode())
+            return
+        if fmt != "json":
+            raise ValueError(f"unknown preset export format {fmt!r}")
         with open(self._preset_file_path(path), "w") as f:
-            json.dump(self.presets[f"{group}/{name}"], f, indent=1)
+            json.dump(preset, f, indent=1)
 
     def import_preset_file(self, path: str) -> str:
         """Server-side preset import (PUT /sdrangel/preset/file): the file

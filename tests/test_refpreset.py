@@ -114,3 +114,67 @@ def test_lsb_and_delta_squelch_normalization():
     st = _nfm_settings(d)
     assert st["delta_squelch"] is True
     assert abs(st["squelch_db"] - 10.0 * __import__("math").log10(0.03)) < 1e-6
+
+
+def test_export_roundtrip_and_reference_verify_transcript():
+    """Export path: to_reference_preset emits a blob our own parser round-
+    trips, and the pinned transcript in refpreset_export_verify.txt shows
+    the REFERENCE's compiled SimpleDeserializer reading the same writer's
+    bytes (generated by tools/gen_reference_goldens.py --verify)."""
+    from sdrangel_tpu.runtime import refpreset
+
+    doc = {"group": "G", "name": "N", "deviceSets": [{
+        "direction": "rx", "source": {"center_frequency": 145500000.0},
+        "channels": [
+            {"uri": "sdrangel.channel.nfmdemod",
+             "inputFrequencyOffset": 12500.0,
+             "settings": {"rf_bandwidth": 12500.0, "af_bandwidth": 4000.0,
+                          "volume": 2.0, "squelch_db": -40.0,
+                          "ctcss_index": 3, "ctcss_on": True,
+                          "squelch_gate_ms": 70.0}},
+            {"uri": "sdrangel.channel.ssbdemod",
+             "inputFrequencyOffset": 3000.0,
+             "settings": {"bandwidth": 2800.0, "low_cutoff": 300.0,
+                          "usb": False, "volume": 1.2, "agc_enable": True}},
+            {"uri": "sdrangel.channel.chanalyzer",  # not exportable: skipped
+             "inputFrequencyOffset": 0.0, "settings": {}},
+        ]}]}
+    blob = refpreset.to_reference_preset(doc)
+    p = refpreset.parse_preset(blob)
+    assert p["group"] == "G" and p["centerFrequency"] == 145_500_000
+    assert [c["uri"] for c in p["channels"]] == [
+        "sdrangel.channel.nfmdemod", "sdrangel.channel.ssbdemod"]
+    nfm = p["channels"][0]["settings"]
+    assert nfm["rf_bandwidth"] == 12500.0 and nfm["squelch_db"] == -40.0
+    assert nfm["ctcss_index"] == 3 and nfm["squelch_gate_ms"] == 70.0
+    ssb = p["channels"][1]["settings"]
+    assert ssb["usb"] is False and ssb["bandwidth"] == 2800.0
+    assert ssb["low_cutoff"] == 300.0 and ssb["agc_enable"] is True
+
+    # the reference-deserializer transcript (regenerated with the goldens)
+    tx = (pathlib.Path(__file__).parent / "goldens"
+          / "refpreset_export_verify.txt").read_text()
+    assert "group=ExportGroup" in tx
+    assert "centerFrequency=446006250" in tx
+    assert "uri=sdrangel.channel.nfmdemod" in tx
+    assert "s32[2]=4" in tx     # rfBW index 4 = 12500 Hz
+    assert "s32[5]=-500" in tx  # -50 dB as centibels
+    assert "s32[2]=-27" in tx   # LSB bandwidth -2700/100
+
+
+def test_session_export_reference_format(tmp_path):
+    sess = Session(preset_path=str(tmp_path / "p.json"),
+                   preset_dir=str(tmp_path))
+    ds = sess.add_device_set()
+    ds.update_source({"kind": "testsource", "center_frequency": 433_500_000.0})
+    ds.add_channel("sdrangel.channel.nfmdemod",
+                   {"inputFrequencyOffset": -25000.0, "squelch_db": -45.0})
+    sess.save_preset("Grp", "RefExport")
+    sess.export_preset_file("Grp", "RefExport", "out.prex", fmt="reference")
+    from sdrangel_tpu.runtime import refpreset
+    p = refpreset.parse_preset((tmp_path / "out.prex").read_text())
+    assert p["centerFrequency"] == 433_500_000
+    ch = p["channels"][0]
+    assert ch["uri"] == "sdrangel.channel.nfmdemod"
+    assert ch["settings"]["inputFrequencyOffset"] == -25000.0
+    assert ch["settings"]["squelch_db"] == -45.0

@@ -78,6 +78,45 @@ def main() -> int:
         print(" ".join(pcmd))
         subprocess.run(pcmd, check=True)
         subprocess.run([str(pbinary), str(out_dir)], check=True)
+
+        # export-path evidence: a blob from the PYTHON exporter
+        # (runtime/refpreset.to_reference_preset) parsed by the reference's
+        # OWN SimpleDeserializer (--verify); the transcript is pinned by
+        # tests/test_refpreset.py.
+        sys.path.insert(0, str(REPO))
+        from sdrangel_tpu.runtime import refpreset
+
+        doc = {
+            "group": "ExportGroup", "name": "Export test",
+            "deviceSets": [{
+                "direction": "rx",
+                "source": {"center_frequency": 446_006_250.0},
+                "channels": [
+                    {"uri": "sdrangel.channel.nfmdemod",
+                     "inputFrequencyOffset": -12500.0,
+                     "settings": {"rf_bandwidth": 12500.0,
+                                  "af_bandwidth": 3000.0, "volume": 1.0,
+                                  "squelch_db": -50.0, "ctcss_on": True,
+                                  "ctcss_index": 2,
+                                  "squelch_gate_ms": 50.0}},
+                    {"uri": "sdrangel.channel.ssbdemod",
+                     "inputFrequencyOffset": 3000.0,
+                     "settings": {"bandwidth": 2700.0, "low_cutoff": 300.0,
+                                  "usb": False, "volume": 1.5,
+                                  "agc_enable": True}},
+                ],
+            }],
+        }
+        import base64
+
+        blob_path = pathlib.Path(td) / "export.b64"
+        blob_path.write_text(
+            base64.b64encode(refpreset.to_reference_preset(doc)).decode())
+        out = subprocess.run([str(pbinary), "--verify", str(blob_path)],
+                             check=True, capture_output=True, text=True)
+        (out_dir / "refpreset_export_verify.txt").write_text(out.stdout)
+        print("export verify transcript:")
+        print(out.stdout)
     return 0
 
 
