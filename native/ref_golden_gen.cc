@@ -59,6 +59,8 @@
 #include "util/doublebufferfifo.h"
 #include "util/stepfunctions.h"
 #include "util/db.h"
+#include "dsp/phaselock.h"
+#include "dsp/filterrc.h"
 
 #include "ref_golden_common.h"
 
@@ -862,6 +864,115 @@ void gen_wfmrx_chain(const char* name, int input_rate, int offset_hz,
 }
 
 // ---------------------------------------------------------------------------
+// Group F3 (r4): BFM stereo chain — bfmdemod.cpp:118-250 feed composition
+// (RDS branch excluded: RDSDemod is a QObject; the MPX math ends at the
+// 57 kHz mix which the stereo path below already pins at 38 kHz).
+// ---------------------------------------------------------------------------
+
+void gen_bfm_chain(const char* name, int input_rate, int offset_hz,
+                   uint64_t seed) {
+  const int audio_rate = 48000;
+  const double rf_bw = 180000.0, af_bw = 15000.0;
+  const double volume = 1.0, squelch_db = -60.0;
+  const double fm_excursion = 750000.0;  // bfmdemod.h:266 default_excursion
+
+  // FM stereo multiplex: L = 1 kHz, R = 2.5 kHz, 19 kHz pilot
+  const int N = 262144;
+  Rng rng(seed);
+  std::vector<qint16> in(2 * N);
+  double phase = 0.0;
+  for (int n = 0; n < N; ++n) {
+    double t = (double)n / input_rate;
+    double L = 0.6 * sin(2.0 * M_PI * 1000.0 * t);
+    double R = 0.6 * sin(2.0 * M_PI * 2500.0 * t);
+    // broadcast phase convention (ITU-R BS.450 / the reference's
+    // StereoPhaseLock harmonic): subcarrier = sin(2*theta) with
+    // pilot = sin(theta) — a cos/cos multiplex is ORTHOGONAL to the
+    // PLL's sin(2x) harmonic and silently nulls the stereo difference
+    double theta = 2.0 * M_PI * 19000.0 * t;
+    double mpx = 0.45 * (L + R) + 0.45 * sin(2.0 * theta) * (L - R)
+        + 0.1 * sin(theta);
+    double inst = 75000.0 * mpx + offset_hz;
+    phase += 2.0 * M_PI * inst / input_rate;
+    in[2 * n] = (qint16)lrint((0.5 * cos(phase) + 0.0005 * rng.uniform()) * 32767.0);
+    in[2 * n + 1] = (qint16)lrint((0.5 * sin(phase) + 0.0005 * rng.uniform()) * 32767.0);
+  }
+  save_i16(std::string(name) + "_input", in,
+           "{\"n_complex\": 262144, \"tone_l\": 1000.0, \"tone_r\": 2500.0, "
+           "\"pilot\": 19000.0, \"deviation\": 75000.0}");
+
+  NCO nco;
+  nco.setFreq((Real)(-offset_hz), (Real)input_rate);
+  fftfilt rf_filter(-50000.0f / 384000.0f, 50000.0f / 384000.0f, 1024);
+  rf_filter.create_filter((float)(-(rf_bw / 2.0) / input_rate),
+                          (float)((rf_bw / 2.0) / input_rate));
+  PhaseDiscriminators discri;
+  discri.setFMScaling((Real)(input_rate / fm_excursion));  // :429
+  StereoPhaseLock pilot_pll(0, 0, 0);
+  pilot_pll.configure((Real)(19000.0 / input_rate),
+                      (Real)(50.0 / input_rate), 0.01);  // :410
+  Interpolator interp, interp_stereo;
+  interp.create(16, input_rate, af_bw);          // :414
+  interp_stereo.create(16, input_rate, af_bw);   // :418
+  Real dist = (Real)input_rate / (Real)audio_rate;
+  Real remain = 0, remain_st = 0;
+  LowPassFilterRC deemph_x((Real)(50.0 * audio_rate * 1.0e-6));
+  LowPassFilterRC deemph_y((Real)(50.0 * audio_rate * 1.0e-6));
+  double squelch_level = pow(10.0, squelch_db / 10.0);
+  int squelch_state = 0;
+
+  std::vector<float> audio_lr, post_discri, pilot_tap;
+  Complex ci, cs;
+  Real pilot_samples[4] = {0, 0, 0, 0};
+  fftfilt::cmplx* rf;
+  for (int n = 0; n < N; ++n) {
+    Complex c((Real)in[2 * n] / SDR_RX_SCALEF,
+              (Real)in[2 * n + 1] / SDR_RX_SCALEF);
+    c *= nco.nextIQ();
+    int rf_out = rf_filter.runFilt(c, &rf);
+    for (int i = 0; i < rf_out; i++) {
+      double msq = rf[i].real() * rf[i].real() + rf[i].imag() * rf[i].imag();
+      if (msq >= squelch_level) {
+        if (squelch_state < rf_bw / 10) squelch_state++;
+      } else {
+        if (squelch_state > 0) squelch_state--;
+      }
+      Real demod = (squelch_state > rf_bw / 20)
+          ? discri.phaseDiscriminator(rf[i]) : 0;
+      post_discri.push_back((float)demod);
+
+      Real sample_stereo = 0.0f;
+      pilot_pll.process(demod, pilot_samples);
+      pilot_tap.push_back((float)pilot_samples[1]);
+      // m_lsbStereo false: the 1.17 path (bfmdemod.cpp:211-219)
+      Complex s(demod * 1.17 * pilot_samples[1], 0);
+      if (interp_stereo.decimate(&remain_st, s, &cs)) {
+        sample_stereo = cs.real();
+        remain_st += dist;
+      }
+      Complex e(demod, 0);
+      if (interp.decimate(&remain, e, &ci)) {
+        Real deemph_l, deemph_r;
+        deemph_x.process(ci.real() + sample_stereo, deemph_l);
+        deemph_y.process(ci.real() - sample_stereo, deemph_r);
+        audio_lr.push_back((float)(deemph_l * (1 << 12) * volume));
+        audio_lr.push_back((float)(deemph_r * (1 << 12) * volume));
+        remain += dist;
+      }
+    }
+  }
+  char params[224];
+  snprintf(params, sizeof(params),
+           "{\"input_rate\": %d, \"offset_hz\": %d, \"rf_bw\": 180000.0, "
+           "\"af_bw\": 15000.0, \"stereo\": true, \"deemphasis_us\": 50.0, "
+           "\"volume\": 1.0, \"squelch_db\": -60.0}",
+           input_rate, offset_hz);
+  save_f32(std::string(name) + "_audio_lr", audio_lr, params);
+  save_f32(std::string(name) + "_postdiscri", post_discri, params);
+  save_f32(std::string(name) + "_pilot", pilot_tap, params);
+}
+
+// ---------------------------------------------------------------------------
 // Group G: CTCSS detector + AF squelch sequences.
 // ---------------------------------------------------------------------------
 
@@ -910,6 +1021,7 @@ int main_impl(const char* dir) {
   gen_ssb_chain("ssb96", 96000, 3000, false, 0x5eed0053ULL);
   gen_ssb_chain("ssb96agc", 96000, 3000, true, 0x5eed0054ULL);
   gen_wfmrx_chain("wfmrx384", 384000, 0, 0x5eed0055ULL);
+  gen_bfm_chain("bfm384", 384000, 0, 0x5eed0056ULL);
   gen_ctcss();
   gen_tx_goldens();
 

@@ -207,8 +207,15 @@ def process(state: BFMState, x: jnp.ndarray, cfg: BFMConfig, offset_hz=None,
     )
     mono = jnp.real(mono_c)
 
-    # stereo (L-R) path: product demod of the 38 kHz DSB subcarrier
-    stereo_bb = demod * 2.0 * jnp.real(e2)
+    # stereo (L-R) path: product demod of the 38 kHz DSB subcarrier.
+    # Phase convention (ITU-R BS.450): subcarrier = sin(2θ) when the pilot
+    # is sin(θ). The analytic pilot is z ∝ -i·e^{iθ} (positive-frequency
+    # half of sin), so z² ∝ -e^{2iθ}; with this FIR's analytic sign the
+    # recovered term is +Im(e2) (pinned against the golden both ways). Using
+    # Re(e2) here implements a cos/cos multiplex — self-consistent with a
+    # cos-phased test signal but ORTHOGONAL to real broadcasts (caught by
+    # the bfm384 reference golden, r4).
+    stereo_bb = demod * 2.0 * jnp.imag(e2)
     stereo_state, stereo_c = resampler.resample_block(
         state.stereo_resamp, stereo_bb.astype(jnp.complex64), cfg.mono_plan
     )

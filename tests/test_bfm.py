@@ -19,14 +19,17 @@ def _tone_snr(audio, tone_hz, fs):
 
 
 def _make_mpx(fs, n, left, right, rds_wave=None):
-    """Standard FM stereo multiplex: (L+R)/2 + pilot + (L-R)/2 @38k (+RDS @57k)."""
+    """Standard FM stereo multiplex: (L+R)/2 + pilot + (L-R)/2 @38k
+    (+RDS @57k), with the BROADCAST phase convention (ITU-R BS.450):
+    subcarrier sin(2θ) locked to pilot sin(θ). (A cos/cos fixture here
+    once masked a convention bug the bfm384 reference golden caught.)"""
     t = np.arange(n) / fs
     pilot_phase = 2 * np.pi * 19000.0 * t
     mono = 0.5 * (left + right)
     diff = 0.5 * (left - right)
-    mpx = 0.45 * mono + 0.09 * np.cos(pilot_phase) + 0.45 * diff * np.cos(2 * pilot_phase)
+    mpx = 0.45 * mono + 0.09 * np.sin(pilot_phase) + 0.45 * diff * np.sin(2 * pilot_phase)
     if rds_wave is not None:
-        mpx = mpx + 0.06 * rds_wave * np.cos(3 * pilot_phase)
+        mpx = mpx + 0.06 * rds_wave * np.sin(3 * pilot_phase)
     return mpx
 
 

@@ -35,6 +35,8 @@ REF_SOURCES = [
     "sdrbase/dsp/ncof.cpp",
     "sdrbase/dsp/agc.cpp",
     "sdrbase/util/db.cpp",
+    "sdrbase/dsp/phaselock.cpp",
+    "sdrbase/dsp/filterrc.cpp",
 ]
 
 
