@@ -60,6 +60,7 @@
 #include "util/stepfunctions.h"
 #include "util/db.h"
 #include "dsp/phaselock.h"
+#include "dsp/phaselockcomplex.h"
 #include "dsp/filterrc.h"
 
 #include "ref_golden_common.h"
@@ -709,6 +710,116 @@ void gen_am_chain(const char* name, int input_rate, int offset_hz,
   save_f32(std::string(name) + "_audio", audio_f, params);
 }
 
+// Synchronous-AM branch (amdemod.cpp:191-251): pllFilt(101,audio,200) ->
+// PhaseLockComplex(0.05,0.707,1000) carrier lock -> quadrature mix ->
+// SSB/DSB fftfilt -> MagAGC(12000,0.1,1e-2, threshold off) -> the
+// syncAMBuff read-back quirk -> *4 "mos pifometrico" gain.
+void gen_am_sync_chain(const char* name, int input_rate, int offset_hz,
+                       int sync_op /*0 DSB, 1 USB, 2 LSB*/, uint64_t seed) {
+  const int audio_rate = 48000;
+  const double rf_bw = 5000.0;
+  const double volume = 1.0;
+  const double squelch_db = -40.0;
+
+  const int N = 65536;
+  Rng rng(seed);
+  std::vector<qint16> in(2 * N);
+  for (int n = 0; n < N; ++n) {
+    double env = 0.25 * (1.0 + 0.5 * cos(2.0 * M_PI * 1000.0 * n / input_rate));
+    double ph = 2.0 * M_PI * offset_hz * n / input_rate
+        + 0.3;  // constant carrier phase: the PLL must acquire it
+    in[2 * n] = (qint16)lrint((env * cos(ph) + 0.001 * rng.uniform()) * 32767.0);
+    in[2 * n + 1] = (qint16)lrint((env * sin(ph) + 0.001 * rng.uniform()) * 32767.0);
+  }
+  save_i16(std::string(name) + "_input", in,
+           "{\"n_complex\": 65536, \"mod_tone\": 1000.0, \"depth\": 0.5, "
+           "\"carrier_phase\": 0.3}");
+
+  NCO nco;
+  nco.setFreq((Real)(-offset_hz), (Real)input_rate);
+  Interpolator interpolator;
+  interpolator.create(16, input_rate, rf_bw / 2.2);
+  Real interp_distance = (Real)input_rate / (Real)audio_rate;
+  Real interp_remain = 0;
+  MovingAverageUtil<Real, double, 16> moving_average;
+  DoubleBufferFIFO<Real> squelch_delay(9600);
+  fftfilt dsb_filter((Real)((2.0 * rf_bw) / audio_rate), 2 * 1024);
+  fftfilt ssb_filter(0.0f, (Real)(rf_bw / audio_rate), 1024);
+  Lowpass<std::complex<float> > pll_filt;
+  pll_filt.create(101, audio_rate, 200.0);     // amdemod.cpp:85
+  PhaseLockComplex pll;
+  pll.computeCoefficients(0.05, 0.707, 1000);  // amdemod.cpp:86
+  MagAGC sync_agc(12000, 0.1, 1e-2);           // amdemod.cpp:59
+  sync_agc.setThresholdEnable(false);          // :74
+  sync_agc.resize(12000, 6000, 0.1);           // :75
+  double squelch_level = CalcDb::powerFromdB(squelch_db);
+  int squelch_count = 0;
+  fftfilt::cmplx sync_am_buff[2 * 1024];
+  int sync_am_buff_index = 0;
+  std::vector<float> sync_buff_f(2 * 1024, 0.0f);
+
+  std::vector<float> audio_f;
+  Complex ci;
+  for (int n = 0; n < N; ++n) {
+    Complex c((Real)in[2 * n], (Real)in[2 * n + 1]);
+    c *= nco.nextIQ();
+    if (interpolator.decimate(&interp_remain, c, &ci)) {
+      Real re = ci.real() / SDR_RX_SCALEF;
+      Real im = ci.imag() / SDR_RX_SCALEF;
+      Real magsq = re * re + im * im;
+      moving_average(magsq);
+      double m_magsq = moving_average.asDouble();
+      squelch_delay.write(magsq);
+      if (m_magsq < squelch_level) {
+        if (squelch_count > 0) squelch_count--;
+      } else {
+        if (squelch_count < audio_rate / 10) squelch_count++;
+      }
+      bool squelch_open = (squelch_count >= audio_rate / 20);
+      float sample;
+      if (squelch_open) {
+        // the PLL branch of processOneSample (amdemod.cpp:191-251)
+        std::complex<float> s(re, im);
+        s = pll_filt.filter(s);
+        pll.feed(s.real(), s.imag());
+        float yr = re * pll.getImag() - im * pll.getReal();
+        float yi = re * pll.getReal() + im * pll.getImag();
+        fftfilt::cmplx* sideband;
+        std::complex<float> cs(yr, yi);
+        int n_out;
+        if (sync_op == 0) {
+          n_out = dsb_filter.runDSB(cs, &sideband, false);
+        } else {
+          n_out = ssb_filter.runSSB(cs, &sideband, sync_op == 1, false);
+        }
+        for (int i = 0; i < n_out; i++) {
+          float agcVal = sync_agc.feedAndGetValue(sideband[i]);
+          fftfilt::cmplx z = sideband[i] * agcVal;
+          sync_buff_f[i] = (z.real() + z.imag());
+          sync_am_buff_index = 0;
+        }
+        (void)sync_am_buff;
+        sync_am_buff_index = sync_am_buff_index < 2 * 1024 ? sync_am_buff_index : 0;
+        Real demod = sync_buff_f[sync_am_buff_index++] * 4.0f;  // :229
+        // shared tail (:245-252), bandpassEnable false for this case
+        Real attack = (squelch_count - 0.05f * audio_rate) / (0.05f * audio_rate);
+        sample = demod * StepFunctions::smootherstep(attack)
+            * (audio_rate / 24) * (Real)volume;
+      } else {
+        sample = 0.0f;
+      }
+      audio_f.push_back(sample);
+      interp_remain += interp_distance;
+    }
+  }
+  char params[224];
+  snprintf(params, sizeof(params),
+           "{\"input_rate\": %d, \"offset_hz\": %d, \"rf_bw\": 5000.0, "
+           "\"sync_op\": %d, \"volume\": 1.0, \"squelch_db\": -40.0}",
+           input_rate, offset_hz, sync_op);
+  save_f32(std::string(name) + "_audio", audio_f, params);
+}
+
 void gen_ssb_chain(const char* name, int input_rate, int offset_hz,
                    bool agc_active, uint64_t seed) {
   const int audio_rate = 48000;
@@ -1018,6 +1129,7 @@ int main_impl(const char* dir) {
   gen_nfm_chain("nfm48", 48000, 0, 2000, 1.0, 0x5eed0050ULL);
   gen_nfm_chain("nfm96", 96000, 12000, 2000, 1.0, 0x5eed0051ULL);
   gen_am_chain("am96", 96000, 5000, 0x5eed0052ULL);
+  gen_am_sync_chain("amsync96", 96000, 5000, 1 /*USB*/, 0x5eed0057ULL);
   gen_ssb_chain("ssb96", 96000, 3000, false, 0x5eed0053ULL);
   gen_ssb_chain("ssb96agc", 96000, 3000, true, 0x5eed0054ULL);
   gen_wfmrx_chain("wfmrx384", 384000, 0, 0x5eed0055ULL);

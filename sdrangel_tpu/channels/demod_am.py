@@ -106,16 +106,25 @@ def process(state: AMState, x: jnp.ndarray, cfg: AMConfig, offset_hz=None,
 
     pll_state, fft_state, agc_state = state.pll, state.fft, state.agc
     if cfg.sync_am:
-        # PLL locks the carrier; demod = Re(ci * conj(pll_carrier))
+        # the reference sync mix (amdemod.cpp:195-197): yr+j*yi equals
+        # j * ci * conj(pll_phasor) — note the extra 90° rotation; the
+        # (re+im) audio projection below depends on it
         pll_state, carrier = phaselock.pll_run(state.pll, ci, cfg.audio_rate)
-        mixed = ci * jnp.conj(carrier)
+        mixed = (1j * ci * jnp.conj(carrier)).astype(jnp.complex64)
+        # dc=false in the sync branch (amdemod.cpp:206: runSSB(..., false))
         fft_state, filtered = fftfilt.run_ssb(
-            state.fft, mixed, cfg.dsb_filter, usb=cfg.sync_usb, get_dc=True
+            state.fft, mixed, cfg.dsb_filter, usb=cfg.sync_usb, get_dc=False
         )
+        # syncAMAGC (amdemod.cpp:59,74-75): MagAGC(12000, R=0.1,
+        # threshold off), resize(12000, 6000, 0.1)
         agc_state, leveled, _, _ = agc.mag_agc(
-            state.agc, filtered, agc.MagAGCConfig(order_r=0.5, history_size=1200, threshold_enable=False)
+            state.agc, filtered,
+            agc.MagAGCConfig(order_r=0.1, history_size=12000,
+                             threshold_enable=False, step_length=6000,
+                             step_down_delay=12000),
         )
-        demod = jnp.real(leveled).astype(jnp.float32)
+        # demod = (z.real + z.imag) * 4 (amdemod.cpp:210-229)
+        demod = ((jnp.real(leveled) + jnp.imag(leveled)) * 4.0).astype(jnp.float32)
         vol_state = state.vol_agc
     else:
         env = jnp.sqrt(magsq)

@@ -37,6 +37,7 @@ REF_SOURCES = [
     "sdrbase/util/db.cpp",
     "sdrbase/dsp/phaselock.cpp",
     "sdrbase/dsp/filterrc.cpp",
+    "sdrbase/dsp/phaselockcomplex.cpp",
 ]
 
 
