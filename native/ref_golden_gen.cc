@@ -884,7 +884,8 @@ void gen_ssb_chain(const char* name, int input_rate, int offset_hz,
       squelch_delay.write(sideband[i] * agcVal);
       fftfilt::cmplx z = delayed * agc.getStepValue();
       Real demod = (z.real() + z.imag()) * 0.7;
-      audio_f.push_back((float)(demod * volume));
+      // ssbdemod.cpp:493-494: m_volume = settings volume / 4.0
+      audio_f.push_back((float)(demod * (volume / 4.0)));
     }
   }
   char params[224];

@@ -31,6 +31,7 @@ class AMConfig:
     bandpass_enable: bool = True  # audio bandpass 300..3000 (amdemod settings)
     sync_am: bool = False  # PLL-synchronous detection
     sync_usb: bool = True  # sideband pick in sync mode (SSB filter)
+    sync_dsb: bool = False  # SyncAMDSB: double-sideband sync detection
     block_in: int = 0
 
     @functools.cached_property
@@ -50,10 +51,30 @@ class AMConfig:
             (self.rf_bandwidth / 2.0) / self.audio_rate)
 
     @functools.cached_property
-    def dsb_filter(self) -> np.ndarray:
-        return fftfilt.create_dsb_filter(
-            self.rf_bandwidth / (2.0 * self.audio_rate), 1024
-        )
+    def sync_fft_len(self) -> int:
+        return 2048 if self.sync_dsb else 1024
+
+    @functools.cached_property
+    def sync_filter(self) -> np.ndarray:
+        # sync-AM sideband filters (amdemod.cpp:72-73): SSBFilter spans
+        # 0..rfBandwidth (NOT rfBw/2); DSBFilter 2*rfBandwidth at 2x length
+        if self.sync_dsb:
+            h = np.array(fftfilt.create_dsb_filter(
+                (2.0 * self.rf_bandwidth) / self.audio_rate, 2048))
+            h[0] = 0.0  # runDSB(..., false): the sync branch drops DC
+            return h
+        return fftfilt.create_filter(
+            0.0, self.rf_bandwidth / self.audio_rate, 1024)
+
+    @functools.cached_property
+    def sync_agc_config(self) -> "agc.MagAGCConfig":
+        # syncAMAGC (amdemod.cpp:59,74-75): MagAGC(12000, R=0.1, threshold
+        # off), resize(12000, 6000, 0.1) — single source for make_state AND
+        # process (they once disagreed: a 1200-sample state window silently
+        # overrode the 12000 the config claimed)
+        return agc.MagAGCConfig(order_r=0.1, history_size=12000,
+                                threshold_enable=False, step_length=6000,
+                                step_down_delay=12000)
 
 
 class AMState(NamedTuple):
@@ -65,10 +86,10 @@ class AMState(NamedTuple):
     pll: "phaselock.PLLState"
     fft: fftfilt.FftFiltState
     agc: agc.MagAGCState
-    #: envelope volume normalizer (SimpleAGC<4800> resized to audioRate/4,
-    #: initial 0.003, cutoff 0 — amdemod.cpp:58,465): windowed mean of the
-    #: envelope; audio = (env - mean)/mean, making loudness track the
-    #: modulation DEPTH, not the carrier level
+    #: envelope volume normalizer (SimpleAGC, audioRate/10 window in the
+    #: envelope branch — amdemod.cpp:58,469; initial 0.003, cutoff 0):
+    #: windowed mean of the envelope; audio = (env - mean)/mean, making
+    #: loudness track the modulation DEPTH, not the carrier level
     vol_agc: movingavg.MovingAvgState
 
 
@@ -83,9 +104,12 @@ def make_state(cfg: AMConfig, batch_shape=()) -> AMState:
         squelch=squelch.make_state(_SQUELCH_GATE, batch_shape),
         bandpass=firdesign.make_state(len(cfg.bandpass_taps), batch_shape),
         pll=phaselock.make_pll(batch_shape),
-        fft=fftfilt.make_state(1024, batch_shape),
-        agc=agc.make_state(agc.MagAGCConfig(order_r=0.005, history_size=1200, threshold_enable=False), batch_shape),
-        vol_agc=movingavg.make_state(12000, batch_shape, fill=0.003),
+        fft=fftfilt.make_state(cfg.sync_fft_len, batch_shape),
+        agc=agc.make_state(cfg.sync_agc_config, batch_shape),
+        # envelope volume normalizer: audioRate/10 window in the non-PLL
+        # branch (amdemod.cpp:469 — the PLL branch uses audioRate/4)
+        vol_agc=movingavg.make_state(int(cfg.audio_rate / 10), batch_shape,
+                                     fill=0.003),
     )
 
 
@@ -112,17 +136,16 @@ def process(state: AMState, x: jnp.ndarray, cfg: AMConfig, offset_hz=None,
         pll_state, carrier = phaselock.pll_run(state.pll, ci, cfg.audio_rate)
         mixed = (1j * ci * jnp.conj(carrier)).astype(jnp.complex64)
         # dc=false in the sync branch (amdemod.cpp:206: runSSB(..., false))
-        fft_state, filtered = fftfilt.run_ssb(
-            state.fft, mixed, cfg.dsb_filter, usb=cfg.sync_usb, get_dc=False
-        )
-        # syncAMAGC (amdemod.cpp:59,74-75): MagAGC(12000, R=0.1,
-        # threshold off), resize(12000, 6000, 0.1)
+        if cfg.sync_dsb:
+            # DC suppression is baked into sync_filter (bin 0 zeroed)
+            fft_state, filtered = fftfilt.run_dsb(
+                state.fft, mixed, jnp.asarray(cfg.sync_filter))
+        else:
+            fft_state, filtered = fftfilt.run_ssb(
+                state.fft, mixed, cfg.sync_filter, usb=cfg.sync_usb,
+                get_dc=False)
         agc_state, leveled, _, _ = agc.mag_agc(
-            state.agc, filtered,
-            agc.MagAGCConfig(order_r=0.1, history_size=12000,
-                             threshold_enable=False, step_length=6000,
-                             step_down_delay=12000),
-        )
+            state.agc, filtered, cfg.sync_agc_config)
         # demod = (z.real + z.imag) * 4 (amdemod.cpp:210-229)
         demod = ((jnp.real(leveled) + jnp.imag(leveled)) * 4.0).astype(jnp.float32)
         vol_state = state.vol_agc

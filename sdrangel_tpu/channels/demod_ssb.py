@@ -138,7 +138,9 @@ def process(state: SSBState, x: jnp.ndarray, cfg: SSBConfig, offset_hz=None,
         # this framework keeps the sane passthrough.)
         agc_state, leveled, new_delay = state.agc, filt, state.delay
 
-    vol = 0.0 if cfg.audio_mute else (cfg.volume if volume is None else volume)
+    # ssbdemod.cpp:493-494: m_volume = settings.m_volume / 4.0 ("for
+    # 3276.8") — the /4 is part of the reference's volume semantics
+    vol = 0.0 if cfg.audio_mute else (cfg.volume if volume is None else volume) / 4.0
     if cfg.audio_binaural:
         l = jnp.real(leveled)
         r = jnp.imag(leveled)
