@@ -821,7 +821,7 @@ void gen_am_sync_chain(const char* name, int input_rate, int offset_hz,
 }
 
 void gen_ssb_chain(const char* name, int input_rate, int offset_hz,
-                   bool agc_active, uint64_t seed) {
+                   bool agc_active, uint64_t seed, bool usb = true) {
   const int audio_rate = 48000;
   const double bandwidth = 3000.0, low_cutoff = 300.0;  // USB defaults
   const double volume = 2.0;
@@ -830,9 +830,10 @@ void gen_ssb_chain(const char* name, int input_rate, int offset_hz,
   const int N = 65536;
   Rng rng(seed);
   std::vector<qint16> in(2 * N);
+  double side = usb ? 1.0 : -1.0;  // LSB content sits BELOW the carrier
   for (int n = 0; n < N; ++n) {
-    double p1 = 2.0 * M_PI * (offset_hz + 700.0) * n / input_rate;
-    double p2 = 2.0 * M_PI * (offset_hz + 1900.0) * n / input_rate;
+    double p1 = 2.0 * M_PI * (offset_hz + side * 700.0) * n / input_rate;
+    double p2 = 2.0 * M_PI * (offset_hz + side * 1900.0) * n / input_rate;
     double i = 0.3 * cos(p1) + 0.18 * cos(p2) + 0.001 * rng.uniform();
     double q = 0.3 * sin(p1) + 0.18 * sin(p2) + 0.001 * rng.uniform();
     in[2 * n] = (qint16)lrint(i * 32767.0);
@@ -872,7 +873,7 @@ void gen_ssb_chain(const char* name, int input_rate, int offset_hz,
     if (interpolator.decimate(&interp_remain, c, &ci)) {
       post_resamp.push_back((float)ci.real());
       post_resamp.push_back((float)ci.imag());
-      n_out = ssb_filter.runSSB(ci, &sideband, true);
+      n_out = ssb_filter.runSSB(ci, &sideband, usb);
       interp_remain += interp_distance;
     }
     for (int i = 0; i < n_out; i++) {
@@ -891,9 +892,10 @@ void gen_ssb_chain(const char* name, int input_rate, int offset_hz,
   char params[224];
   snprintf(params, sizeof(params),
            "{\"input_rate\": %d, \"offset_hz\": %d, \"bandwidth\": 3000.0, "
-           "\"low_cutoff\": 300.0, \"usb\": true, \"volume\": 2.0, "
+           "\"low_cutoff\": 300.0, \"usb\": %s, \"volume\": 2.0, "
            "\"agc\": %s, \"agc_time_log2\": 7}",
-           input_rate, offset_hz, agc_active ? "true" : "false");
+           input_rate, offset_hz, usb ? "true" : "false",
+           agc_active ? "true" : "false");
   save_f32(std::string(name) + "_audio", audio_f, params);
   save_f32(std::string(name) + "_postresamp", post_resamp, params);
   save_f32(std::string(name) + "_postfilt", post_filt, params);
@@ -1133,6 +1135,7 @@ int main_impl(const char* dir) {
   gen_am_sync_chain("amsync96", 96000, 5000, 1 /*USB*/, 0x5eed0057ULL);
   gen_ssb_chain("ssb96", 96000, 3000, false, 0x5eed0053ULL);
   gen_ssb_chain("ssb96agc", 96000, 3000, true, 0x5eed0054ULL);
+  gen_ssb_chain("ssb96lsb", 96000, 3000, true, 0x5eed0058ULL, false);
   gen_wfmrx_chain("wfmrx384", 384000, 0, 0x5eed0055ULL);
   gen_bfm_chain("bfm384", 384000, 0, 0x5eed0056ULL);
   gen_ctcss();
