@@ -566,7 +566,10 @@ void gen_nfm_chain(const char* name, int input_rate, int offset_hz,
   double squelch_level = pow(10.0, squelch_cb / 100.0);
   MovingAverageUtil<Real, double, 32> moving_average;
   DoubleBufferFIFO<Real> delay_line(24000);
-  PhaseDiscriminators discri;
+  PhaseDiscriminators discri = PhaseDiscriminators();  // value-init: the
+  // reference never initializes m_prevArg (phasediscri.h:139 — reset()
+  // covers only m_m1/m_m2Sample), so sample 0 is uninitialized memory
+  // in the real program; zero it for a deterministic golden
   discri.setFMScaling((Real)(8.0 * audio_rate) / (Real)fm_dev);  // applySettings:507
   discri.reset();
   float discri_comp = 1.0f;  // audio_rate == 48000
@@ -759,6 +762,9 @@ void gen_am_sync_chain(const char* name, int input_rate, int offset_hz,
   std::vector<float> sync_buff_f(2 * 1024, 0.0f);
 
   std::vector<float> audio_f;
+  // r5 per-stage taps: PLL carrier + quadrature mix + pre-attack demod
+  // (attribute the chain residual to a stage instead of asserting it)
+  std::vector<float> pll_carrier, post_mix, demod_f;
   Complex ci;
   for (int n = 0; n < N; ++n) {
     Complex c((Real)in[2 * n], (Real)in[2 * n + 1]);
@@ -784,6 +790,10 @@ void gen_am_sync_chain(const char* name, int input_rate, int offset_hz,
         pll.feed(s.real(), s.imag());
         float yr = re * pll.getImag() - im * pll.getReal();
         float yi = re * pll.getReal() + im * pll.getImag();
+        pll_carrier.push_back(pll.getReal());
+        pll_carrier.push_back(pll.getImag());
+        post_mix.push_back(yr);
+        post_mix.push_back(yi);
         fftfilt::cmplx* sideband;
         std::complex<float> cs(yr, yi);
         int n_out;
@@ -801,11 +811,17 @@ void gen_am_sync_chain(const char* name, int input_rate, int offset_hz,
         (void)sync_am_buff;
         sync_am_buff_index = sync_am_buff_index < 2 * 1024 ? sync_am_buff_index : 0;
         Real demod = sync_buff_f[sync_am_buff_index++] * 4.0f;  // :229
+        demod_f.push_back(demod);
         // shared tail (:245-252), bandpassEnable false for this case
         Real attack = (squelch_count - 0.05f * audio_rate) / (0.05f * audio_rate);
         sample = demod * StepFunctions::smootherstep(attack)
             * (audio_rate / 24) * (Real)volume;
       } else {
+        pll_carrier.push_back(0.0f);
+        pll_carrier.push_back(0.0f);
+        post_mix.push_back(0.0f);
+        post_mix.push_back(0.0f);
+        demod_f.push_back(0.0f);
         sample = 0.0f;
       }
       audio_f.push_back(sample);
@@ -818,6 +834,9 @@ void gen_am_sync_chain(const char* name, int input_rate, int offset_hz,
            "\"sync_op\": %d, \"volume\": 1.0, \"squelch_db\": -40.0}",
            input_rate, offset_hz, sync_op);
   save_f32(std::string(name) + "_audio", audio_f, params);
+  save_f32(std::string(name) + "_pllcarrier", pll_carrier, params);
+  save_f32(std::string(name) + "_postmix", post_mix, params);
+  save_f32(std::string(name) + "_demod", demod_f, params);
 }
 
 void gen_ssb_chain(const char* name, int input_rate, int offset_hz,
@@ -931,18 +950,26 @@ void gen_wfmrx_chain(const char* name, int input_rate, int offset_hz,
   fftfilt rf_filter(-50000.0f / 384000.0f, 50000.0f / 384000.0f, 1024);
   rf_filter.create_filter((float)(-(rf_bw / 2.0) / input_rate),
                           (float)((rf_bw / 2.0) / input_rate));  // :296-298
-  PhaseDiscriminators discri;
+  PhaseDiscriminators discri = PhaseDiscriminators();  // value-init: the
+  // reference never initializes m_prevArg (phasediscri.h:139 — reset()
+  // covers only m_m1/m_m2Sample), so sample 0 is uninitialized memory
+  // in the real program; zero it for a deterministic golden
   discri.setFMScaling((Real)(1.0 / (rf_bw / (Real)input_rate)));  // :299-300
   MovingAverageUtil<Real, double, 32> moving_average;
   double squelch_level = CalcDb::powerFromdB(squelch_db);
   int squelch_state = 0;
 
   std::vector<float> audio_f;
+  // r5 per-stage taps (the NFM decomposition pattern): attribute the
+  // chain residual to an actual stage instead of asserting it
+  std::vector<float> post_nco, post_rf, post_discri;
   Complex ci;
   fftfilt::cmplx* rf;
   for (int n = 0; n < N; ++n) {
     Complex c((Real)in[2 * n], (Real)in[2 * n + 1]);
     c *= nco.nextIQ();
+    post_nco.push_back((float)c.real());
+    post_nco.push_back((float)c.imag());
     int rf_out = rf_filter.runFilt(c, &rf);
     for (int i = 0; i < rf_out; i++) {
       double msq = rf[i].real() * rf[i].real() + rf[i].imag() * rf[i].imag();
@@ -961,6 +988,9 @@ void gen_wfmrx_chain(const char* name, int input_rate, int offset_hz,
       } else {
         demod = 0;
       }
+      post_rf.push_back((float)rf[i].real());
+      post_rf.push_back((float)rf[i].imag());
+      post_discri.push_back((float)demod);
       Complex e(demod, 0);
       if (interpolator.decimate(&interp_remain, e, &ci)) {
         audio_f.push_back((float)(ci.real() * 3276.8f * volume));
@@ -975,6 +1005,9 @@ void gen_wfmrx_chain(const char* name, int input_rate, int offset_hz,
            "\"squelch_db\": -60.0}",
            input_rate, offset_hz, fm_dev);
   save_f32(std::string(name) + "_audio", audio_f, params);
+  save_f32(std::string(name) + "_postnco", post_nco, params);
+  save_f32(std::string(name) + "_postrf", post_rf, params);
+  save_f32(std::string(name) + "_postdiscri", post_discri, params);
 }
 
 // ---------------------------------------------------------------------------
@@ -1020,7 +1053,10 @@ void gen_bfm_chain(const char* name, int input_rate, int offset_hz,
   fftfilt rf_filter(-50000.0f / 384000.0f, 50000.0f / 384000.0f, 1024);
   rf_filter.create_filter((float)(-(rf_bw / 2.0) / input_rate),
                           (float)((rf_bw / 2.0) / input_rate));
-  PhaseDiscriminators discri;
+  PhaseDiscriminators discri = PhaseDiscriminators();  // value-init: the
+  // reference never initializes m_prevArg (phasediscri.h:139 — reset()
+  // covers only m_m1/m_m2Sample), so sample 0 is uninitialized memory
+  // in the real program; zero it for a deterministic golden
   discri.setFMScaling((Real)(input_rate / fm_excursion));  // :429
   StereoPhaseLock pilot_pll(0, 0, 0);
   pilot_pll.configure((Real)(19000.0 / input_rate),

@@ -33,6 +33,25 @@ class AMConfig:
     sync_usb: bool = True  # sideband pick in sync mode (SSB filter)
     sync_dsb: bool = False  # SyncAMDSB: double-sideband sync detection
     block_in: int = 0
+    # Test-only parity mode: replace the canonical 2nd-order sync PLL with
+    # the reference's exact PhaseLockComplex biquad (wn=0.05, zeta=0.707,
+    # K=1000, amdemod.cpp:86) behind its 101-tap/200 Hz complex lowpass
+    # prefilter (amdemod.cpp:85,194). Exists to DEMONSTRATE the AM-sync
+    # golden residual attribution (VERDICT r4 next #3) — never the default.
+    ref_pll_parity: bool = False
+    # Test-only parity mode: delay the sync-branch fftfilt feed by this
+    # many samples. The reference feeds its SSB/DSB filter only while the
+    # squelch is OPEN (amdemod.cpp:187-191), so its OLA hop boundaries sit
+    # at squelch-open + 512·m — and the brickwall sideband filter's
+    # impulse response exceeds flen/2, making the OLA framing-SENSITIVE
+    # (not shift-invariant). Aligning the framing to the reference's
+    # deterministic open instant demonstrates the residual (r5).
+    sync_frame_offset: int = 0
+    # Test-only parity mode: quantize the channel NCO increment to the
+    # reference's fs/4096 tuning grid (nco.cpp:48-52 truncation; see
+    # nco.freq_to_increment_ref_quant) — e.g. a 5000 Hz offset at 96 kHz
+    # actually mixes 4992.1875 Hz in the reference.
+    ref_nco_quant: bool = False
 
     @functools.cached_property
     def resampler_plan(self) -> resampler.ResamplerPlan:
@@ -45,10 +64,15 @@ class AMConfig:
 
     @functools.cached_property
     def bandpass_taps(self) -> np.ndarray:
-        # amdemod.cpp:373: create(301, rate, 300, rfBandwidth/2)
-        return firdesign.bandpass(
-            301, 300.0 / self.audio_rate,
-            (self.rf_bandwidth / 2.0) / self.audio_rate)
+        # amdemod.cpp:373 Bandpass::create(301, rate, 300, rfBandwidth/2)
+        # paired with the /301 at amdemod.cpp:249. The reference's
+        # near-zero-DC-sum tap normalization (bandpass.h:15-76) leaves a
+        # large passband gain (~393 at default settings) which the /301
+        # nets to ~1.3x (+2.3 dB); reproducing the exact pair — via the
+        # exact-design helper shared with the NFM modulator — makes AM
+        # loudness with bandpassEnable migrate 1:1 (ADVICE r4).
+        return firdesign.nfm_mod_bandpass(
+            301, self.audio_rate, 300.0, self.rf_bandwidth / 2.0) / 301.0
 
     @functools.cached_property
     def sync_fft_len(self) -> int:
@@ -65,6 +89,11 @@ class AMConfig:
             return h
         return fftfilt.create_filter(
             0.0, self.rf_bandwidth / self.audio_rate, 1024)
+
+    @functools.cached_property
+    def pll_prefilter_taps(self) -> np.ndarray:
+        # Lowpass<complex>::create(101, audioRate, 200) — amdemod.cpp:85
+        return firdesign.lowpass(101, 200.0 / self.audio_rate)
 
     @functools.cached_property
     def sync_agc_config(self) -> "agc.MagAGCConfig":
@@ -84,6 +113,9 @@ class AMState(NamedTuple):
     squelch: squelch.SquelchState
     bandpass: firdesign.FirState
     pll: "phaselock.PLLState"
+    pll_fir: firdesign.FirState  # ref_pll_parity: 200 Hz complex prefilter
+    ref_pll: "phaselock.RefPLLState"  # ref_pll_parity: biquad registers
+    sync_delay: jnp.ndarray  # (…, sync_frame_offset) c64 framing aligner
     fft: fftfilt.FftFiltState
     agc: agc.MagAGCState
     #: envelope volume normalizer (SimpleAGC, audioRate/10 window in the
@@ -104,6 +136,12 @@ def make_state(cfg: AMConfig, batch_shape=()) -> AMState:
         squelch=squelch.make_state(_SQUELCH_GATE, batch_shape),
         bandpass=firdesign.make_state(len(cfg.bandpass_taps), batch_shape),
         pll=phaselock.make_pll(batch_shape),
+        pll_fir=firdesign.FirState(
+            jnp.zeros((*batch_shape, len(cfg.pll_prefilter_taps) - 1),
+                      dtype=jnp.complex64)),
+        ref_pll=phaselock.make_ref_pll(batch_shape),
+        sync_delay=jnp.zeros((*batch_shape, cfg.sync_frame_offset),
+                             dtype=jnp.complex64),
         fft=fftfilt.make_state(cfg.sync_fft_len, batch_shape),
         agc=agc.make_state(cfg.sync_agc_config, batch_shape),
         # envelope volume normalizer: audioRate/10 window in the non-PLL
@@ -117,7 +155,9 @@ def process(state: AMState, x: jnp.ndarray, cfg: AMConfig, offset_hz=None,
             squelch_db=None, volume=None) -> tuple[AMState, jnp.ndarray]:
     plan = cfg.resampler_plan
     if offset_hz is None:
-        inc = jnp.asarray(nco.freq_to_increment(-cfg.input_offset, cfg.channel_rate))
+        f2i = (nco.freq_to_increment_ref_quant if cfg.ref_nco_quant
+               else nco.freq_to_increment)
+        inc = jnp.asarray(f2i(-cfg.input_offset, cfg.channel_rate))
     else:  # traced live-retune override (applySettings-on-running semantics)
         inc = nco.freq_to_increment_traced(-offset_hz, cfg.channel_rate)
     nco_state, xm = nco.mix_block(state.nco, x, inc)
@@ -129,12 +169,27 @@ def process(state: AMState, x: jnp.ndarray, cfg: AMConfig, offset_hz=None,
     open_cond = avg >= level
 
     pll_state, fft_state, agc_state = state.pll, state.fft, state.agc
+    pll_fir_state, ref_pll_state = state.pll_fir, state.ref_pll
     if cfg.sync_am:
         # the reference sync mix (amdemod.cpp:195-197): yr+j*yi equals
         # j * ci * conj(pll_phasor) — note the extra 90° rotation; the
         # (re+im) audio projection below depends on it
-        pll_state, carrier = phaselock.pll_run(state.pll, ci, cfg.audio_rate)
+        if cfg.ref_pll_parity:
+            # reference-exact loop: 200 Hz complex prefilter feeds the
+            # PhaseLockComplex biquad; the mix keeps the UNfiltered ci
+            pll_fir_state, s_f = firdesign.fir_apply(
+                state.pll_fir, ci, jnp.asarray(cfg.pll_prefilter_taps))
+            ref_pll_state, carrier = phaselock.ref_pll_run(
+                state.ref_pll, s_f.astype(jnp.complex64))
+        else:
+            pll_state, carrier = phaselock.pll_run(
+                state.pll, ci, cfg.audio_rate)
         mixed = (1j * ci * jnp.conj(carrier)).astype(jnp.complex64)
+        sync_delay_state = state.sync_delay
+        if cfg.sync_frame_offset:
+            ext = jnp.concatenate([state.sync_delay, mixed], axis=-1)
+            mixed = ext[..., : mixed.shape[-1]]
+            sync_delay_state = ext[..., mixed.shape[-1] :]
         # dc=false in the sync branch (amdemod.cpp:206: runSSB(..., false))
         if cfg.sync_dsb:
             # DC suppression is baked into sync_filter (bin 0 zeroed)
@@ -150,10 +205,15 @@ def process(state: AMState, x: jnp.ndarray, cfg: AMConfig, offset_hz=None,
         demod = ((jnp.real(leveled) + jnp.imag(leveled)) * 4.0).astype(jnp.float32)
         vol_state = state.vol_agc
     else:
+        sync_delay_state = state.sync_delay
         env = jnp.sqrt(magsq)
-        # the reference normalizes by the trailing-window envelope mean
-        # (it feeds the delayed envelope only while the squelch is open;
-        # here the feed is unconditional — identical once the gate settles)
+        # the reference normalizes by the trailing-window envelope mean.
+        # Two deliberate divergences (amdemod.cpp:242-243): it feeds
+        # sqrt(squelchDelayLine.readBack(rate/20)) — the envelope DELAYED
+        # by 50 ms — and only while the squelch is open; here the feed is
+        # the current envelope, unconditionally. Identical once the gate
+        # settles; attack loudness right after a squelch-closed stretch
+        # can differ by the 50 ms of window refill (ADVICE r4, recorded).
         vol_state, env_mean = movingavg.moving_average(state.vol_agc, env)
         demod = (env - env_mean) / jnp.maximum(env_mean, 1e-9)
 
@@ -175,7 +235,9 @@ def process(state: AMState, x: jnp.ndarray, cfg: AMConfig, offset_hz=None,
     new_state = AMState(
         nco=nco_state, resamp=resamp_state, mavg=mavg_state,
         squelch=squelch_state, bandpass=bp_state,
-        pll=pll_state, fft=fft_state, agc=agc_state, vol_agc=vol_state,
+        pll=pll_state, pll_fir=pll_fir_state, ref_pll=ref_pll_state,
+        sync_delay=sync_delay_state,
+        fft=fft_state, agc=agc_state, vol_agc=vol_state,
     )
     return new_state, audio.astype(jnp.float32)
 

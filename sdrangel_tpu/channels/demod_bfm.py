@@ -59,8 +59,18 @@ class BFMConfig:
 
     @functools.cached_property
     def pilot_taps(self) -> np.ndarray:
-        """Complex analytic bandpass at 19 kHz (±400 Hz)."""
-        n = 501
+        """Complex analytic bandpass at 19 kHz (±400 Hz).
+
+        The group delay is padded up to a multiple of the mono resampler's
+        input stride p (~250 → 256 at 384 kHz): the MPX is delayed by the
+        same amount to stay phase-aligned with the pilot harmonics, and a
+        delay that is not a whole number of OUTPUT samples would shift our
+        audio off the reference-exact resampler grid by a fraction no
+        integer lag can absorb (r5 — the old resampler anchor was off by
+        exactly the compensating fraction, two wrongs cancelling)."""
+        p = self.mono_plan.p
+        gd = -(-250 // p) * p
+        n = 2 * gd + 1
         lp = firdesign.lowpass(n, 400.0 / self.channel_rate).astype(np.float64)
         k = np.arange(n) - n // 2
         return (2.0 * lp * np.exp(1j * 2.0 * np.pi * PILOT_FREQ / self.channel_rate * k)).astype(

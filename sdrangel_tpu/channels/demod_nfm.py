@@ -41,6 +41,9 @@ class NFMConfig:
     volume: float = 1.0
     audio_mute: bool = False
     block_in: int = 0  # input samples per block (0 -> auto from resampler)
+    # Test-only parity mode: the reference's atan2_approximation2 in the
+    # discriminator (see demod_wfm.WFMConfig.ref_atan2_approx)
+    ref_atan2_approx: bool = False
 
     @functools.cached_property
     def resampler_plan(self) -> resampler.ResamplerPlan:
@@ -129,7 +132,7 @@ def process(
     resamp_state, ci = resampler.resample_block(state.resamp, xm, plan)
 
     discri_state, demod, magsq = phasediscri.discriminator_delta(
-        state.discri, ci, cfg.fm_scaling
+        state.discri, ci, cfg.fm_scaling, approx=cfg.ref_atan2_approx
     )
     mavg_state, avg_magsq = movingavg.moving_average(state.mavg, magsq)
 

@@ -60,7 +60,7 @@ def make_state(cfg: MagAGCConfig, batch_shape=()) -> MagAGCState:
 
 def mag_agc(
     state: MagAGCState, x: jnp.ndarray, cfg: MagAGCConfig
-) -> tuple[MagAGCState, jnp.ndarray, jnp.ndarray]:
+) -> tuple[MagAGCState, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Apply MagAGC to a complex block.
 
     x: (..., T) complex64. Returns (state', y, magsq, ramp) with y

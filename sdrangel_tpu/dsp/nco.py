@@ -38,6 +38,23 @@ def freq_to_increment(freq, sample_rate) -> np.ndarray:
     return (inc & 0xFFFFFFFF).astype(np.uint32)
 
 
+def freq_to_increment_ref_quant(freq, sample_rate) -> np.ndarray:
+    """The reference NCO's frequency quantization (nco.cpp:48-52):
+    `m_phaseIncrement = (freq * 4096) / sampleRate` assigned to an int —
+    TRUNCATED toward zero, so the achievable tuning grid is fs/4096
+    (~23.4 Hz at 96 kHz) and a requested offset can sit up to ±fs/8192 off
+    (e.g. 5000 Hz at 96 kHz actually mixes −4992.1875 Hz, leaving the
+    carrier +7.8125 Hz off DC — measured in the amsync96 golden, r5).
+    Increments quantized to whole LUT steps make our uint32 wheel hit the
+    exact same 4096-LUT indices as the reference. Test-only parity mode;
+    the shipping default keeps the full 2^32-wheel resolution."""
+    steps = np.trunc(
+        np.asarray(freq, np.float64) * 4096.0
+        / np.asarray(sample_rate, np.float64)).astype(np.int64)
+    inc = steps * (1 << (_WHEEL_BITS - 12))
+    return (inc & 0xFFFFFFFF).astype(np.uint32)
+
+
 def freq_to_increment_traced(freq, sample_rate) -> jnp.ndarray:
     """Traced variant for per-channel offset arrays inside jit. f32 turns
     resolution (~2^-24 of fs) instead of the host float64 path."""

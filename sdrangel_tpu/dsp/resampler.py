@@ -131,48 +131,60 @@ def make_plan(
     if in_rate < out_rate:
         assert q <= 256, f"upsampling denominator too large: {q}"
 
-    if q <= 16 and in_rate >= out_rate:
-        # Rx decimation, simple ratio: reference-grade EXACT-delay polyphase.
-        # The legs are the reference's own prototype (createPolyphaseLowPass,
-        # interpolator.cpp:20-110 — per-output span
-        # nb_taps_per_phase*phase_steps input samples, per-leg unit DC).
-        # When q divides phase_steps the exact delays r/q coincide with
-        # reference phase legs r*steps/q, so integer and simple rational
-        # ratios are reference-parity (r2 used a short generic lowpass here —
-        # the reference-golden harness caught the response mismatch).
-        # Executed through the same windows+einsum machinery as the general
-        # gather mode: a direct lax.conv with a ≥64-tap kernel compiles
-        # pathologically on TPU (measured again here: the 72-tap conv hung a
-        # 590 s compile; see .claude/skills/verify/SKILL.md).
-        if phase_steps % q == 0:
-            legs16 = create_polyphase_lowpass(
-                phase_steps, 1.0, phase_steps * in_rate, cutoff, nb_taps_per_phase
-            )
-            legs = legs16[:: phase_steps // q]  # (q, per_leg)
-        else:
-            legs = create_polyphase_lowpass(
-                q, 1.0, q * in_rate, cutoff, nb_taps_per_phase * phase_steps / q
-            )
-        per_leg = legs.shape[1]
+    if in_rate >= out_rate:
+        # Rx decimation, ALL ratios: the EXACT reference schedule. Simulate
+        # Interpolator::decimate's recurrence (interpolator.h:23-35: per
+        # input `distance -= 1`; emit doInterpolate(floor(distance *
+        # phaseSteps)) whenever distance < 1 — phase CLAMPED at 0,
+        # interpolator.h:126-127 — then the caller adds in/out) in integer
+        # arithmetic (distance in units of 1/q; the reference's float32
+        # accumulator drifts ~1e-7/step, below every golden bound). Legs are
+        # the reference's own 16-phase prototype (createPolyphaseLowPass,
+        # interpolator.cpp:20-110, per-leg unit DC) — including its delay
+        # QUANTIZATION to the 16-phase grid for q ∤ 16 ratios. The emitted
+        # stream reproduces the reference from its output 1 on: the
+        # reference's stream leads with one extra phase-clamped output at
+        # input 0 (distance starts at 0 → the first decrement emits
+        # immediately), a pure one-output lead the golden lag fits absorb.
+        # r5: this replaced a closed-form (j·p)//q+1 anchor that was only
+        # correct for p ≤ 2 — at 384k→48k (p=8) it sat 2 input samples off
+        # the reference window, a 1/4-output-sample shift no integer lag
+        # can absorb, capping the WFM chain golden at 29.7 dB. The exact
+        # schedule measures 135.8 dB on the same stage (see
+        # test_wfm_resampler_stage_matches_reference).
+        # Executed through the windows+einsum machinery: a direct lax.conv
+        # with a ≥64-tap kernel compiles pathologically on TPU (the 72-tap
+        # conv hung a 590 s compile; see .claude/skills/verify/SKILL.md).
+        legs16 = create_polyphase_lowpass(
+            phase_steps, 1.0, phase_steps * in_rate, cutoff, nb_taps_per_phase
+        )
+        per_leg = legs16.shape[1]
         block_out = block_in * q // p
+        d = 0  # distance * q
+        n = 0
+        emitted: list[tuple[int, int]] = []
+        while n < 3 * p + 1 and len(emitted) < 2 * q + 2:
+            d -= q
+            if d < q:
+                emitted.append((n, max((phase_steps * d) // q, 0)))
+                d += p
+            n += 1
+        # one steady period: the q outputs emitted over inputs [p, 2p)
+        base = [(nn - p, ph) for (nn, ph) in emitted if p <= nn < 2 * p]
+        assert len(base) == q, (p, q, emitted)
         j = np.arange(block_out, dtype=np.int64)
-        # Output j reads the window starting p//q-ish samples after j·p/q;
-        # the +1 anchor (p>q only; at ratio 1 it is just an output lag and
-        # would over-read the block tail) reproduces the reference's
-        # window-ends-at-the-consumed-sample convention — pinned by the
-        # goldens at 133 dB vs the actual reference interpolator
-        # (tests/test_reference_golden.py interp_96k_48k).
-        shift = 1 if p > q else 0
+        base_n = np.asarray([b[0] for b in base], np.int64)
+        base_ph = np.asarray([b[1] for b in base], np.int32)
         return ResamplerPlan(
             in_rate=in_rate,
             out_rate=out_rate,
             block_in=block_in,
             block_out=block_out,
             ntaps=per_leg,
-            phase_steps=q,
-            taps=legs.astype(np.float32),
-            start_idx=((j * p) // q + shift).astype(np.int32),
-            phase=((j * p) % q).astype(np.int32),
+            phase_steps=phase_steps,
+            taps=legs16.astype(np.float32),
+            start_idx=(base_n[j % q] + (j // q) * p).astype(np.int32),
+            phase=base_ph[j % q].astype(np.int32),
             mode="gather",
             p=p,
             q=q,
@@ -221,42 +233,6 @@ def make_plan(
             p=p,
             q=q,
         )
-    # prototype designed at the phase-upsampled rate (Interpolator::create,
-    # interpolator.cpp:74-86)
-    taps = create_polyphase_lowpass(
-        phase_steps, 1.0, phase_steps * in_rate, cutoff, nb_taps_per_phase
-    )
-    ntaps = taps.shape[1]
-
-    # Simulate one block of the reference recurrence to get the static schedule.
-    ratio = p / q  # exact rational distance increment
-    distance = ratio  # steady-state start (first block transient uses zeros tail)
-    start_idx, phase = [], []
-    for n in range(block_in):
-        # advanceFilter(next) then distance -= 1; emit while distance < 1
-        distance -= 1.0
-        if distance < 1.0:
-            ph = int(np.floor(distance * phase_steps))
-            ph = max(ph, 0)
-            start_idx.append(n)
-            phase.append(ph)
-            distance += ratio
-    block_out = len(start_idx)
-    assert block_out == block_in * q // p, (block_out, block_in, p, q)
-    return ResamplerPlan(
-        in_rate=in_rate,
-        out_rate=out_rate,
-        block_in=block_in,
-        block_out=block_out,
-        ntaps=ntaps,
-        phase_steps=phase_steps,
-        taps=taps,
-        start_idx=np.asarray(start_idx, dtype=np.int32),
-        phase=np.asarray(phase, dtype=np.int32),
-        mode="gather",
-        p=p,
-        q=q,
-    )
 
 
 def init_state(plan: ResamplerPlan, batch_shape=()) -> ResamplerState:
