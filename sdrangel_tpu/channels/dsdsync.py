@@ -94,6 +94,31 @@ YSF_DCH_DIBITS = 36
 #: D-Star voice frame: 96 bits (72 voice + 24 slow data)
 DSTAR_FRAME_BITS = 96
 
+# --- NXDN (NXDN TS 1-A Common Air Interface, 2400 sym/s) ---
+# FSW = 20 bits 0xCDF5D (10 dibits {3,0,3,1,3,3,1,1,3,1}); the reference
+# surfaces positive and negative FSW as DISTINCT sync states
+# (DSDcc DSDSyncNXDNP / DSDSyncNXDNN, dsddemod.cpp:664-665) — the
+# inverted-pattern hit maps to NXDN- here.
+NXDN_FSW = _hex_to_dibits(0xCDF5D, 20)
+#: NXDN frame: 384 bits = 192 dibits (FSW 10 + LICH 8 + SACCH 30 + 4x36
+#: VCH/FACCH for RTCH/RDCH)
+NXDN_FRAME_DIBITS = 192
+NXDN_LICH_DIBITS = 8
+NXDN_SACCH_DIBITS = 30
+#: LICH RF-channel-type field values (NXDN TS 1-A §4; the strings the
+#: reference's status line leads with, dsddemod.cpp:657-676)
+NXDN_RF_CHANNELS = ("RCCH", "RTCH", "RDCH", "RTCH-C")
+
+# --- dPMR (ETSI TS 102 658, 2400 sym/s) ---
+# Frame sync patterns, transcribed from the standard's frame structure
+# (§4.4: FS1 opens the header frame, FS2 each payload superframe, FS3 the
+# end frame). dPMR support in the reference is likewise detection-level:
+# its status line shows the DSDcc frame type (dsddemod.cpp:655-661).
+DPMR_FS1 = _hex_to_dibits(0x57FF5F75D477, 48)  # header frame (24 dibits)
+DPMR_FS2 = _hex_to_dibits(0x5FF77D, 24)        # payload superframe
+DPMR_FS3 = _hex_to_dibits(0x7DFF57, 24)        # end frame
+DPMR_FRAME_TYPES = {"header": "HEAD", "payload": "PAYL", "end": "END"}
+
 
 # ---------------------------------------------------------------------------
 # YSF FICH channel coding (Yaesu System Fusion spec; DSDcc decodes this in
@@ -263,18 +288,30 @@ def decode_fich(dibits100: np.ndarray) -> dict | None:
 
 
 class SyncHit(NamedTuple):
-    protocol: str     # "dmr" | "ysf" | "dstar"
+    protocol: str     # "dmr" | "ysf" | "dstar" | "nxdn" | "dpmr"
     frame_type: str   # e.g. "bs_voice", "ms_data", "fich", "frame_sync"
     position: int     # stream index of the FIRST sync symbol (global)
     inverted: bool    # matched with inverted polarity
 
 
+#: (protocol, frame_type, pattern, max-error CAP): short patterns get a
+#: tighter cap than the channel-wide max_errors — a 10-dibit window with 2
+#: tolerated errors false-fires ~4e-4 per offset on random 4FSK (thousands
+#: per block), while <=1 is ~3e-5 (DSDcc similarly holds its short
+#: NXDN/dPMR correlators to tighter budgets). One error must be allowed:
+#: the 4FSK tracker's inner-symbol (+-1) decisions bias under amplitude
+#: error, and the NXDN FSW carries one +1 symbol (loopback-measured: every
+#: recovered FSW had exactly one symbol error).
 _DIBIT_PATTERNS = [
-    ("dmr", "bs_voice", DMR_BS_VOICE),
-    ("dmr", "bs_data", DMR_BS_DATA),
-    ("dmr", "ms_voice", DMR_MS_VOICE),
-    ("dmr", "ms_data", DMR_MS_DATA),
-    ("ysf", "fich", YSF_SYNC),
+    ("dmr", "bs_voice", DMR_BS_VOICE, None),
+    ("dmr", "bs_data", DMR_BS_DATA, None),
+    ("dmr", "ms_voice", DMR_MS_VOICE, None),
+    ("dmr", "ms_data", DMR_MS_DATA, None),
+    ("ysf", "fich", YSF_SYNC, None),
+    ("nxdn", "fsw", NXDN_FSW, 1),
+    ("dpmr", "header", DPMR_FS1, None),
+    ("dpmr", "payload", DPMR_FS2, 1),
+    ("dpmr", "end", DPMR_FS3, 1),
 ]
 
 
@@ -282,11 +319,11 @@ def _pattern_table():
     """(levels matrix, metadata) for one-shot correlation of all dibit
     patterns and their inversions, padded to the longest length."""
     rows, meta = [], []
-    for proto, kind, pat in _DIBIT_PATTERNS:
+    for proto, kind, pat, cap in _DIBIT_PATTERNS:
         rows.append(pat)
-        meta.append((proto, kind, False, len(pat)))
+        meta.append((proto, kind, False, len(pat), cap))
         rows.append(_invert(pat))
-        meta.append((proto, kind, True, len(pat)))
+        meta.append((proto, kind, True, len(pat), cap))
     return rows, meta
 
 
@@ -320,12 +357,14 @@ class SyncSearcher:
         max_len = max(len(r) for r in rows)
         if len(buf) >= max_len:
             # dibit-domain patterns: exact symbol-level comparison windows
-            for row, (proto, kind, inv, plen) in zip(rows, meta):
+            for row, (proto, kind, inv, plen, cap) in zip(rows, meta):
                 if len(buf) < plen:
                     continue
+                budget = self.max_errors if cap is None \
+                    else min(self.max_errors, cap)
                 wins = np.lib.stride_tricks.sliding_window_view(buf, plen)
                 err = (wins != row).sum(axis=1)
-                for off in np.nonzero(err <= self.max_errors)[0]:
+                for off in np.nonzero(err <= budget)[0]:
                     hits.append(SyncHit(proto, kind, start + int(off), inv))
 
             # D-Star: bit domain (bit = sign of the symbol: dibit>=2 -> 1)
@@ -557,4 +596,195 @@ class VoiceExtractor:
             self._pos += len(self._buf) - keep
             self._buf = self._buf[-keep:]
         self.total += len(out)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# NXDN elementary decode + dPMR typing (r5 — VERDICT r4 next #4).
+#
+# The reference's DSD channel surfaces, via DSDcc, a status line per
+# protocol: for NXDN the RF channel type with RAN and message type
+# (dsddemod.cpp:663-682), for dPMR the frame type (:655-661). This layer
+# reproduces that surface over the /data dibit stream:
+#
+#   * LICH (8 dibits after the FSW): bit k is the MSB of dibit k (DSDcc's
+#     processLICH convention); fields RF-channel(2) functional(2)
+#     option(2) direction(1) even-parity(1).
+#   * SACCH (30 dibits): the condensed single-fragment layout used here —
+#     SR(2) RAN(6) MSG_TYPE(6) SPARE(6) CRC-6(6) + 4 flush bits, rate-1/2
+#     K=5 convolutional (the same NXDN/YSF generator pair as the FICH
+#     codec above) = 60 channel bits. Multi-fragment CAC/SACCH reassembly
+#     stays with the external trunking stack, exactly where DSDcc's does;
+#     validation is encode/decode loopback through the 4FSK chain.
+# ---------------------------------------------------------------------------
+
+_CRC6_POLY = 0x43  # x^6 + x + 1
+
+
+def _crc6(bits: np.ndarray) -> int:
+    reg = 0
+    for b in bits:
+        reg = ((reg << 1) | int(b)) ^ (_CRC6_POLY if reg & 0x20 else 0)
+    for _ in range(6):
+        reg = ((reg << 1) ^ (_CRC6_POLY if reg & 0x20 else 0)) & 0x3F
+    return reg & 0x3F
+
+
+def encode_nxdn_lich(rf_channel: int, functional: int = 0, option: int = 0,
+                     direction: int = 1) -> np.ndarray:
+    """8 LICH dibits; bit k rides the MSB of dibit k."""
+    bits = [(rf_channel >> 1) & 1, rf_channel & 1,
+            (functional >> 1) & 1, functional & 1,
+            (option >> 1) & 1, option & 1, direction & 1]
+    bits.append(int(sum(bits)) & 1)  # even parity over the 7 field bits
+    return np.array([b << 1 for b in bits], dtype=np.int8)
+
+
+def decode_nxdn_lich(dibits8: np.ndarray) -> dict | None:
+    bits = (np.asarray(dibits8) >> 1) & 1
+    if int(bits.sum()) & 1:
+        return None  # parity violation
+    return {
+        "rf_channel": int(bits[0]) << 1 | int(bits[1]),
+        "functional": int(bits[2]) << 1 | int(bits[3]),
+        "option": int(bits[4]) << 1 | int(bits[5]),
+        "direction": int(bits[6]),
+    }
+
+
+def _bits_to_dibits(bits: np.ndarray) -> np.ndarray:
+    bits = np.asarray(bits, np.int8).reshape(-1, 2)
+    return (bits[:, 0] << 1 | bits[:, 1]).astype(np.int8)
+
+
+def encode_nxdn_sacch(sr: int, ran: int, message_type: int,
+                      spare: int = 0) -> np.ndarray:
+    info = np.array(
+        [(sr >> i) & 1 for i in (1, 0)]
+        + [(ran >> i) & 1 for i in range(5, -1, -1)]
+        + [(message_type >> i) & 1 for i in range(5, -1, -1)]
+        + [(spare >> i) & 1 for i in range(5, -1, -1)], dtype=np.int8)
+    crc = _crc6(info)
+    payload = np.concatenate([
+        info, np.array([(crc >> i) & 1 for i in range(5, -1, -1)], np.int8)])
+    payload = np.concatenate([payload, np.zeros(4, np.int8)])  # flush
+    coded = _conv_encode(payload)  # K=5 rate 1/2: (26+4 flush)*2 = 60 bits
+    return _bits_to_dibits(coded)
+
+
+def decode_nxdn_sacch(dibits30: np.ndarray) -> dict | None:
+    pairs = _dibits_to_bits(np.asarray(dibits30)).reshape(-1, 2)
+    bits = _conv_decode(pairs)[:26]
+    info, crc_bits = bits[:20], bits[20:26]
+    crc = int("".join(str(int(b)) for b in crc_bits), 2)
+    if crc != _crc6(info):
+        return None
+    u = lambda sl: int("".join(str(int(b)) for b in sl), 2)
+    return {"sr": u(info[0:2]), "ran": u(info[2:8]),
+            "message_type": u(info[8:14]), "spare": u(info[14:20])}
+
+
+def encode_nxdn_frame(rf_channel: int, ran: int, message_type: int,
+                      functional: int = 0, option: int = 0,
+                      direction: int = 1, sr: int = 0) -> np.ndarray:
+    """One 192-dibit NXDN frame: FSW + LICH + SACCH + pseudo-random
+    payload (the air interface scrambles the VCH/FACCH area; a constant
+    filler would starve the 4FSK tracker's amplitude/clock recovery of
+    symbol diversity)."""
+    body = np.zeros(NXDN_FRAME_DIBITS, np.int8)
+    body[:10] = NXDN_FSW
+    body[10:18] = encode_nxdn_lich(rf_channel, functional, option, direction)
+    body[18:48] = encode_nxdn_sacch(sr, ran, message_type)
+    body[48:] = np.random.default_rng(0xADD).integers(
+        0, 4, NXDN_FRAME_DIBITS - 48).astype(np.int8)
+    return body
+
+
+def encode_dpmr_frame(kind: str) -> np.ndarray:
+    """A dPMR frame skeleton: the frame sync + zeroed body (detection-level
+    scope, like the reference's)."""
+    pat = {"header": DPMR_FS1, "payload": DPMR_FS2, "end": DPMR_FS3}[kind]
+    return np.concatenate([pat, np.zeros(60, np.int8)])
+
+
+@dataclasses.dataclass
+class NxdnDpmrDecoder:
+    """Streaming NXDN LICH/SACCH + dPMR frame-type consumer (the DSDcc
+    getNXDNDecoder()/getDPMRDecoder() status surface of
+    dsddemod.cpp:655-682). feed(dibits, hits) buffers the stream like
+    VoiceExtractor; report() yields the channel-report fragment."""
+
+    _buf: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0, np.int8))
+    _pos: int = 0
+    _pending: list = dataclasses.field(default_factory=list)
+    nxdn_frames: int = 0
+    nxdn_bad_lich: int = 0
+    nxdn: dict | None = None       # last decoded {rfChannel, ran, ...}
+    dpmr_counts: dict = dataclasses.field(default_factory=dict)
+    dpmr_last: str | None = None
+
+    def feed(self, dibits: np.ndarray, hits: list) -> None:
+        dibits = np.asarray(dibits, np.int8).ravel()
+        self._buf = np.concatenate([self._buf, dibits])
+        for h in hits:
+            if h.protocol == "nxdn":
+                self._pending.append(h)
+            elif h.protocol == "dpmr":
+                key = h.frame_type + ("-" if h.inverted else "")
+                self.dpmr_counts[key] = self.dpmr_counts.get(key, 0) + 1
+                self.dpmr_last = DPMR_FRAME_TYPES[h.frame_type]
+        end = self._pos + len(self._buf)
+        still = []
+        for h in self._pending:
+            lo, hi = h.position, h.position + 48  # FSW+LICH+SACCH
+            if lo < self._pos:
+                continue
+            if hi > end:
+                still.append(h)
+                continue
+            seg = self._buf[lo - self._pos: hi - self._pos]
+            if h.inverted:
+                seg = (seg ^ 2).astype(np.int8)
+            self.nxdn_frames += 1
+            lich = decode_nxdn_lich(seg[10:18])
+            if lich is None:
+                self.nxdn_bad_lich += 1
+                continue
+            entry = dict(self.nxdn or {})  # persist last-good SACCH fields
+            entry.update({
+                "rfChannel": NXDN_RF_CHANNELS[lich["rf_channel"]],
+                "functional": lich["functional"],
+                "direction": lich["direction"],
+                "negativeFSW": h.inverted,
+            })
+            sacch = decode_nxdn_sacch(seg[18:48])
+            if sacch is not None:
+                entry["ran"] = sacch["ran"]
+                entry["messageType"] = sacch["message_type"]
+                # the reference status line shape, dsddemod.cpp:663-676:
+                # "RC r cc mm" / "RT r cc mm"
+                entry["statusText"] = (
+                    f"{entry['rfChannel']} {sacch['ran']:02d} "
+                    f"{sacch['message_type']:02X}")
+            self.nxdn = entry
+        self._pending = still
+        keep = 2 * NXDN_FRAME_DIBITS
+        if len(self._buf) > keep:
+            self._pos += len(self._buf) - keep
+            self._buf = self._buf[-keep:]
+
+    def report(self) -> dict:
+        out: dict = {}
+        if self.nxdn_frames:
+            out["nxdn"] = {
+                "frames": self.nxdn_frames,
+                "badLich": self.nxdn_bad_lich,
+                **(self.nxdn or {}),
+            }
+        if self.dpmr_counts:
+            out["dpmr"] = {
+                "frameCounts": dict(self.dpmr_counts),
+                "lastFrameType": self.dpmr_last,
+            }
         return out

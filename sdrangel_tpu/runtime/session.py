@@ -962,6 +962,7 @@ class DeviceSet:
             searcher = dsdsync.SyncSearcher()
             ch._dsd_sync = searcher
             ch._dsd_voice = dsdsync.VoiceExtractor()
+            ch._dsd_nxdn = dsdsync.NxdnDpmrDecoder()
             ch._dsd_frames = []
         dibits = ch.latest_data["dibits"].reshape(-1)
         hits = searcher.feed(dibits)
@@ -970,9 +971,12 @@ class DeviceSet:
         frames = ch._dsd_voice.feed(dibits, hits)
         if frames:
             ch._dsd_frames = (ch._dsd_frames + frames)[-32:]
+        # NXDN LICH/SACCH + dPMR frame typing (dsddemod.cpp:655-682 status)
+        ch._dsd_nxdn.feed(dibits, hits)
         report = searcher.report()
         report["ambeFrameCount"] = ch._dsd_voice.total
         report["ambeFrames"] = list(ch._dsd_frames)
+        report.update(ch._dsd_nxdn.report())
         ch.host_report = {"dsd": report}
 
     #: soft bits to buffer before the one-shot DATV host FEC pass

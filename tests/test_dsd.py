@@ -42,6 +42,123 @@ def test_4fsk_dibit_recovery():
     assert best > 0.9, f"dibit accuracy {best:.2f}"
 
 
+def test_nxdn_frame_loopback_through_demod():
+    """End-to-end: NXDN frames (FSW + LICH + SACCH) 4FSK-modulated at RF,
+    demodulated by demod_dsd; the decoder recovers the RF channel type,
+    RAN and message type (the dsddemod.cpp:663-676 status surface)."""
+    cfg = demod_dsd.DSDConfig(channel_rate=48000.0, squelch_db=-90.0)
+    sps = cfg.sps
+    rng = np.random.default_rng(11)
+    frame = dsdsync.encode_nxdn_frame(1, ran=23, message_type=0x18,
+                                      direction=1)
+    stream = _frame_stream(rng, frame, dsdsync.NXDN_FRAME_DIBITS, 24)
+    levels = dsdsync.DIBIT_LEVELS[stream].astype(np.float64)
+    inst_f = np.repeat(levels / 3.0, sps) * cfg.fm_deviation
+    phase = 2 * np.pi * np.cumsum(inst_f) / 48000.0
+    x = (0.5 * np.exp(1j * phase)).astype(np.complex64)
+
+    st = demod_dsd.make_state(cfg)
+    block = cfg.resampler_plan.block_in
+    searcher = dsdsync.SyncSearcher()
+    dec = dsdsync.NxdnDpmrDecoder()
+    for b in range(len(x) // block):
+        st, outs = demod_dsd.process(
+            st, jnp.asarray(x[b * block : (b + 1) * block]), cfg)
+        dibits = np.asarray(outs.dibits)
+        dec.feed(dibits, searcher.feed(dibits))
+    rep = dec.report()
+    assert "nxdn" in rep, rep
+    assert rep["nxdn"]["frames"] >= 8, rep
+    assert rep["nxdn"]["rfChannel"] == "RTCH"
+    assert rep["nxdn"]["ran"] == 23
+    assert rep["nxdn"]["messageType"] == 0x18
+    assert rep["nxdn"]["statusText"] == "RTCH 23 18"
+
+
+def test_dpmr_frame_loopback_through_demod():
+    """End-to-end: a dPMR header/payload/payload/end sequence through the
+    4FSK chain; the report distinguishes the frame types
+    (dsddemod.cpp:655-661 status surface)."""
+    cfg = demod_dsd.DSDConfig(channel_rate=48000.0, squelch_db=-90.0)
+    sps = cfg.sps
+    rng = np.random.default_rng(12)
+    frames = [dsdsync.encode_dpmr_frame(k)
+              for k in ("header", "payload", "payload", "end")]
+    parts = [rng.integers(0, 4, size=400).astype(np.int8)]
+    for f in frames * 4:
+        parts.append(f)
+        parts.append(rng.integers(0, 4, size=80).astype(np.int8))
+    stream = np.concatenate(parts)
+    levels = dsdsync.DIBIT_LEVELS[stream].astype(np.float64)
+    inst_f = np.repeat(levels / 3.0, sps) * cfg.fm_deviation
+    phase = 2 * np.pi * np.cumsum(inst_f) / 48000.0
+    x = (0.5 * np.exp(1j * phase)).astype(np.complex64)
+
+    st = demod_dsd.make_state(cfg)
+    block = cfg.resampler_plan.block_in
+    searcher = dsdsync.SyncSearcher()
+    dec = dsdsync.NxdnDpmrDecoder()
+    for b in range(len(x) // block):
+        st, outs = demod_dsd.process(
+            st, jnp.asarray(x[b * block : (b + 1) * block]), cfg)
+        dibits = np.asarray(outs.dibits)
+        dec.feed(dibits, searcher.feed(dibits))
+    rep = dec.report()
+    assert "dpmr" in rep, rep
+    counts = rep["dpmr"]["frameCounts"]
+    assert counts.get("header", 0) >= 2, counts
+    assert counts.get("payload", 0) >= 4, counts
+    assert counts.get("end", 0) >= 2, counts
+    # the symbol tracker can miss the very last sync; the type surface is
+    # what matters (dsddemod.cpp:655-661)
+    assert rep["dpmr"]["lastFrameType"] in ("PAYL", "END")
+
+
+def test_five_protocol_report_distinguishes_all():
+    """The channel report distinguishes all five protocols (VERDICT r4
+    next #4 'done' criterion) — one stream carrying DMR, YSF, D-Star,
+    NXDN and dPMR sync events, one searcher."""
+    rng = np.random.default_rng(13)
+    stream = rng.integers(0, 4, size=6000).astype(np.int8)
+    stream[300:324] = dsdsync.DMR_BS_VOICE
+    stream[800:820] = dsdsync.YSF_SYNC
+    bits = (stream >= 2).astype(np.int8)
+    # D-Star is bit-domain: force the sign bits at 1500
+    for i, b in enumerate(dsdsync.DSTAR_SYNC_BITS):
+        stream[1500 + i] = 2 if b else 0
+    stream[2200:2392] = dsdsync.encode_nxdn_frame(2, ran=1, message_type=2)
+    f = dsdsync.encode_dpmr_frame("payload")
+    stream[3000:3000 + len(f)] = f
+    s = dsdsync.SyncSearcher(max_errors=0)
+    dec = dsdsync.NxdnDpmrDecoder()
+    hits = s.feed(stream)
+    dec.feed(stream, hits)
+    protos = {h.protocol for h in hits}
+    assert {"dmr", "ysf", "dstar", "nxdn", "dpmr"} <= protos, protos
+    rep = dec.report()
+    assert rep["nxdn"]["rfChannel"] == "RDCH"
+    assert rep["dpmr"]["frameCounts"]["payload"] == 1
+
+
+def test_nxdn_negative_fsw_reported():
+    """DSDcc surfaces negative-FSW NXDN as its own sync state
+    (DSDSyncNXDNN); an inverted stream yields hits flagged inverted and a
+    negativeFSW report."""
+    rng = np.random.default_rng(14)
+    stream = rng.integers(0, 4, size=1200).astype(np.int8)
+    fr = dsdsync.encode_nxdn_frame(1, ran=5, message_type=1)
+    stream[400:592] = (fr ^ 2).astype(np.int8)  # symbol negation
+    s = dsdsync.SyncSearcher(max_errors=0)
+    dec = dsdsync.NxdnDpmrDecoder()
+    hits = s.feed(stream)
+    dec.feed(stream, hits)
+    nx = [h for h in hits if h.protocol == "nxdn"]
+    assert nx and all(h.inverted for h in nx), nx
+    rep = dec.report()
+    assert rep["nxdn"]["negativeFSW"] is True
+    assert rep["nxdn"]["ran"] == 5  # polarity corrected before decode
+
+
 # ---------------------------------------------------------------------------
 # Frame sync layer (channels/dsdsync.py — the DSDcc first-stage role)
 # ---------------------------------------------------------------------------
@@ -463,3 +580,24 @@ def test_ysf_corrupted_fich_reuses_last_valid():
     frames = ve.feed(stream, s.feed(stream))
     ysf = [f["hex"] for f in frames if f["protocol"] == "ysf"]
     assert ysf == [_hex72(v) for v in vs1 + vs2]
+
+
+def test_session_report_carries_nxdn_dpmr():
+    """The session's _dsd_host_sync publishes the NXDN/dPMR status surface
+    in the channel report (dsddemod.cpp:655-682 role)."""
+    from sdrangel_tpu.runtime.session import ChannelState, DeviceSet
+
+    ds = DeviceSet(0)
+    ch = ChannelState("sdrangel.channel.dsddemod", 0.0, {})
+    rng = np.random.default_rng(21)
+    stream = rng.integers(0, 4, size=3000).astype(np.int8)
+    stream[500:692] = dsdsync.encode_nxdn_frame(0, ran=9, message_type=0x21)
+    f = dsdsync.encode_dpmr_frame("header")
+    stream[1500:1500 + len(f)] = f
+    ch.latest_data = {"dibits": stream}
+    ds._dsd_host_sync(ch)
+    rep = ch.host_report["dsd"]
+    assert rep["nxdn"]["rfChannel"] == "RCCH"
+    assert rep["nxdn"]["ran"] == 9
+    assert rep["dpmr"]["frameCounts"]["header"] == 1
+    assert rep["syncCounts"]["nxdn:fsw"] >= 1
