@@ -63,6 +63,33 @@ def open_mmap(path: str) -> tuple[SdriqInfo, np.ndarray]:
     return info, raw[:n].reshape(-1, 2)
 
 
+#: raw headerless capture formats (rtl_sdr / osmocom conventions): file
+#: extension -> (numpy dtype, pipeline input_format). The rate/centre come
+#: from the source settings — raw captures carry no header.
+RAW_FORMATS = {
+    "cu8": (np.uint8, "u8"),   # rtl_sdr default capture
+    "cs8": (np.int8, "i8"),    # hackrf_transfer capture
+    "cs16": (np.int16, "i16"),
+}
+
+
+def open_raw(path: str, fmt: str) -> np.ndarray:
+    """Memory-map a headerless interleaved-I/Q capture as (N, 2).
+
+    fmt: a RAW_FORMATS key, or "auto" to pick by file extension."""
+    if fmt == "auto":
+        ext = path.rsplit(".", 1)[-1].lower()
+        if ext not in RAW_FORMATS:
+            raise ValueError(
+                f"cannot infer raw format from extension {ext!r}; "
+                f"set file_format to one of {sorted(RAW_FORMATS)}")
+        fmt = ext
+    dtype, _ = RAW_FORMATS[fmt]
+    raw = np.memmap(path, dtype=dtype, mode="r")
+    n = (len(raw) // 2) * 2
+    return raw[:n].reshape(-1, 2)
+
+
 def read_block(mm: np.ndarray, start: int, count: int, wrap: bool = True) -> np.ndarray:
     """Read `count` complex samples starting at `start`, looping at EOF like
     the reference file source (filesourcethread.cpp:188-195)."""

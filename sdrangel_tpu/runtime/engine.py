@@ -103,6 +103,9 @@ class RxPipeline:
             fft_size=1024, averaging_mode="moving", averaging_n=8
         )
         self._step = jax.jit(self._step_impl)
+        self._step_packed = jax.jit(self._step_packed_impl)
+        self._cat = jax.jit(lambda *xs: jnp.concatenate(xs))
+        self._out_layout = None  # (treedef, [(shape, dtype)]) lazily built
 
     # -- block-size solving ------------------------------------------------
 
@@ -256,6 +259,48 @@ class RxPipeline:
         return new_state, {
             "channels": outs, "spectrum": bb_spectrum, "scope": scope_traces,
         }
+
+    # -- packed outputs ----------------------------------------------------
+    #
+    # On the axon tunnel every device->host fetch costs a ~25-45 ms round
+    # trip AND the process's FIRST fetch permanently degrades host->device
+    # bandwidth ~30x (tools/probe_h2d_taint.py, r5) — so the per-block
+    # publish must be ONE fetch, not one per report field. The packed step
+    # returns the whole outs tree as a single flat f32 vector; the host
+    # splits it back by the static layout. Multiple blocks' vectors can be
+    # concatenated on device (self._cat) for one fetch per publish burst.
+
+    def _step_packed_impl(self, state, raw_iq, dyn=None):
+        state, outs = self._step_impl(state, raw_iq, dyn)
+        leaves = jax.tree.leaves(outs)
+        flat = jnp.concatenate(
+            [jnp.ravel(l).astype(jnp.float32) for l in leaves])
+        return state, flat
+
+    def _ensure_layout(self, state, dyn):
+        if self._out_layout is None:
+            _, outs = jax.eval_shape(
+                self._step_impl, state,
+                jax.ShapeDtypeStruct((self.device_block, 2), jnp.int16), dyn)
+            leaves, treedef = jax.tree.flatten(outs)
+            self._out_layout = (treedef,
+                                [(l.shape, l.dtype) for l in leaves])
+        return self._out_layout
+
+    def unpack_outs(self, flat: np.ndarray) -> dict:
+        """Rebuild the outs tree from one packed f32 vector (host side)."""
+        treedef, specs = self._out_layout
+        leaves, pos = [], 0
+        for shape, dtype in specs:
+            n = int(np.prod(shape)) if shape else 1
+            leaf = flat[pos:pos + n].reshape(shape)
+            if np.issubdtype(dtype, np.bool_):
+                leaf = leaf != 0.0
+            elif not np.issubdtype(dtype, np.floating):
+                leaf = leaf.astype(dtype)
+            pos += n
+            leaves.append(leaf)
+        return jax.tree.unflatten(treedef, leaves)
 
     # -- host loop ---------------------------------------------------------
 

@@ -58,6 +58,12 @@ class SourceSettings:
 
     kind: str = "testsource"  # testsource | filesource | daemonsource
     file_path: str = ""
+    # filesource container: "sdriq" (32-byte header, 16/24-bit) or a raw
+    # headerless capture — "cu8" (rtl_sdr), "cs8" (hackrf), "cs16";
+    # "auto" picks sdriq for .sdriq else by extension. Raw captures take
+    # rate/centre from these settings (no header to read) and ingest at
+    # the ADC width — half the host->device bytes for 8-bit sources.
+    file_format: str = "auto"
     sample_rate: float = 768000.0
     center_frequency: float = 0.0
     log2_decim: int = 0
@@ -98,13 +104,19 @@ class SourceSettings:
     # with sharded_pfb_m: run the Ulysses axis-swap gear (pfb_all_to_all —
     # frame-sharded analysis + one all_to_all; D-fold less ICI than the
     # all_gather gear). Channels are placed by grid chunk (a2a_placement);
-    # the baseband spectrum tap is unavailable in this gear.
+    # the baseband spectrum tap is frame-sharded over the time axis (r5).
     sharded_pfb_a2a: bool = False
     # >0: acquisition ends itself after N blocks (play-once). Required for
     # clean multi-process sharded shutdown: every process leaves the
     # collective step loop at the same block instead of racing stop()
     # against a peer already blocked inside the next step's collectives.
     run_blocks: int = 0
+    # Publish (fetch device outputs to host) every N blocks instead of
+    # every block. On the axon tunnel each fetch is a ~25-45 ms round trip
+    # and the reports are one concatenated device-side vector per burst —
+    # raising this amortizes fetch latency at the cost of N-block-stale
+    # reports/audio (the ThreadedBasebandSampleSink FIFO depth analog).
+    publish_every: int = 1
 
 
 _FIELD_TYPES = {"str": str, "float": float, "int": int, "bool": bool}
@@ -279,7 +291,14 @@ class DeviceSet:
     def _build_pipeline(self) -> tuple[RxPipeline, Any]:
         src = self.source
         input_format = "i16"
-        if src.kind == "filesource" and src.file_path:
+        fmt = src.file_format
+        if fmt == "auto" and src.file_path:
+            fmt = "sdriq" if src.file_path.lower().endswith(".sdriq") \
+                else src.file_path.rsplit(".", 1)[-1].lower()
+        raw_file = src.kind == "filesource" and fmt in sdriq.RAW_FORMATS
+        if raw_file:
+            input_format = sdriq.RAW_FORMATS[fmt][1]
+        elif src.kind == "filesource" and src.file_path:
             # the capture header is authoritative for rate/centre/width (the
             # reference reads it in filesourcethread.cpp and reconfigures)
             info = sdriq.read_header(src.file_path)
@@ -342,6 +361,11 @@ class DeviceSet:
                     buf = np.concatenate([buf, iq], axis=0)
                 pending[0] = buf[count:]
                 return buf[:count]
+        elif src.kind == "filesource" and raw_file:
+            mm = sdriq.open_raw(src.file_path, fmt)
+
+            def reader(pos, count):  # raw capture: settings give the rate
+                return sdriq.read_block(mm, pos, count)
         elif src.kind == "filesource":
             info, mm = sdriq.open_mmap(src.file_path)
 
@@ -568,6 +592,12 @@ class DeviceSet:
                        and not self.a2a_fallback)
                 align = (_math.lcm(4, pfb_m or 1) << src.log2_decim) \
                     * n_time * (n_channel if pfb_m else 1)
+                if a2a:
+                    # a2a spectrum tap: the display frame grid must align
+                    # with the time shards (build_a2a_step validates)
+                    align = _math.lcm(
+                        align, int(src.spectrum_fft_size) * n_time
+                        << src.log2_decim)
                 block = int(src.sharded_block) or (1 << 17)
                 block = max(block // align, 1) * align
                 from ..dsp import spectrum as dsp_spectrum
@@ -577,7 +607,7 @@ class DeviceSet:
                     device_rate=src.sample_rate, log2_decim=src.log2_decim,
                     fc_pos=src.fc_pos, block=block, bank=groups,
                     pfb_m=pfb_m, pfb_all_to_all=a2a,
-                    spectrum=None if a2a else dsp_spectrum.SpectrumConfig(
+                    spectrum=dsp_spectrum.SpectrumConfig(
                         fft_size=int(src.spectrum_fft_size),
                         averaging_mode="none"),
                 )
@@ -666,11 +696,10 @@ class DeviceSet:
                                       for r in residuals)
                         idx_t = tuple(jax.device_put(i, off_sharding)
                                       for i in local_idx)
-                        state, audio, carry = step(
+                        state, audio, carry, spec = step(
                             state, read_block(pos_blocks), carry, res_t, idx_t)
                         audios = audio if isinstance(audio, tuple) else (audio,)
                         row_orders = orders  # audio row r = channel order[r]
-                        spec = None
                     elif pfb_m:
                         # grid index + residual, both live-updatable
                         split = [shmod.grid_split(cfg, o) for o in raw_offsets]
@@ -810,16 +839,37 @@ class DeviceSet:
                     ))
                 state = pipe.init_state()
                 block_seconds = pipe.device_block / pipe.device.sample_rate
-                # One-behind publish (the ThreadedBasebandSampleSink FIFO
-                # decoupling, re-expressed as async dispatch): dispatch
-                # block N, then publish N-1 — its fetch blocks on the
-                # device while N computes, and the NEXT host read overlaps
-                # the remainder of N's compute. Depth 1 keeps reports at
-                # most one block stale (settings still apply every block).
-                pending = None  # device outputs of the previous block
+                # Packed one-behind publish (the ThreadedBasebandSampleSink
+                # FIFO decoupling, re-expressed as async dispatch + ONE
+                # device->host fetch per publish burst): each block's whole
+                # outs tree leaves the device as a single f32 vector
+                # (engine._step_packed) and `publish_every` vectors are
+                # concatenated on-device and fetched together — on the axon
+                # tunnel every separate fetch is a ~25-45 ms round trip and
+                # the process's first fetch drops H2D bandwidth ~30x
+                # permanently (tools/probe_h2d_taint.py), so fetch count is
+                # the knob that matters. Reports are at most publish_every
+                # blocks stale (settings still apply every block).
+                pub_n = max(1, int(self.source.publish_every))
+                pending: list = []  # packed device vectors, oldest first
+                burst_t0 = [None]  # wall clock at the burst's first block
+
+                def flush(pend):
+                    if not pend:
+                        return
+                    flat = np.asarray(pend[0] if len(pend) == 1
+                                      else pipe._cat(*pend))
+                    per = flat.shape[0] // len(pend)
+                    for k in range(len(pend)):
+                        outs_h = pipe.unpack_outs(flat[k * per:(k + 1) * per])
+                        self._publish_block(outs_h, wav_writers, net_sinks,
+                                            gen=gen)
+                    pend.clear()
+
                 while not self._stop.is_set():
                     if (self.source.run_blocks
-                            and self.blocks_processed >= self.source.run_blocks):
+                            and self.blocks_processed + len(pending)
+                            >= self.source.run_blocks):
                         self._stop.set()  # play-once complete (run_blocks)
                         break
                     with self._lock:
@@ -830,22 +880,41 @@ class DeviceSet:
                             self._gen += 1
                             continue
                     t0 = time.perf_counter()
+                    if burst_t0[0] is None:
+                        burst_t0[0] = t0
                     raw = reader(pos, pipe.device_block)
                     if recorder is not None:
-                        recorder[1].write(np.asarray(raw))
-                    state, outs = pipe._step(state, jnp.asarray(raw), dyn)
-                    if pending is not None:
-                        self._publish_block(pending, wav_writers, net_sinks,
-                                            gen=gen)
-                    pending = outs
+                        rec = np.asarray(raw)
+                        if rec.dtype != np.int16:
+                            # raw 8-bit capture -> .sdriq records at 16-bit
+                            from ..dsp.types import INPUT_FORMATS
+
+                            _, off, scale = INPUT_FORMATS[
+                                pipe.device.input_format]
+                            rec = np.clip(
+                                (rec.astype(np.float32) - off)
+                                * (32768.0 / scale), -32768, 32767
+                            ).astype(np.int16)
+                        recorder[1].write(rec)
+                    pipe._ensure_layout(state, dyn)
+                    state, flat = pipe._step_packed(state, jnp.asarray(raw),
+                                                    dyn)
+                    pending.append(flat)
+                    if len(pending) >= pub_n:
+                        # realtime factor over the whole burst: dispatch is
+                        # async, so only the flush-to-flush wall clock is an
+                        # honest sample-clock comparison
+                        n_burst = len(pending)
+                        flush(pending)
+                        dt_burst = time.perf_counter() - burst_t0[0]
+                        self.realtime_factor = (
+                            n_burst * block_seconds / max(dt_burst, 1e-9))
+                        burst_t0[0] = None
                     dt = time.perf_counter() - t0
-                    self.realtime_factor = block_seconds / max(dt, 1e-9)
                     pos += pipe.device_block
                     if self.source.throttle and dt < block_seconds:
                         time.sleep(block_seconds - dt)
-                if pending is not None:  # drain before rebuild/stop
-                    self._publish_block(pending, wav_writers, net_sinks,
-                                        gen=gen)
+                flush(pending)  # drain before rebuild/stop
         except Exception as e:  # StError state (dspdevicesourceengine.h:28)
             self.error = f"{type(e).__name__}: {e}"
         finally:

