@@ -101,6 +101,96 @@ QByteArray ssb_blob() {
   return s.final();
 }
 
+QByteArray bfm_blob() {
+  // bfmdemodsettings.cpp:53-80 (serialize): offset 90000, rfBW index 7
+  // (=220000), afBW 12 kHz, volume 1.8, squelch -55 dB, stereo on
+  SimpleSerializer s(1);
+  s.writeS32(1, 90000);
+  s.writeS32(2, 7);
+  s.writeS32(3, 12);   // m_afBandwidth/1000
+  s.writeS32(4, 18);   // m_volume*10
+  s.writeS32(5, -55);
+  s.writeU32(7, 0x5078E4);
+  s.writeBool(9, true);   // m_audioStereo
+  s.writeBool(10, false); // m_lsbStereo
+  s.writeString(12, "BFM test");
+  s.writeString(13, "default");
+  return s.final();
+}
+
+QByteArray dsd_blob() {
+  // dsddemodsettings.cpp:57-92 (serialize): offset -250000, rfBW 12500
+  // (125*100), gain 1.0 (100/100), fmDev 5400 (54*100), squelch -37.5 dB
+  // (-375/10), gate 5, volume 2.0, baud 2400
+  SimpleSerializer s(1);
+  s.writeS32(1, -250000);
+  s.writeS32(2, 125);
+  s.writeS32(3, 100);
+  s.writeS32(4, 54);
+  s.writeS32(5, -375);
+  s.writeU32(7, 0x00FFFF);
+  s.writeS32(8, 5);
+  s.writeS32(9, 20);
+  s.writeS32(11, 2400);
+  s.writeBool(12, false);
+  s.writeBool(13, false);
+  s.writeBool(14, true);
+  s.writeBool(15, false);
+  s.writeBool(16, false);
+  s.writeString(18, "DSD test");
+  s.writeBool(19, false);
+  s.writeString(20, "default");
+  s.writeS32(21, 6);
+  s.writeS32(22, 100);
+  s.writeS32(23, 200);
+  return s.final();
+}
+
+QByteArray udpsrc_blob() {
+  // udpsrcsettings.cpp:70-100 (serialize): offset 42000, format USB (5),
+  // outputRate 48 kHz, rfBW 3000, gain 1.5, audio on, fmDev 2500,
+  // squelch -50 dB, agc on
+  SimpleSerializer s(1);
+  s.writeS32(2, 42000);
+  s.writeS32(3, 5);        // FormatUSB
+  s.writeReal(4, 48000.0f);
+  s.writeReal(5, 3000.0f);
+  s.writeS32(8, 15);       // m_gain*10
+  s.writeU32(9, 0xC0C0C0);
+  s.writeBool(11, true);   // m_audioActive
+  s.writeS32(12, 20);      // m_volume
+  s.writeBool(14, false);  // m_audioStereo
+  s.writeS32(15, 2500);    // m_fmDeviation
+  s.writeS32(16, -50);     // m_squelchdB
+  s.writeS32(17, 5);       // m_squelchGate
+  s.writeBool(18, true);   // m_agc
+  s.writeString(19, "UDP test");
+  s.writeString(20, "127.0.0.1");
+  s.writeU32(21, 9999);
+  s.writeU32(22, 9998);
+  return s.final();
+}
+
+QByteArray rtlsdr_device_blob() {
+  // rtlsdrsettings.cpp:45-66 (serialize): gain 496, ppm 2, log2Decim 5,
+  // dcBlock on, iqImbalance off, fcPos CENTER (2), rate 1024000
+  SimpleSerializer s(1);
+  s.writeS32(2, 496);
+  s.writeS32(3, 2);
+  s.writeU32(4, 5);
+  s.writeBool(5, true);
+  s.writeBool(6, false);
+  s.writeS32(7, 2);
+  s.writeS32(8, 1024000);
+  s.writeBool(9, false);
+  s.writeBool(10, false);
+  s.writeBool(11, false);
+  s.writeBool(12, false);
+  s.writeS64(13, 0);
+  s.writeU32(14, 250000);
+  return s.final();
+}
+
 QByteArray wfm_blob() {
   // wfmdemodsettings.cpp:50-68: offset 0, rfBW index 10 (=180000),
   // afBW 15 kHz, volume 2.0, squelch -60 dB
@@ -211,17 +301,20 @@ int main(int argc, char** argv) {
   s.writeBlob(4, QByteArray());
   s.writeBlob(5, QByteArray());
   s.writeBool(6, true);  // source (Rx) preset
-  s.writeS32(20, 1);     // one device config
-  s.writeString(24, "sdrangel.samplesource.filesource");
-  s.writeString(25, "");
+  s.writeS32(20, 1);     // one device config (rtlsdr layout, r5)
+  s.writeString(24, "sdrangel.samplesource.rtlsdr");
+  s.writeString(25, "00000001");
   s.writeS32(26, 0);
-  s.writeBlob(27, QByteArray());
-  s.writeS32(200, 4);  // four channels
-  QByteArray blobs[4] = {nfm_blob(), am_blob(), ssb_blob(), wfm_blob()};
-  const char* uris[4] = {
+  s.writeBlob(27, rtlsdr_device_blob());
+  s.writeS32(200, 7);  // seven channels (r5: + bfm, dsd, udpsrc)
+  QByteArray blobs[7] = {nfm_blob(), am_blob(), ssb_blob(), wfm_blob(),
+                         bfm_blob(), dsd_blob(), udpsrc_blob()};
+  const char* uris[7] = {
       "sdrangel.channel.nfmdemod", "sdrangel.channel.amdemod",
-      "sdrangel.channel.ssbdemod", "sdrangel.channel.wfmdemod"};
-  for (int i = 0; i < 4; i++) {
+      "sdrangel.channel.ssbdemod", "sdrangel.channel.wfmdemod",
+      "sdrangel.channel.bfm", "sdrangel.channel.dsddemod",
+      "sdrangel.channel.udpsrc"};
+  for (int i = 0; i < 7; i++) {
     s.writeString(201 + 2 * i, uris[i]);
     s.writeBlob(202 + 2 * i, blobs[i]);
   }

@@ -216,11 +216,96 @@ def _wfm_settings(d: RefDeserializer) -> dict:
     }
 
 
+# BFMDemodSettings::m_rfBW (bfmdemodsettings.cpp:26-28)
+BFM_RFBW = (80000, 100000, 120000, 140000, 160000, 180000, 200000,
+            220000, 250000)
+
+
+def _bfm_settings(d: RefDeserializer) -> dict:
+    # bfmdemodsettings.cpp:82-130 deserialize scalings
+    return {
+        "inputFrequencyOffset": float(d.s32(1, 0)),
+        "rf_bandwidth": float(_index(BFM_RFBW, d.s32(2, 4))),
+        "af_bandwidth": float(d.s32(3, 3)) * 1000.0,
+        "volume": d.s32(4, 20) / 10.0,
+        "squelch_db": float(d.s32(5, -60)),
+        "audio_stereo": d.bool_(9, False),
+    }
+
+
+def _dsd_settings(d: RefDeserializer) -> dict:
+    # dsddemodsettings.cpp:96-140 deserialize scalings; m_baudRate is the
+    # 4FSK symbol rate (2400 dPMR/NXDN48, 4800 DMR/YSF/D-Star)
+    return {
+        "inputFrequencyOffset": float(d.s32(1, 0)),
+        "rf_bandwidth": 100.0 * d.s32(2, 125),
+        "fm_deviation": 100.0 * d.s32(4, 50),
+        "squelch_db": d.s32(5, -400) / 10.0,
+        "symbol_rate": float(d.s32(11, 4800)),
+    }
+
+
+#: UDPSrcSettings::SampleFormat (udpsrcsettings.h:28-41) -> our fmt strings
+_UDPSRC_FORMATS = ("iq", "iq", "nfm", "nfm", "lsb", "usb", "lsb", "usb",
+                   "am", "am", "am", "iq")
+
+
+def _udpsrc_settings(d: RefDeserializer) -> dict:
+    # udpsrcsettings.cpp:102-150 deserialize scalings (NOTE: the offset is
+    # id 2 here, not 1 — the serializer skips id 1)
+    fmt_i = d.s32(3, 0)
+    fmt = _UDPSRC_FORMATS[fmt_i] if 0 <= fmt_i < len(_UDPSRC_FORMATS) \
+        else "iq"
+    return {
+        "inputFrequencyOffset": float(d.s32(2, 0)),
+        "fmt": fmt,
+        "output_sample_rate": float(d.real(4, 48000.0)),
+        "rf_bandwidth": float(d.real(5, 32000.0)),
+        "gain": d.s32(8, 10) / 10.0,
+        "audio_active": d.bool_(11, False),
+        "fm_deviation": float(d.s32(15, 2500)),
+        "squelch_db": float(d.s32(16, -60)),
+        "agc_enable": d.bool_(18, False),
+    }
+
+
 _CHANNEL_PARSERS = {
     "sdrangel.channel.nfmdemod": _nfm_settings,
     "sdrangel.channel.amdemod": _am_settings,
     "sdrangel.channel.ssbdemod": _ssb_settings,
     "sdrangel.channel.wfmdemod": _wfm_settings,
+    "sdrangel.channel.bfm": _bfm_settings,
+    "sdrangel.channel.dsddemod": _dsd_settings,
+    "sdrangel.channel.udpsrc": _udpsrc_settings,
+}
+
+
+#: fcPos_t (rtlsdrsettings.h:23-27 — the same 3-value enum every
+#: decimating Rx plugin uses): INFRA=0, SUPRA=1, CENTER=2
+_FC_POS = {0: "inf", 1: "sup", 2: "cen"}
+
+
+def _rtlsdr_device(d: RefDeserializer) -> dict:
+    # rtlsdrsettings.cpp:68-100 deserialize: log2Decim U32(4), dcBlock(5),
+    # iqImbalance(6), fcPos S32(7), devSampleRate S32(8)
+    return {
+        "log2_decim": int(d.u32(4, 4)),
+        "dc_correction": d.bool_(5, False),
+        "iq_correction": d.bool_(6, False),
+        "fc_pos": _FC_POS.get(d.s32(7, 2), "cen"),
+        "sample_rate": float(d.s32(8, 1024000)),
+    }
+
+
+def _filesource_device(d: RefDeserializer) -> dict:
+    # filesourcesettings.cpp:40-56: fileName(1) only — rate/centre come
+    # from the .sdriq header, as in the reference
+    return {"kind": "filesource", "file_path": d.string(1, "")}
+
+
+_DEVICE_PARSERS = {
+    "sdrangel.samplesource.rtlsdr": _rtlsdr_device,
+    "sdrangel.samplesource.filesource": _filesource_device,
 }
 
 
@@ -249,11 +334,30 @@ def parse_preset(data: bytes | str) -> dict:
             if cd.valid and cd.version == 1:
                 parsed = parser(cd)
         channels.append({"uri": uri, "config": blob, "settings": parsed})
+    # device configs (preset.cpp:45-64: count at 20, entries 24+4i..27+4i)
+    devices = []
+    for i in range(d.s32(20, 0)):
+        dev_id = d.string(24 + 4 * i)
+        blob = d.blob(27 + 4 * i)
+        parser = _DEVICE_PARSERS.get(dev_id)
+        parsed = None
+        if parser is not None and blob:
+            dd = RefDeserializer(blob)
+            if dd.valid and dd.version == 1:
+                parsed = parser(dd)
+        devices.append({
+            "deviceId": dev_id,
+            "serial": d.string(25 + 4 * i),
+            "sequence": d.s32(26 + 4 * i, 0),
+            "config": blob,
+            "settings": parsed,
+        })
     return {
         "group": d.string(1),
         "description": d.string(2),
         "centerFrequency": d.u64(3, 0),
         "sourcePreset": d.bool_(6, True),
+        "devices": devices,
         "channels": channels,
     }
 
@@ -276,13 +380,21 @@ def to_session_preset(parsed: dict) -> dict:
             "inputFrequencyOffset": off,
             "settings": st,
         })
+    source = {"center_frequency": float(parsed.get("centerFrequency", 0))}
+    for dev in parsed.get("devices", ()):
+        if dev.get("settings"):
+            # first recognized device blob provides the front-end config
+            # (log2Decim/fcPos/corrections/rate — deviceset.cpp:140-210's
+            # per-device restore role)
+            source.update(dev["settings"])
+            break
     return {
         "schema": PRESET_SCHEMA_VERSION,
         "group": parsed.get("group", ""),
         "name": parsed.get("description", "imported"),
         "deviceSets": [{
             "direction": "rx" if parsed.get("sourcePreset", True) else "tx",
-            "source": {"center_frequency": float(parsed.get("centerFrequency", 0))},
+            "source": source,
             "channels": channels,
         }],
     }

@@ -23,7 +23,9 @@ def test_parse_reference_preset_blob():
     assert p["sourcePreset"] is True
     uris = [c["uri"] for c in p["channels"]]
     assert uris == ["sdrangel.channel.nfmdemod", "sdrangel.channel.amdemod",
-                    "sdrangel.channel.ssbdemod", "sdrangel.channel.wfmdemod"]
+                    "sdrangel.channel.ssbdemod", "sdrangel.channel.wfmdemod",
+                    "sdrangel.channel.bfm", "sdrangel.channel.dsddemod",
+                    "sdrangel.channel.udpsrc"]
     nfm = p["channels"][0]["settings"]
     # nfmdemodsettings.cpp deserialize scalings: rfBW index 4 -> 12500 Hz
     # with paired deviation 5000; afBW x1000; volume /10; squelch
@@ -42,6 +44,37 @@ def test_parse_reference_preset_blob():
     assert ssb["agc_enable"] is True and ssb["usb"] is True
     wfm = p["channels"][3]["settings"]
     assert wfm["rf_bandwidth"] == 180000.0 and wfm["af_bandwidth"] == 15000.0
+    # r5 (VERDICT r4 next #6): three more channel kinds + the device block
+    bfm = p["channels"][4]["settings"]
+    # bfmdemodsettings.cpp:82-130: rfBW index 7 -> 220 kHz, afBW x1000,
+    # volume /10
+    assert bfm == {
+        "inputFrequencyOffset": 90000.0, "rf_bandwidth": 220000.0,
+        "af_bandwidth": 12000.0, "volume": 1.8, "squelch_db": -55.0,
+        "audio_stereo": True,
+    }
+    dsd = p["channels"][5]["settings"]
+    # dsddemodsettings.cpp:96-140: rfBW x100, fmDev x100, squelch /10,
+    # baudRate -> symbol_rate
+    assert dsd == {
+        "inputFrequencyOffset": -250000.0, "rf_bandwidth": 12500.0,
+        "fm_deviation": 5400.0, "squelch_db": -37.5, "symbol_rate": 2400.0,
+    }
+    udp = p["channels"][6]["settings"]
+    # udpsrcsettings.cpp:102-150: NOTE the offset is id 2; FormatUSB -> usb
+    assert udp["inputFrequencyOffset"] == 42000.0 and udp["fmt"] == "usb"
+    assert udp["output_sample_rate"] == 48000.0
+    assert udp["rf_bandwidth"] == 3000.0 and udp["gain"] == 1.5
+    assert udp["squelch_db"] == -50.0 and udp["agc_enable"] is True
+    # device block (preset.cpp:45-64 entries; rtlsdrsettings.cpp:68-100):
+    # log2Decim 5, dcBlock on, fcPos CENTER, 1.024 MS/s
+    dev = p["devices"][0]
+    assert dev["deviceId"] == "sdrangel.samplesource.rtlsdr"
+    assert dev["serial"] == "00000001"
+    assert dev["settings"] == {
+        "log2_decim": 5, "dc_correction": True, "iq_correction": False,
+        "fc_pos": "cen", "sample_rate": 1024000.0,
+    }
 
 
 def test_mapped_settings_validate_against_registry():
@@ -64,10 +97,17 @@ def test_import_into_session(tmp_path):
     ds = sess.device_sets[0]
     assert [ch.uri for ch in ds.channels] == [
         "sdrangel.channel.nfmdemod", "sdrangel.channel.amdemod",
-        "sdrangel.channel.ssbdemod", "sdrangel.channel.wfmdemod"]
+        "sdrangel.channel.ssbdemod", "sdrangel.channel.wfmdemod",
+        "sdrangel.channel.bfm", "sdrangel.channel.dsddemod",
+        "sdrangel.channel.udpsrc"]
     assert ds.channels[0].frequency_offset == 12500.0
     assert ds.channels[0].settings["squelch_db"] == -40.0
     assert ds.source.center_frequency == 145_500_000.0
+    # the device block restored the front end (r5)
+    assert ds.source.log2_decim == 5
+    assert ds.source.fc_pos == "cen"
+    assert ds.source.dc_correction is True
+    assert ds.source.sample_rate == 1024000.0
 
 
 def test_reject_garbage():
