@@ -64,6 +64,15 @@ class SourceSettings:
     # rate/centre from these settings (no header to read) and ingest at
     # the ADC width — half the host->device bytes for 8-bit sources.
     file_format: str = "auto"
+    # Preload the whole capture into device memory at start (bounded by
+    # file_preload_max_mb): playback then reads device-side slices with
+    # ZERO per-block host->device traffic. On the axon tunnel this is the
+    # difference between ~1x and ~10x realtime at 10 MS/s — the process's
+    # first report fetch permanently caps streaming H2D at ~45 MB/s
+    # (tools/probe_h2d_taint.py); a one-time upload before the first fetch
+    # runs at the full ~1.3 GB/s.
+    file_preload: bool = False
+    file_preload_max_mb: int = 2048
     sample_rate: float = 768000.0
     center_frequency: float = 0.0
     log2_decim: int = 0
@@ -363,14 +372,10 @@ class DeviceSet:
                 return buf[:count]
         elif src.kind == "filesource" and raw_file:
             mm = sdriq.open_raw(src.file_path, fmt)
-
-            def reader(pos, count):  # raw capture: settings give the rate
-                return sdriq.read_block(mm, pos, count)
+            reader = self._file_reader(mm, pipe_block=None)
         elif src.kind == "filesource":
             info, mm = sdriq.open_mmap(src.file_path)
-
-            def reader(pos, count):  # pos: absolute device-rate sample index
-                return sdriq.read_block(mm, pos, count)
+            reader = self._file_reader(mm, pipe_block=None)
         else:
             cfg = testsource.TestSourceConfig(
                 sample_rate=src.sample_rate,
@@ -387,7 +392,41 @@ class DeviceSet:
                 out[:, 1] = np.clip(c.imag * 32768.0, -32768, 32767)
                 return out
 
+        if getattr(reader, "_needs_block", False):
+            reader = reader(pipe.device_block)  # bind the preload extension
         return pipe, reader
+
+    def _file_reader(self, mm, pipe_block):
+        """Playback reader over an (N, 2) host array. With file_preload the
+        whole capture (extended by one block so wrap reads never straddle)
+        is device_put ONCE and blocks are device-side slices — no per-block
+        host->device transfer (see SourceSettings.file_preload)."""
+        src = self.source
+        if not src.file_preload:
+            def reader(pos, count):
+                return sdriq.read_block(mm, pos, count)
+            return reader
+
+        mb = mm.nbytes / 1e6
+        if mb > src.file_preload_max_mb:
+            raise ValueError(
+                f"file_preload: capture is {mb:.0f} MB > "
+                f"file_preload_max_mb={src.file_preload_max_mb}")
+
+        def bind(block):
+            import jax
+
+            n = mm.shape[0]
+            pad = sdriq.read_block(mm, 0, block)  # head copy for the wrap
+            dev = jax.device_put(np.concatenate([np.asarray(mm), pad]))
+
+            def reader(pos, count):
+                start = pos % n
+                return dev[start:start + count]
+            return reader
+
+        bind._needs_block = True
+        return bind
 
     def _sync_sinks(self, wav_writers: dict, net_sinks: dict) -> None:
         """Reconcile per-channel egress objects with the current settings
@@ -884,7 +923,7 @@ class DeviceSet:
                         burst_t0[0] = t0
                     raw = reader(pos, pipe.device_block)
                     if recorder is not None:
-                        rec = np.asarray(raw)
+                        rec = np.asarray(raw)  # device fetch if preloaded
                         if rec.dtype != np.int16:
                             # raw 8-bit capture -> .sdriq records at 16-bit
                             from ..dsp.types import INPUT_FORMATS

@@ -352,3 +352,65 @@ def test_raw_cu8_capture_through_session(tmp_path):
     snr = 10 * np.log10(sp[np.abs(f - 1000) < 40].sum()
                         / sp[(f > 100) & (np.abs(f - 1000) >= 40)].sum())
     assert snr > 20.0, f"cu8 tone SNR {snr:.1f} dB"
+
+
+def test_file_preload_matches_streaming(tmp_path):
+    """file_preload plays the capture from device-resident memory (zero
+    per-block H2D — the ~10x-vs-1x lever on the axon tunnel, r5); the
+    audio equals the streaming reader's bit for bit."""
+    import time
+
+    from sdrangel_tpu.io import sdriq, testsource
+    from sdrangel_tpu.runtime.session import DeviceSet
+
+    rate = 768_000.0
+    cfg = testsource.TestSourceConfig(
+        sample_rate=rate, carrier_freq=20_000.0, modulation="fm",
+        tone_freq=1000.0, fm_deviation=5000.0, amplitude=0.5)
+    c = testsource.generate(cfg, 1 << 19)
+    iq = np.empty((len(c), 2), np.int16)
+    iq[:, 0] = np.clip(c.real * 32768.0, -32768, 32767)
+    iq[:, 1] = np.clip(c.imag * 32768.0, -32768, 32767)
+    path = str(tmp_path / "cap.sdriq")
+    w = sdriq.SdriqWriter(path, sample_rate=int(rate), center_frequency=0)
+    w.write(iq)
+    w.close()
+
+    audio = {}
+    for preload in (False, True):
+        ds = DeviceSet(0)
+        ds.update_source({
+            "kind": "filesource", "file_path": path, "log2_decim": 4,
+            "run_blocks": 5, "publish_every": 2, "file_preload": preload,
+        })
+        ds.add_channel("sdrangel.channel.nfmdemod",
+                       {"inputFrequencyOffset": 20_000.0,
+                        "squelch_db": -100.0})
+        ds.start()
+        t0 = time.time()
+        while ds.running and time.time() - t0 < 180:
+            time.sleep(0.1)
+        ds.stop()
+        assert not ds.error, ds.error
+        audio[preload] = ds.drain_audio(0)
+    np.testing.assert_array_equal(audio[False], audio[True])
+
+
+def test_file_preload_size_guard(tmp_path):
+    from sdrangel_tpu.io import sdriq
+    from sdrangel_tpu.runtime.session import DeviceSet
+
+    path = str(tmp_path / "cap.sdriq")
+    w = sdriq.SdriqWriter(path, sample_rate=768000, center_frequency=0)
+    w.write(np.zeros((1 << 16, 2), np.int16))
+    w.close()
+    ds = DeviceSet(0)
+    ds.update_source({"kind": "filesource", "file_path": path,
+                      "file_preload": True, "file_preload_max_mb": 0})
+    ds.add_channel("sdrangel.channel.nfmdemod", {})
+    ds.start()
+    import time
+    t0 = time.time()
+    while ds.running and time.time() - t0 < 60:
+        time.sleep(0.1)
+    assert "file_preload" in ds.error

@@ -113,9 +113,12 @@ def run(path, label, n_blocks, publish_every, extra=None):
 def main():
     print("devices:", jax.devices(), flush=True)
     p16, p8 = make_files()
-    run(p16, "i16 sdriq 10 MS/s /64 NFM", 24, 4)
-    run(p8, "cu8 raw 10 MS/s /64 NFM", 24, 4)
-    run(p16, "i16 sdriq publish_every=1", 10, 1)
+    # preload FIRST: its one-time upload runs at full H2D bandwidth only
+    # before the process's first fetch (tools/probe_h2d_taint.py)
+    run(p16, "i16 sdriq PRELOADED 10 MS/s /64 NFM", 40, 4,
+        {"file_preload": True})
+    run(p16, "i16 sdriq streaming", 24, 4)
+    run(p8, "cu8 raw streaming", 24, 4)
 
 
 if __name__ == "__main__":
