@@ -1011,6 +1011,87 @@ void gen_wfmrx_chain(const char* name, int input_rate, int offset_hz,
 }
 
 // ---------------------------------------------------------------------------
+// Group F2b (r5): DSD front end — dsddemod.cpp feed (:127-210) composition
+// up to the DSDcc hand-off boundary: NCO mix -> Interpolator(16, rate,
+// rfBW/2.2) -> phaseDiscriminator * demodGain (fmScaling 48000/(2 fmDev),
+// applySettings:495) -> 16-tap magsq moving-average squelch with the
+// 480*gate delay line (:156-199). The emitted `sample` stream is exactly
+// what the reference hands DSDcc per audio sample.
+// ---------------------------------------------------------------------------
+
+void gen_dsd_chain(const char* name, int input_rate, int offset_hz,
+                   uint64_t seed) {
+  const double rf_bw = 12500.0, fm_dev = 5400.0, demod_gain = 1.0;
+  const double squelch_db = -40.0;
+  const int gate = 480;  // settings gate 1 (10 ms) * 48k (:40)
+
+  // 4FSK: random dibits at 4800 baud, inst freq = sym/3 * fmDev
+  const int N = 131072;
+  Rng rng(seed);
+  const int sps = input_rate / 4800;
+  std::vector<qint16> in(2 * N);
+  double phase = 0.0;
+  static const int levels[4] = {1, 3, -1, -3};
+  int sym = 0;
+  for (int n = 0; n < N; ++n) {
+    if (n % sps == 0) sym = levels[rng.next() & 3];
+    double inst = (sym / 3.0) * fm_dev + offset_hz;
+    phase += 2.0 * M_PI * inst / input_rate;
+    in[2 * n] = (qint16)lrint((0.5 * cos(phase) + 0.002 * rng.uniform()) * 32767.0);
+    in[2 * n + 1] = (qint16)lrint((0.5 * sin(phase) + 0.002 * rng.uniform()) * 32767.0);
+  }
+  save_i16(std::string(name) + "_input", in,
+           "{\"n_complex\": 131072, \"baud\": 4800, \"fm_dev\": 5400.0}");
+
+  NCO nco;
+  nco.setFreq((Real)(-offset_hz), (Real)input_rate);
+  Interpolator interpolator;
+  interpolator.create(16, input_rate, rf_bw / 2.2);  // applyChannelSettings
+  Real interp_distance = (Real)input_rate / 48000.0f;
+  Real interp_remain = 0;
+  MovingAverageUtil<Real, double, 16> moving_average;
+  DoubleBufferFIFO<Real> squelch_delay(24000);  // dsddemod.cpp:61
+  PhaseDiscriminators discri = PhaseDiscriminators();  // (see note above)
+  discri.setFMScaling(48000.0f / (2.0f * (Real)fm_dev));  // :495
+  double squelch_level = pow(10.0, squelch_db / 10.0);
+  int squelch_count = 0;
+
+  std::vector<float> post_discri, sample_f;
+  Complex ci;
+  for (int n = 0; n < N; ++n) {
+    Complex c((Real)in[2 * n], (Real)in[2 * n + 1]);
+    c *= nco.nextIQ();
+    if (interpolator.decimate(&interp_remain, c, &ci)) {
+      Real re = ci.real() / SDR_RX_SCALED;
+      Real im = ci.imag() / SDR_RX_SCALED;
+      Real magsq = re * re + im * im;
+      moving_average(magsq);
+      Real demod = discri.phaseDiscriminator(ci) * (Real)demod_gain;
+      post_discri.push_back((float)demod);
+      bool squelch_open;
+      if (moving_average.asDouble() > squelch_level) {
+        if (squelch_count < gate * 2) squelch_count++;
+        squelch_delay.write(demod);
+      } else {
+        if (squelch_count > 0) squelch_count--;
+        squelch_delay.write(0);
+      }
+      squelch_open = squelch_count > gate;
+      sample_f.push_back(squelch_open ? (float)squelch_delay.readBack(gate)
+                                      : 0.0f);
+      interp_remain += interp_distance;
+    }
+  }
+  char params[160];
+  snprintf(params, sizeof(params),
+           "{\"input_rate\": %d, \"offset_hz\": %d, \"rf_bw\": 12500.0, "
+           "\"fm_dev\": 5400.0, \"squelch_db\": -40.0, \"gate\": 480}",
+           input_rate, offset_hz);
+  save_f32(std::string(name) + "_postdiscri", post_discri, params);
+  save_f32(std::string(name) + "_sample", sample_f, params);
+}
+
+// ---------------------------------------------------------------------------
 // Group F3 (r4): BFM stereo chain — bfmdemod.cpp:118-250 feed composition
 // (RDS branch excluded: RDSDemod is a QObject; the MPX math ends at the
 // 57 kHz mix which the stereo path below already pins at 38 kHz).
@@ -1173,6 +1254,7 @@ int main_impl(const char* dir) {
   gen_ssb_chain("ssb96agc", 96000, 3000, true, 0x5eed0054ULL);
   gen_ssb_chain("ssb96lsb", 96000, 3000, true, 0x5eed0058ULL, false);
   gen_wfmrx_chain("wfmrx384", 384000, 0, 0x5eed0055ULL);
+  gen_dsd_chain("dsd96", 96000, 6000, 0x5eed0058ULL);
   gen_bfm_chain("bfm384", 384000, 0, 0x5eed0056ULL);
   gen_ctcss();
   gen_tx_goldens();
