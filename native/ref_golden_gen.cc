@@ -1212,6 +1212,10 @@ void gen_ctcss() {
   // (nfmdemod.cpp:86), analyze() fed every 8th sample (feed loop :243).
   CTCSSDetector det;
   det.setCoefficients(48000 / 16, 48000 / 8.0f);
+  det.reset();  // the reference never zeroes u0/u1 before the first block
+  // (ctcssdetector.cpp:22-27 new[] without init; :146 reads them) — the
+  // first detection is uninitialized memory in the real program; reset()
+  // makes the golden deterministic
   const int N = 48000 * 2;
   std::vector<float> tone_idx;
   Rng rng(0x5eed0040ULL);
@@ -1248,6 +1252,10 @@ int main_impl(const char* dir) {
   gen_channelizer();
   gen_nfm_chain("nfm48", 48000, 0, 2000, 1.0, 0x5eed0050ULL);
   gen_nfm_chain("nfm96", 96000, 12000, 2000, 1.0, 0x5eed0051ULL);
+  // r5: the PRODUCT path's channel rate (10 MS/s /64 = 156250 Hz,
+  // resampler ratio 625/192 to 48 kHz) — the awkward-rational case the
+  // reference-exact schedule must cover
+  gen_nfm_chain("nfm156", 156250, 20000, 2000, 1.0, 0x5eed0059ULL);
   gen_am_chain("am96", 96000, 5000, 0x5eed0052ULL);
   gen_am_sync_chain("amsync96", 96000, 5000, 1 /*USB*/, 0x5eed0057ULL);
   gen_ssb_chain("ssb96", 96000, 3000, false, 0x5eed0053ULL);
