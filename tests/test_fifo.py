@@ -56,3 +56,50 @@ def test_fifo_producer_consumer_threads():
     assert got == list(range(n))
     assert f.backpressure_waits > 0  # the slow sink actually stalled writes
     assert f.blocks_in == f.blocks_out == n
+
+
+def test_packed_outs_roundtrip():
+    """engine._step_packed + unpack_outs: the packed f32 vector rebuilds
+    the outs tree exactly (audio f32, power scalar, squelch bool, data
+    channel int arrays) — the one-fetch publish contract (r5)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sdrangel_tpu.io import testsource
+    from sdrangel_tpu.runtime.engine import ChannelSpec, DeviceConfig, RxPipeline
+
+    device = DeviceConfig(sample_rate=768_000.0, log2_decim=3)
+    pipe = RxPipeline(device, [
+        ChannelSpec("sdrangel.channel.nfmdemod", 10_000.0,
+                    {"squelch_db": -100.0}),
+        ChannelSpec("sdrangel.channel.chanalyzer", -12_000.0, {}),
+    ])
+    state = pipe.init_state()
+    dyn = pipe.default_dyn()
+    cfg = testsource.TestSourceConfig(sample_rate=768_000.0,
+                                      carrier_freq=10_000.0, modulation="fm")
+    c = testsource.generate(cfg, pipe.device_block)
+    raw = np.empty((pipe.device_block, 2), np.int16)
+    raw[:, 0] = np.clip(c.real * 32768, -32768, 32767)
+    raw[:, 1] = np.clip(c.imag * 32768, -32768, 32767)
+
+    _, outs = pipe._step(state, jnp.asarray(raw), dyn)
+    pipe._ensure_layout(state, dyn)
+    _, flat = pipe._step_packed(state, jnp.asarray(raw), dyn)
+    rebuilt = pipe.unpack_outs(np.asarray(flat))
+
+    import jax
+
+    ref_leaves = jax.tree.leaves(outs)
+    got_leaves = jax.tree.leaves(rebuilt)
+    assert len(ref_leaves) == len(got_leaves)
+    for r, g in zip(ref_leaves, got_leaves):
+        r = np.asarray(r)
+        assert r.shape == np.asarray(g).shape, (r.shape, np.asarray(g).shape)
+        if r.dtype == np.bool_:
+            assert np.array_equal(r, g)
+        elif np.issubdtype(r.dtype, np.floating):
+            np.testing.assert_allclose(r, g, rtol=0, atol=0)
+        else:
+            assert np.asarray(g).dtype == r.dtype
+            np.testing.assert_array_equal(r, g)
