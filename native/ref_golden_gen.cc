@@ -663,13 +663,18 @@ void gen_am_chain(const char* name, int input_rate, int offset_hz,
   MovingAverageUtil<Real, double, 16> moving_average;
   DoubleBufferFIFO<Real> squelch_delay(9600);          // amdemod.h:183
   SimpleAGC<4800> volume_agc(0.003);
-  volume_agc.resizeNew(audio_rate / 4, 0.003);         // bandpass on, :465
+  // NON-PLL envelope branch: rate/10 window (amdemod.cpp:469; the r4
+  // golden wrongly used the PLL branch's rate/4 from :464 — fixed r5)
+  volume_agc.resizeNew(audio_rate / 10, 0.003);
   Bandpass<Real> bandpass;
   bandpass.create(301, audio_rate, 300.0, rf_bw / 2.0);  // :373
   double squelch_level = CalcDb::powerFromdB(squelch_db);
   int squelch_count = 0;
 
   std::vector<float> audio_f;
+  // r5 per-stage taps: delayed envelope, volume-AGC value, pre-bandpass
+  // normalized demod (attribute the 55.9 dB chain floor to a stage)
+  std::vector<float> env_f, agc_f, norm_f;
   Complex ci;
   for (int n = 0; n < N; ++n) {
     Complex c((Real)in[2 * n], (Real)in[2 * n + 1]);
@@ -691,14 +696,20 @@ void gen_am_chain(const char* name, int input_rate, int offset_hz,
       float sample;
       if (squelch_open) {
         Real demod = sqrt(squelch_delay.readBack(audio_rate / 20));
+        env_f.push_back((float)demod);
         volume_agc.feed(demod);
+        agc_f.push_back((float)volume_agc.getValue());
         demod = (demod - volume_agc.getValue()) / volume_agc.getValue();
+        norm_f.push_back((float)demod);
         demod = bandpass.filter(demod);
         demod /= 301.0f;
         Real attack = (squelch_count - 0.05f * audio_rate) / (0.05f * audio_rate);
         sample = demod * StepFunctions::smootherstep(attack)
             * (audio_rate / 24) * (Real)volume;
       } else {
+        env_f.push_back(0.0f);
+        agc_f.push_back(0.0f);
+        norm_f.push_back(0.0f);
         sample = 0.0f;
       }
       audio_f.push_back(sample);
@@ -711,6 +722,9 @@ void gen_am_chain(const char* name, int input_rate, int offset_hz,
            "\"volume\": 1.0, \"squelch_db\": -40.0, \"bandpass\": true}",
            input_rate, offset_hz);
   save_f32(std::string(name) + "_audio", audio_f, params);
+  save_f32(std::string(name) + "_envelope", env_f, params);
+  save_f32(std::string(name) + "_agc", agc_f, params);
+  save_f32(std::string(name) + "_norm", norm_f, params);
 }
 
 // Synchronous-AM branch (amdemod.cpp:191-251): pllFilt(101,audio,200) ->

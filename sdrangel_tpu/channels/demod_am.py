@@ -68,10 +68,12 @@ class AMConfig:
         # paired with the /301 at amdemod.cpp:249. The reference's
         # near-zero-DC-sum tap normalization (bandpass.h:15-76) leaves a
         # large passband gain (~393 at default settings) which the /301
-        # nets to ~1.3x (+2.3 dB); reproducing the exact pair — via the
-        # exact-design helper shared with the NFM modulator — makes AM
-        # loudness with bandpassEnable migrate 1:1 (ADVICE r4).
-        return firdesign.nfm_mod_bandpass(
+        # nets to ~1.3x (+2.3 dB); reproducing the exact pair makes AM
+        # loudness with bandpassEnable migrate 1:1 (ADVICE r4). r5: the
+        # kernel is the RING-WALK response the reference binary actually
+        # computes, not its symmetric design (firdesign.bandpass_ring_kernel
+        # — worth 47 dB on the am96 golden).
+        return firdesign.bandpass_ring_kernel(
             301, self.audio_rate, 300.0, self.rf_bandwidth / 2.0) / 301.0
 
     @functools.cached_property

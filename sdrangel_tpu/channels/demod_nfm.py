@@ -59,9 +59,19 @@ class NFMConfig:
 
     @functools.cached_property
     def bandpass_taps(self) -> np.ndarray:
-        return firdesign.bandpass(
-            301, 300.0 / self.audio_rate, self.af_bandwidth / self.audio_rate
-        )
+        # nfmdemod.cpp:429 Bandpass::create(301, rate, 300, afBW) applied
+        # through the ring-walk filter — use its ACTUAL (one-sample-
+        # asymmetric) response (firdesign.bandpass_ring_kernel, r5: worth
+        # ~30-50 dB of golden parity), renormalized to unity passband at
+        # the geometric centre so our audio keeps sane levels (the
+        # reference ships the raw ~347x near-zero-DC-sum gain; chain
+        # goldens fit a free scale, so only the response shape matters)
+        k = firdesign.bandpass_ring_kernel(
+            301, self.audio_rate, 300.0, self.af_bandwidth).astype(np.float64)
+        fc = np.sqrt(300.0 * self.af_bandwidth) / self.audio_rate
+        w = 2.0 * np.pi * fc
+        gain = np.abs(np.sum(k * np.exp(-1j * w * np.arange(len(k)))))
+        return (k / gain).astype(np.float32)
 
     @property
     def fm_scaling(self) -> float:

@@ -80,8 +80,11 @@ class FMModConfig:
     @functools.cached_property
     def af_taps(self) -> np.ndarray:
         if self.af_filter == "nfm_ref":
-            # (f_dev/fs)*bp(t)*(pi/378) == (2*pi*f_dev/fs) * bp(t)/756
-            return firdesign.nfm_mod_bandpass(
+            # (f_dev/fs)*bp(t)*(pi/378) == (2*pi*f_dev/fs) * bp(t)/756;
+            # r5: bp(t) is the ring-walk response the reference's
+            # Bandpass<T>::filter actually computes, not the symmetric
+            # design (firdesign.bandpass_ring_kernel)
+            return firdesign.bandpass_ring_kernel(
                 301, self.audio_rate, 300.0, self.af_bandwidth) / 756.0
         return firdesign.lowpass(301, self.af_bandwidth / self.audio_rate)
 

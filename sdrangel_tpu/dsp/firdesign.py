@@ -92,6 +92,36 @@ def nfm_mod_bandpass(ntaps: int, fs: float, f_lo: float, f_hi: float) -> np.ndar
     return full.astype(np.float32)
 
 
+def bandpass_ring_kernel(ntaps: int, fs: float, f_lo: float,
+                         f_hi: float) -> np.ndarray:
+    """The FIR the reference's Bandpass<T>::filter ACTUALLY applies —
+    which is NOT its designed symmetric m_taps (r5 finding, +47 dB on the
+    am96 golden). bandpass.h:78-121 walks the ring with `b` starting at
+    ptr-1, so tap t0 multiplies the newest TWO samples (ages 0 and 1),
+    t1..t[c-1] hit ages 2..c (new side) and ntaps-1..c+2 (old side), and
+    the centre tap lands at age c+1 — a one-sample-asymmetric kernel with
+    a slightly non-linear phase. Verified against a verbatim ring
+    simulation and pinned by the am96 chain golden (124.4 dB vs 77.2 for
+    the symmetric design on the reference's own pre-bandpass stream).
+    Lowpass<T>/Highpass<T> share the same walk, so every reference
+    `.filter()` audio path has this response.
+
+    Returns the kernel ORIENTED FOR fir_apply (tap k applies at delay
+    ntaps-1-k), UNSCALED like nfm_mod_bandpass — callers fold their own
+    /301-style pairing."""
+    full = nfm_mod_bandpass(ntaps, fs, f_lo, f_hi)
+    n2 = ntaps // 2 + 1
+    t = full[:n2].astype(np.float64)
+    c = np.zeros(ntaps, np.float64)  # index = age (delay in samples)
+    c[0] = t[0]
+    c[1] = t[0]
+    c[2:n2] = t[1:n2 - 1]
+    c[n2] = t[n2 - 1]
+    ages = np.arange(n2 + 1, ntaps)
+    c[ages] = t[ntaps - ages]
+    return c[::-1].astype(np.float32)
+
+
 class FirState(NamedTuple):
     tail: jnp.ndarray  # (..., ntaps-1)
 

@@ -117,7 +117,8 @@ def main():
     # before the process's first fetch (tools/probe_h2d_taint.py)
     run(p16, "i16 sdriq PRELOADED 10 MS/s /64 NFM", 40, 4,
         {"file_preload": True})
-    run(p16, "i16 sdriq streaming", 24, 4)
+    run(p16, "i16 sdriq streaming pub8", 32, 8)
+    run(p16, "i16 sdriq streaming pub16", 32, 16)
     run(p8, "cu8 raw streaming", 24, 4)
 
 
