@@ -118,6 +118,10 @@ class AMState(NamedTuple):
     pll_fir: firdesign.FirState  # ref_pll_parity: 200 Hz complex prefilter
     ref_pll: "phaselock.RefPLLState"  # ref_pll_parity: biquad registers
     sync_delay: jnp.ndarray  # (…, sync_frame_offset) c64 framing aligner
+    #: one-sample channel-stream aligner (r5, cf. demod_ssb.SSBState.align):
+    #: our resampler leads the reference's stream by one sample and the
+    #: sync sideband OLA filter is framing-sensitive
+    sync_align: jnp.ndarray
     fft: fftfilt.FftFiltState
     agc: agc.MagAGCState
     #: envelope volume normalizer (SimpleAGC, audioRate/10 window in the
@@ -144,6 +148,7 @@ def make_state(cfg: AMConfig, batch_shape=()) -> AMState:
         ref_pll=phaselock.make_ref_pll(batch_shape),
         sync_delay=jnp.zeros((*batch_shape, cfg.sync_frame_offset),
                              dtype=jnp.complex64),
+        sync_align=jnp.zeros((*batch_shape, 1), dtype=jnp.complex64),
         fft=fftfilt.make_state(cfg.sync_fft_len, batch_shape),
         agc=agc.make_state(cfg.sync_agc_config, batch_shape),
         # envelope volume normalizer: audioRate/10 window in the non-PLL
@@ -187,6 +192,9 @@ def process(state: AMState, x: jnp.ndarray, cfg: AMConfig, offset_hz=None,
             pll_state, carrier = phaselock.pll_run(
                 state.pll, ci, cfg.audio_rate)
         mixed = (1j * ci * jnp.conj(carrier)).astype(jnp.complex64)
+        ext_a = jnp.concatenate([state.sync_align, mixed], axis=-1)
+        mixed = ext_a[..., :-1]
+        sync_align_state = ext_a[..., -1:]
         sync_delay_state = state.sync_delay
         if cfg.sync_frame_offset:
             ext = jnp.concatenate([state.sync_delay, mixed], axis=-1)
@@ -208,6 +216,7 @@ def process(state: AMState, x: jnp.ndarray, cfg: AMConfig, offset_hz=None,
         vol_state = state.vol_agc
     else:
         sync_delay_state = state.sync_delay
+        sync_align_state = state.sync_align
         env = jnp.sqrt(magsq)
         # the reference normalizes by the trailing-window envelope mean.
         # Two deliberate divergences (amdemod.cpp:242-243): it feeds
@@ -238,7 +247,7 @@ def process(state: AMState, x: jnp.ndarray, cfg: AMConfig, offset_hz=None,
         nco=nco_state, resamp=resamp_state, mavg=mavg_state,
         squelch=squelch_state, bandpass=bp_state,
         pll=pll_state, pll_fir=pll_fir_state, ref_pll=ref_pll_state,
-        sync_delay=sync_delay_state,
+        sync_delay=sync_delay_state, sync_align=sync_align_state,
         fft=fft_state, agc=agc_state, vol_agc=vol_state,
     )
     return new_state, audio.astype(jnp.float32)

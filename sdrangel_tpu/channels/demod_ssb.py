@@ -87,6 +87,15 @@ class SSBState(NamedTuple):
     #: multiplied by the CURRENT step value — the release gate cuts the
     #: tail without eating the attack
     delay: jnp.ndarray
+    #: one-sample channel-stream aligner (r5): our resampler emits the
+    #: reference's steady schedule WITHOUT its initial bonus output
+    #: (resampler.make_plan), so our channel stream leads the reference's
+    #: by exactly one sample — and the OLA sideband filter is
+    #: framing-SENSITIVE (its brickwall impulse response exceeds the
+    #: hop), so that shift is not absorbable downstream: it capped the
+    #: ssb96 golden at 60.0 dB (118+ dB per stage). Delaying the filter
+    #: feed by one sample restores the reference's framing exactly.
+    align: jnp.ndarray
 
 
 def make_state(cfg: SSBConfig, batch_shape=()) -> SSBState:
@@ -97,6 +106,7 @@ def make_state(cfg: SSBConfig, batch_shape=()) -> SSBState:
         agc=agc.make_state(cfg.agc_config, batch_shape),
         delay=jnp.zeros(
             (*batch_shape, cfg.agc_config.step_down_delay), jnp.complex64),
+        align=jnp.zeros((*batch_shape, 1), jnp.complex64),
     )
 
 
@@ -110,6 +120,10 @@ def process(state: SSBState, x: jnp.ndarray, cfg: SSBConfig, offset_hz=None,
         inc = nco.freq_to_increment_traced(-offset_hz, cfg.channel_rate)
     nco_state, xm = nco.mix_block(state.nco, x, inc)
     resamp_state, ci = resampler.resample_block(state.resamp, xm, plan)
+    # one-sample aligner: see SSBState.align
+    ext_a = jnp.concatenate([state.align, ci], axis=-1)
+    ci = ext_a[..., :-1]
+    align_state = ext_a[..., -1:]
 
     if cfg.dsb:
         fft_state, filt = fftfilt.run_dsb(state.fft, ci, jnp.asarray(cfg.filter_freq))
@@ -153,6 +167,6 @@ def process(state: SSBState, x: jnp.ndarray, cfg: SSBConfig, offset_hz=None,
 
     return (
         SSBState(nco=nco_state, resamp=resamp_state, fft=fft_state,
-                 agc=agc_state, delay=new_delay),
+                 agc=agc_state, delay=new_delay, align=align_state),
         audio.astype(jnp.float32),
     )
