@@ -2,9 +2,11 @@
 
 Reference: plugins/channelrx/demodam/amdemod.cpp — `processOneSample`
 (:152-260): NCO mix → resample to audio rate → squelch on 1s-average magsq →
-plain envelope sqrt(magsq) with DC removal via a 308-tap-equivalent highpass
-(reference uses a bandpass 300..4000), volume; optional PLL-synchronous AM
-(PhaseLockComplex + SSB/DSB fftfilt + MagAGC) — provided via `sync_am`.
+plain envelope sqrt(magsq), SimpleAGC depth normalization, optional
+300..rfBw/2 audio bandpass (the reference ring filter's ACTUAL asymmetric
+response, firdesign.bandpass_ring_kernel), volume; optional
+PLL-synchronous AM (PhaseLockComplex + SSB/DSB fftfilt + MagAGC) via
+`sync_am`.
 """
 
 from __future__ import annotations
